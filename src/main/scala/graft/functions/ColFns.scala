@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column-level helpers shared by the operators.
+  *
+  * Determinism discipline: every aggregate that feeds the DuckDB-oracle
+  * compare must be bit-reproducible regardless of partitioning / addition
+  * order. Floating sums are NOT (they commute but don't associate), so
+  * money-style sums go through an exact decimal accumulator and are cast
+  * back to double at the very end — same trick on the oracle side.
+  * Single IEEE ops (one multiply, one divide of exact ints) ARE
+  * deterministic and are used freely.
+  */
+object ColFns {
+
+  /** Canonical month key, SURVEY §2.7 Q8: one `yyyy-MM` format everywhere
+    * (the reference used three different month-key encodings per job). */
+  def monthKey(ts: Column): Column = date_format(ts, "yyyy-MM")
+
+  /** Exact order-independent sum of a money-valued double column.
+    * `scale` must cover the true decimal precision of the value
+    * (2 for raw prices, 4 for price*(1-disc), 6 for *(1+tax)):
+    * the double is within ~1e-9 of an exact `scale`-digit decimal, so the
+    * cast rounds identically in Spark and DuckDB, and the decimal sum is
+    * associative. Final cast back to double is a single deterministic op. */
+  def moneySum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Timestamp literal matching the column's actual type (the driver
+    * parquet may surface as TIMESTAMP or TIMESTAMP_NTZ depending on
+    * inferTimestampNTZ) — keeps comparisons pushdown-friendly. */
+  def tsLit(df: DataFrame, colName: String, value: String): Column =
+    lit(value).cast(df.schema(colName).dataType)
+}
