@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association rules: support & confidence for item→item,
+  * the capability of the reference's ESERCIZIO 3
+  * (`/root/reference/BD_hw1/src/spark/SupportAndConfidence.java:48-216`).
+  *
+  * Reference plan: extra full pass for the global count (accumulator),
+  * then two wide shuffles of pair *records* (reduceByKey + a reduce-side
+  * join in disguise via re-key + groupByKey). Spark-native plan here:
+  *
+  *   items (distinct)  ── groupBy(item).count ──► itemCnt  (vocabulary-sized)
+  *        │ self-join on basket, i1 < i2
+  *        ▼
+  *   pairCnt ── union of both rule directions ── ⋈ broadcast(itemCnt)
+  *           ── ⨯ broadcast(total_baskets scalar) ──► support, confidence
+  *
+  * Shuffles: one for `distinct`, one for the pair aggregation; the
+  * antecedent-count join and the global-total "join" are both broadcasts,
+  * and the scalar total is computed inside the same plan (no driver
+  * `collect`, no second job — contrast with the reference's
+  * accumulator pre-pass, SURVEY §3.3 stage 1).
+  *
+  * Semantics pinned per SURVEY §2.7: no self-rules (Q5), canonical sorted
+  * pair via `<` (halves pair space), fractions not percentages (Q3),
+  * named output columns (Q4).
+  *
+  * Scale: the basket self-join is O(k²) rows per basket (k = basket
+  * size). For retail-sized baskets (k ≤ ~100) this is the right plan at
+  * 100 TB: both sides shuffle-partition on basket id, pairs are generated
+  * co-located, and the following aggregation is partial+final. A skewed
+  * giant basket would need a per-basket k cap or salting — see
+  * `maxBasketSize`.
+  */
+object AssocRules {
+
+  /** @param baskets   (basketId, item) rows, not necessarily distinct
+    * @param maxBasketSize optional guard: drop baskets larger than this
+    *        (pair blowup guard for adversarial skew; None = no cap)
+    */
+  def rules(baskets: DataFrame, basketCol: String, itemCol: String,
+            maxBasketSize: Option[Int] = None): DataFrame = {
+    val items0 = baskets
+      .select(col(basketCol).cast("long").as("bid"), col(itemCol).as("item"))
+      .distinct()
+    val items = maxBasketSize match {
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        items0.withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("bid"))))
+          .filter(col("_bsz") <= cap).drop("_bsz")
+      case None => items0
+    }
+
+    // total baskets + per-item counts, both re-entering via broadcast
+    val total = items.agg(countDistinct(col("bid")).as("total_baskets"))
+    val itemCnt = items.groupBy(col("item").as("antecedent"))
+      .agg(count(lit(1)).as("antecedent_cnt"))
+
+    val a = items.select(col("bid"), col("item").as("x"))
+    val b = items.select(col("bid"), col("item").as("y"))
+    val pairCnt = a.join(b, Seq("bid"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("pair_cnt"))
+
+    val directed = pairCnt.select(col("x").as("antecedent"), col("y").as("consequent"), col("pair_cnt"))
+      .unionAll(pairCnt.select(col("y").as("antecedent"), col("x").as("consequent"), col("pair_cnt")))
+
+    // No explicit broadcast hint on itemCnt: it is vocabulary-sized —
+    // tiny for retail vocabularies (always broadcast), but potentially
+    // millions of keys in a catalog-scale run. AQE observes the actual
+    // built size at runtime and converts the shuffle join to broadcast
+    // exactly when that's safe.
+    directed
+      .join(itemCnt, Seq("antecedent"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("antecedent"), col("consequent"), col("pair_cnt"),
+        (col("pair_cnt") / col("total_baskets")).as("support"),
+        (col("pair_cnt") / col("antecedent_cnt")).as("confidence"))
+  }
+}

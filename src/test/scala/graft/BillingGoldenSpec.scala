@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AssocRules, TopK}
+import graft.sources.BillingReader
+
+/** Golden micro-fixture from FIXTURES.md §4 — all three reference queries
+  * hand-verified, plus the ingest edge cases of FIXTURES.md §1–2.
+  */
+class BillingGoldenSpec extends SparkSpec {
+
+  // FIXTURES.md §4 (6 baskets, 2 months) + edge cases: empty line,
+  // duplicate item in basket, singleton basket, non-padded date.
+  lazy val goldenPath: String = fixtureFile("golden.txt",
+    """2015-1-1,pane,latte
+      |2015-1-2,pane,latte,uova
+      |2015-1-3,pane
+      |2015-2-1,latte
+      |2015-2-2,latte,uova
+      |2015-2-3,pane,latte
+      |""".stripMargin)
+
+  test("dialect A ingest: empty lines dropped, dups deduped, y-M-d dates") {
+    val path = fixtureFile("edge.txt",
+      "2015-3-7,pane,burro,latte\n\n2015-11-2,latte,latte\n2015-1-20,latte\n")
+    val df = BillingReader.dialectA(spark, path)
+    val rows = df.orderBy("date").collect()
+    assert(rows.length == 3) // blank line dropped
+    assert(rows(0).getAs[java.sql.Date]("date").toString == "2015-01-20")
+    assert(rows(1).getAs[scala.collection.Seq[String]]("items").toSeq == Seq("pane", "burro", "latte"))
+    assert(rows(2).getAs[scala.collection.Seq[String]]("items").toSeq == Seq("latte")) // deduped
+  }
+
+  test("dialect B ingest: cost FIRST then item, one row per priced line") {
+    val path = fixtureFile("priced.txt",
+      "2015-1-3,15 pane,12 uova\n2015-1-20,3 latte\n2015-2-3,15 pane\n")
+    val df = BillingReader.dialectB(spark, path)
+    assert(df.count() == 4)
+    val r = df.filter(col("item") === "uova").collect().head
+    assert(r.getAs[Double]("unitCost") == 12.0)
+    // same item at two costs stays two rows pre-agg
+    assert(df.filter(col("item") === "pane").count() == 2)
+  }
+
+  test("golden Q1: monthly top-k item counts") {
+    val baskets = BillingReader.dialectA(spark, goldenPath)
+    val exploded = baskets.select(
+      date_format(col("date"), "yyyy-MM").as("month"),
+      explode(col("items")).as("item"))
+    val counts = exploded.groupBy("month", "item").agg(count(lit(1)).as("cnt"))
+    val top = TopK.perGroup(counts, Seq(col("month")), col("cnt"), Seq(col("item")), 5)
+      .orderBy("month", "rn")
+    val got = top.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2015-01", "pane", 3L), ("2015-01", "latte", 2L), ("2015-01", "uova", 1L),
+      ("2015-02", "latte", 3L), ("2015-02", "pane", 1L), ("2015-02", "uova", 1L)))
+  }
+
+  test("golden Q3: rule(pane→latte) support=0.5 confidence=0.75") {
+    val baskets = BillingReader.dialectA(spark, goldenPath)
+      .select(col("billId"), explode(col("items")).as("item"))
+    val rules = AssocRules.rules(baskets, "billId", "item")
+    val r = rules.filter(col("antecedent") === "pane" && col("consequent") === "latte")
+      .collect().head
+    assert(r.getAs[Long]("pair_cnt") == 3L)
+    assert(r.getAs[Double]("support") == 0.5)
+    assert(r.getAs[Double]("confidence") == 0.75)
+    // no self-rules (SURVEY §2.7 Q5)
+    assert(rules.filter(col("antecedent") === col("consequent")).count() == 0)
+    // symmetry: pair counts equal in both directions
+    val ab = rules.select("antecedent", "consequent", "pair_cnt").collect()
+      .map(r => ((r.get(0), r.get(1)), r.getLong(2))).toMap
+    ab.foreach { case ((x, y), n) => assert(ab((y, x)) == n) }
+  }
+
+  test("golden Q2: revenue per item per month from dialect B") {
+    val path = fixtureFile("priced2.txt",
+      "2015-1-3,15 pane,12 uova\n2015-1-20,3 pane\n2016-1-3,7 pane\n")
+    val priced = BillingReader.dialectB(spark, path)
+    val rev = priced.groupBy(col("item"), date_format(col("date"), "yyyy-MM").as("month"))
+      .agg(sum(col("unitCost")).as("total"))
+    val m = rev.collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    // months of different years NOT merged (SURVEY §2.7 Q6)
+    assert(m == Map(("pane", "2015-01") -> 18.0, ("uova", "2015-01") -> 12.0,
+      ("pane", "2016-01") -> 7.0))
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM-wide session, lazy). */
+object SparkSpec {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.spark
+  val sf001 = "/root/testdata/sf0.001"
+
+  /** Write lines to a temp file, return its path. */
+  def fixtureFile(name: String, content: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fixture")
+    val f = dir.resolve(name)
+    java.nio.file.Files.writeString(f, content)
+    f.toString
+  }
+}
