@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private val registry: Seq[(String, QueryDef)] =
-    RelationalQueries.defs ++ BasketQueries.defs
+    RelationalQueries.defs ++ BasketQueries.defs ++
+      JoinQueries.defs ++ WindowQueries.defs ++ EventQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

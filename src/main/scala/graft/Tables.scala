@@ -25,7 +25,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
+    * rebuild a micros timestamp with integer division (`div`, not `/` —
+    * epoch-nanos exceed 2^53 so double math would corrupt low bits).
+    * The driver data is µs-precision, so the truncation is lossless. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

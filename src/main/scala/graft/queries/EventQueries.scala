@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.ColFns._
+
+/** Event-stream analytics in batch form: tumbling time buckets and
+  * gap-based sessionization (lag → boundary flag → running sum = session
+  * id). The same shapes re-appear as Structured Streaming queries in
+  * graft.streaming; batch first because the driver's oracle is batch.
+  *
+  * All time math is integer epoch-micros (`unix_micros` / `epoch_us`) —
+  * no float time anywhere, so sums and differences are exact.
+  */
+object EventQueries {
+
+  private val SessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Tumbling 1-hour buckets per event type.
+    "q_events_hourly" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          moneySum(col("value"), 2).as("total_value")),
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+        |       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2"""),
+
+    // Gap-based sessionization: per user, a new session starts when the
+    // gap to the previous event exceeds 30 min. Two narrow windows over
+    // the same (user_id, ts) shuffle — Spark reuses one sort; session
+    // stats then aggregate by (user, session_idx).
+    "q_sessionize" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        Tables.events(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+          .withColumn("boundary",
+            when(col("prev_us").isNull || col("ts_us") - col("prev_us") > SessionGapUs, 1L)
+              .otherwise(0L))
+          .withColumn("session_idx",
+            sum(col("boundary")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_us")).as("session_start_us"),
+            max(col("ts_us")).as("session_end_us"))
+          // integer division (`div`), NOT `/`: long / long is double in
+          // Spark and DuckDB's double→bigint cast *rounds* while Spark's
+          // truncates — div/`//` floor identically on both sides.
+          .withColumn("duration_secs",
+            expr("(session_end_us - session_start_us) div 1000000"))
+      },
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS boundary
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts_us,
+        |         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |       (max(ts_us) - min(ts_us)) // 1000000 AS duration_secs
+        |FROM sessions GROUP BY user_id, session_idx""")
+  )
+}

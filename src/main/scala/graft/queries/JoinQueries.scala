@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.ColFns._
+
+/** Join surface: broadcast star-join, shuffle fact-fact join, semi/anti
+  * (EXISTS / NOT EXISTS), and union. The reference has exactly one join
+  * (a reduce-side equi-join in disguise, SURVEY §2.6); everything here is
+  * the general capability a user would expect, planned Spark-first.
+  */
+object JoinQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Dimension star-join: nation/region are vocabulary-sized at ANY
+    // scale factor → explicit broadcast is correct even at 100 TB.
+    "q_join_broadcast" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_cust"),
+            moneySum(col("c_acctbal"), 2).as("total_bal"))
+      },
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name"""),
+
+    // Fact-fact join: both sides shuffle on the join key; partial agg
+    // happens below the join output's group-by. At 100 TB this is the
+    // classic co-partitioned hash join AQE tunes (skew split + coalesce).
+    "q_join_shuffle" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority"), monthKey(col("o_orderdate")).as("month"))
+          .agg(
+            moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            count(lit(1)).as("n_lines"))
+      },
+      """SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(DISTINCT o_orderkey) AS n_orders,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2"""),
+
+    // EXISTS → left-semi: no row multiplication, build side streams.
+    "q_semi_join" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+      },
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment"""),
+
+    // NOT EXISTS → left-anti (orders with no lineitems — non-empty in
+    // the driver data, unlike customers-without-orders).
+    "q_anti_join" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      },
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)"""),
+
+    // Union of heterogeneous entities into one keyed stream.
+    "q_union" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select(
+          lit("customer").as("kind"), col("c_custkey").as("entity_key"),
+          col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+        val su = Tables.supplier(s, dir).select(
+          lit("supplier").as("kind"), col("s_suppkey").as("entity_key"),
+          col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+        c.unionAll(su)
+      },
+      """SELECT 'customer' AS kind, c_custkey AS entity_key, c_name AS name, c_acctbal AS acctbal FROM customer
+        |UNION ALL
+        |SELECT 'supplier' AS kind, s_suppkey AS entity_key, s_name AS name, s_acctbal AS acctbal FROM supplier""")
+  )
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{QueryDef, Tables}
+import graft.functions.ColFns._
+
+/** Window functions, global sort/limit, rollup, distinct aggregation and
+  * plain filter/project — the rest of the relational surface.
+  *
+  * Determinism notes: every window order is made total with a key suffix;
+  * running money sums accumulate in decimal (DuckDB evaluates windowed
+  * sums with a segment tree, so double accumulation order differs from
+  * Spark's running fold — decimal is associative, so both agree).
+  */
+object WindowQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    "q_filter_project" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.filter(col("l_quantity") >= 45.0 &&
+            col("l_shipdate") >= tsLit(li, "l_shipdate", "1998-01-01 00:00:00") &&
+            col("l_shipdate") < tsLit(li, "l_shipdate", "1999-01-01 00:00:00"))
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            col("l_partkey"), col("l_quantity"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+      },
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey, l_quantity,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_quantity >= 45.0
+        |  AND l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1999-01-01'"""),
+
+    // Global top-n: Spark plans TakeOrderedAndProject — per-partition
+    // top-n then a single driver-side merge of n·P rows, no full sort.
+    "q_topn_global" -> QueryDef(
+      (s, dir) => Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""),
+
+    // Per-customer order sequence: rank + running spend. The running sum
+    // is decimal-exact (see class doc), surfaced as double.
+    "q_window_running" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .withColumn("order_seq", row_number().over(w).cast("long"))
+          .withColumn("running_spend",
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+            col("o_totalprice"), col("order_seq"), col("running_spend"))
+      },
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       o_totalprice,
+        |       CAST(row_number() OVER w AS BIGINT) AS order_seq,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""),
+
+    // Hierarchical aggregation: rollup = (flag,status), (flag), ().
+    "q_rollup" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice"), 2).as("sum_price")),
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""),
+
+    // Distinct aggregation (Catalyst expands to a two-phase agg).
+    "q_distinct_agg" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines")),
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag""")
+  )
+}
