@@ -13,7 +13,9 @@ object SparkEntry {
 
   private val registry: Seq[(String, QueryDef)] =
     RelationalQueries.defs ++ BasketQueries.defs ++
-      JoinQueries.defs ++ WindowQueries.defs ++ EventQueries.defs
+      JoinQueries.defs ++ WindowQueries.defs ++ EventQueries.defs ++
+      TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
+      MediaQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Deduplication family for large-scale corpus curation: exact, MinHash +
+  * LSH, SimHash, and exact n-gram Jaccard via an inverted index. All four
+  * are shuffle-planned for 100 TB: nothing collects to the driver, every
+  * pairwise step is keyed (band bucket / shingle) so candidate generation
+  * is a co-partitioned join, never an all-pairs product.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical representative (min id) per duplicate group.
+    * Plain hash groupBy — partial+final agg, single shuffle on the key. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop(keyCols: _*)
+      .select(col(idCol), col("n_copies"))
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Universal-hash family over a base xxhash64:
+    * h_i(x) = (a_i * (h(x) mod p) + b_i) mod p with p = 2^31−1.
+    * One string hash per shingle + 64 cheap multiply-adds; all
+    * intermediates ≤ (2^31)² so the math never overflows a Long even
+    * under Spark 4's default ANSI mode. Fixed seed → deterministic
+    * across runs and partitionings. */
+  private val MersenneP: Long = 2147483647L // 2^31 − 1
+  private[operators] val hashFamily: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(64)((1L + rnd.nextInt((MersenneP - 1).toInt).toLong,
+      rnd.nextInt(MersenneP.toInt).toLong))
+  }
+
+  /** MinHash signatures: (id, sig ARRAY<LONG>[numHashes]).
+    *
+    * Plan: tokens → shingles → explode → distinct(id, shingle) →
+    * groupBy(id).agg(64 × min) — one shuffle for the distinct, one for
+    * the agg (both keyed on id), partial aggregation on the map side
+    * keeps the shuffle at |distinct shingles| rows.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
+    require(numHashes <= hashFamily.length, s"at most ${hashFamily.length} hashes")
+    val sh = docs.select(
+      col(idCol),
+      explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleN)).as("shingle"))
+      .distinct()
+      .withColumn("h", xxhash64(col("shingle")))
+    val mins = (0 until numHashes).map { i =>
+      val (a, b) = hashFamily(i)
+      min(pmod(pmod(col("h"), lit(MersenneP)) * lit(a) + lit(b), lit(MersenneP))).as(s"mh$i")
+    }
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+  }
+
+  /** Banded LSH candidate pairs from signatures, with the MinHash-estimated
+    * Jaccard attached: (id1, id2, est_jaccard).
+    *
+    * bands × rowsPerBand must equal the signature length; the implied
+    * match threshold is roughly (1/bands)^(1/rowsPerBand) — 16×4 ≈ 0.5.
+    * Self-join is keyed on (band, band_hash): at scale each bucket is a
+    * small co-partitioned group, never a global cross product. Skew note:
+    * a degenerate bucket (e.g. empty-text docs sharing a signature) would
+    * square — cap with a bucket-size guard upstream if the corpus can
+    * contain mass-identical degenerate rows.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String,
+                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val banded = sigs.select(
+      col(idCol),
+      col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        // xxhash64 hashes the band's slice of the signature (array-typed
+        // input is supported by HashExpression) salted with the band index
+        b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b)))
+        .as(Seq("band", "band_hash")))
+    val l = banded.select(col(idCol).as("id1"), col("sig").as("sig1"), col("band"), col("band_hash"))
+    val r = banded.select(col(idCol).as("id2"), col("sig").as("sig2"), col("band"), col("band_hash"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(64.0))
+      .drop("sig1", "sig2")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per document: per-token xxhash64, each bit votes ±1
+    * weighted by term frequency, sign of the vote is the output bit.
+    * One explode + one keyed agg (64 integer sums) — fully codegen'd. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitVotes = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    val assembled = (0 until 64)
+      .map(b => when(col(s"v$b") >= 0L, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    tok.groupBy(col(idCol))
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col(idCol), assembled.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------- exact n-gram Jaccard
+
+  /** Exact word-n-gram Jaccard similarity for all document pairs sharing
+    * ≥1 shingle, via the inverted-index pattern:
+    *
+    *   (id, shingle) distinct ──┬─ groupBy(id).count → |A| per doc
+    *                            └─ self-join on shingle → co-count |A∩B|
+    *   jaccard = |A∩B| / (|A| + |B| - |A∩B|)
+    *
+    * Scale: join is keyed on shingle; `maxShingleDf` drops stop-shingles
+    * whose posting lists would square (a shingle shared by d docs yields
+    * d² pair rows) — the standard precision-neutral guard for near-dup
+    * detection at corpus scale (keep None for exact semantics).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, minJaccard: Double = 0.0,
+                        maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleN)).as("shingle"))
+      .distinct()
+    val filtered = maxShingleDf match {
+      case Some(cap) =>
+        val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("_df")).filter(col("_df") <= cap)
+        sh.join(dfreq.select("shingle"), Seq("shingle"))
+      case None => sh
+    }
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val co = filtered.select(col("id").as("id1"), col("shingle"))
+      .join(filtered.select(col("id").as("id2"), col("shingle")), Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("common"))
+    co.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("common"), col("sz1"), col("sz2"), col("jaccard"))
+  }
+}

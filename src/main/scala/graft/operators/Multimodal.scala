@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * BINARY columns with typed metadata, processed in partition-sized
+  * batches. The Spark-side shape (schema, partitioning, batch iteration)
+  * is real and tested; the actual codec calls are STUBBED with a
+  * deterministic fake (`fakeDecode`) because no image/audio libraries
+  * ship in this environment — swap `decodeStub` for a real codec binding
+  * (JNI/JEP/ONNX) without touching the plan shape.
+  *
+  * Scale notes: payloads stay columnar-compressed at rest and are never
+  * collected; `withDecodedMeta` is a per-row projection; `mapMediaBatches`
+  * is the mapPartitions pattern for codecs that amortize init (model
+  * load, decoder context) across a partition — the Scala analogue of
+  * Python's `mapInPandas` batch UDF.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + source metadata. */
+  final case class MediaRow(media_id: Long, payload: Array[Byte], format: String)
+
+  /** Decoded, model-ready features (stub fields). */
+  final case class MediaFeatures(media_id: Long, byte_len: Int, format: String,
+                                 width: Int, height: Int, n_frames: Int)
+
+  /** REAL CODEC GOES HERE. Deterministic fake: features derived from the
+    * payload bytes so tests are stable. A production build replaces this
+    * one function with e.g. a libjpeg/ffmpeg binding. */
+  private def decodeStub(payload: Array[Byte], format: String): (Int, Int, Int) = {
+    val h = java.util.Arrays.hashCode(payload)
+    val w = 64 + math.floorMod(h, 1024)
+    val ht = 64 + math.floorMod(h >> 10, 1024)
+    val frames = if (format == "video") 1 + math.floorMod(h >> 20, 240) else 1
+    (w, ht, frames)
+  }
+
+  /** Batch feature extraction: one decoder context per partition,
+    * amortized across the batch (the mapInPandas-equivalent shape). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init happens here (decoder context, model weights)
+      rows.map { r =>
+        val (w, h, f) = decodeStub(r.payload, r.format)
+        MediaFeatures(r.media_id, r.payload.length, r.format, w, h, f)
+      }
+    }
+  }
+
+  /** Column-level metadata pass (no decode): cheap filters a curation
+    * pipeline runs BEFORE paying for decode — size caps, format routing,
+    * content hashing for exact dedup of payloads. */
+  def payloadMeta(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(binCol)).cast("long").as("byte_len"),
+      sha2(col(binCol), 256).as("payload_sha256"),
+      (ceil(length(col(binCol)) / 256.0)).cast("long").as("n_chunks"))
+}

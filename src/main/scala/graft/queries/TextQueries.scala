@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+/** Text-analysis surface over the `documents` table: tokenization,
+  * quality scoring, language ID, fingerprinting, exact dedup. Everything
+  * is per-row column expressions plus at most one keyed agg — trivially
+  * data-parallel at any scale.
+  */
+object TextQueries {
+
+  private def langCase(sEn: String, sDe: String, sEs: String, sFr: String) =
+    s"""CASE WHEN $sEn >= $sDe AND $sEn >= $sEs AND $sEn >= $sFr THEN 'en'
+       |     WHEN $sDe >= $sEs AND $sDe >= $sFr THEN 'de'
+       |     WHEN $sEs >= $sFr THEN 'es'
+       |     ELSE 'fr' END""".stripMargin
+
+  private def sqlHits(vocab: Seq[String]): String =
+    s"len(list_filter(toks, t -> t IN (${vocab.map(w => s"'$w'").mkString(",")})))"
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Corpus token frequencies (explode → agg).
+    "q_token_freq" -> QueryDef(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs")),
+      """SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS token
+        |      FROM documents)
+        |GROUP BY token"""),
+
+    // Per-document token count (whitespace tokenization).
+    "q_token_count" -> QueryDef(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens")),
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        |FROM documents"""),
+
+    // Quality heuristics: exact integer counts + deterministic ratios.
+    "q_quality_score" -> QueryDef(
+      (s, dir) => {
+        val toks = TextFns.tokens(col("text"))
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          size(toks).cast("long").as("n_tokens"),
+          length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonspace"),
+          (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+            size(toks)).as("avg_token_len"),
+          (TextFns.vocabHits(toks, TextFns.EnStop).cast("double") /
+            size(toks)).as("stopword_ratio"))
+      },
+      s"""SELECT doc_id,
+         |       CAST(length(text) AS BIGINT) AS n_chars_m,
+         |       CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace,
+         |       length(regexp_replace(text, '\\s', '', 'g')) / len(toks) AS avg_token_len,
+         |       ${sqlHits(TextFns.EnStop)} / len(toks) AS stopword_ratio
+         |FROM (SELECT doc_id, text,
+         |             list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+         |      FROM documents)"""),
+
+    // Language ID: argmax over per-language stopword hit counts with a
+    // fixed tie order (en > de > es > fr).
+    "q_lang_id" -> QueryDef(
+      (s, dir) => {
+        val toks = TextFns.tokens(col("text"))
+        val (en, de, es, fr) = (
+          TextFns.vocabHits(toks, TextFns.EnStop),
+          TextFns.vocabHits(toks, TextFns.DeStop),
+          TextFns.vocabHits(toks, TextFns.EsStop),
+          TextFns.vocabHits(toks, TextFns.FrStop))
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          when(en >= de && en >= es && en >= fr, "en")
+            .when(de >= es && de >= fr, "de")
+            .when(es >= fr, "es")
+            .otherwise("fr").as("pred_lang"),
+          en.cast("long").as("en_hits"))
+      },
+      s"""SELECT doc_id,
+         |       ${langCase(sqlHits(TextFns.EnStop), sqlHits(TextFns.DeStop),
+                            sqlHits(TextFns.EsStop), sqlHits(TextFns.FrStop))} AS pred_lang,
+         |       CAST(${sqlHits(TextFns.EnStop)} AS BIGINT) AS en_hits
+         |FROM (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+         |      FROM documents)"""),
+
+    // Content fingerprint (exact-dup key): md5 — same hex in both engines.
+    "q_fingerprint" -> QueryDef(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("fingerprint")),
+      """SELECT doc_id, md5(text) AS fingerprint FROM documents"""),
+
+    // Exact dedup: representative (min id) + multiplicity per text group.
+    "q_dedup_exact" -> QueryDef(
+      (s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("text")),
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""")
+  )
+}

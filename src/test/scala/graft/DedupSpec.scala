@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Semantics pins for the hash-based dedup ops that the DuckDB oracle
+  * can't reproduce (engine-specific xxhash64): MinHash LSH must recover
+  * the truly-similar pairs found by the exact n-gram Jaccard pass, and
+  * the signature estimate must track exact Jaccard.
+  */
+class DedupSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sf001)
+
+  lazy val truePairs: Set[(Long, Long)] =
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, minJaccard = 0.5)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val lshPairs: Map[(Long, Long), Double] =
+    Dedup.lshCandidates(Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+      .collect().map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+        r.getAs[Double]("est_jaccard"))).toMap
+
+  test("corpus has planted near-duplicates (fixture sanity)") {
+    assert(truePairs.nonEmpty)
+  }
+
+  test("LSH candidates recover every true >=0.5-Jaccard pair (recall = 1)") {
+    val missed = truePairs -- lshPairs.keySet
+    assert(missed.isEmpty, s"LSH missed $missed")
+  }
+
+  test("MinHash estimate tracks exact Jaccard within 0.25") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    exact.foreach { case (pair, j) =>
+      lshPairs.get(pair).foreach { est => assert(math.abs(est - j) <= 0.25,
+        s"$pair exact=$j est=$est") }
+    }
+  }
+
+  test("signatures are stable across partitionings (determinism)") {
+    val s1 = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val s4 = Dedup.minhashSignatures(docs.repartition(7), "doc_id", "text")
+    assert(s1.exceptAll(s4).isEmpty && s4.exceptAll(s1).isEmpty)
+  }
+
+  test("simhash: near-dup pairs are close in Hamming space, random pairs far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val a = sh.withColumnRenamed("doc_id", "id1").withColumnRenamed("simhash", "h1")
+    val b = sh.withColumnRenamed("doc_id", "id2").withColumnRenamed("simhash", "h2")
+    import spark.implicits._
+    val truePairsDf = truePairs.toSeq.toDF("id1", "id2")
+    val dists = truePairsDf.join(a, "id1").join(b, "id2")
+      .select(Dedup.hamming(col("h1"), col("h2")).as("d"))
+      .collect().map(_.getInt(0))
+    assert(dists.forall(_ <= 16), s"near-dup hamming too large: ${dists.mkString(",")}")
+    // random (non-dup) baseline: expect ~32 bit flips on 64 bits
+    val rand = a.filter(col("id1") < 20).join(b.filter(col("id2").between(200, 220)), lit(true))
+      .select(avg(Dedup.hamming(col("h1"), col("h2")))).collect().head.getDouble(0)
+    assert(rand > 16.0, s"random-pair hamming unexpectedly low: $rand")
+  }
+
+  test("exact dedup groups identical texts") {
+    import spark.implicits._
+    val df = Seq((1L, "aa"), (2L, "aa"), (3L, "bb")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", Seq("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Pins for the ANN ops: LSH recall against the exact brute-force
+  * baseline, and determinism of the expression-based cosine.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  lazy val emb = Tables.embeddings(spark, sf001)
+  lazy val queries = emb.filter(col("vec_id") % 50 === 0)
+
+  lazy val bruteTop: Map[Long, Seq[Long]] =
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq }
+
+  test("brute force returns k neighbors per query, self excluded") {
+    assert(bruteTop.nonEmpty)
+    bruteTop.foreach { case (q, ns) =>
+      assert(ns.length == 10)
+      assert(!ns.contains(q))
+    }
+  }
+
+  test("cosine is in [-1, 1] and symmetric") {
+    val a = emb.limit(1).select(col("embedding").as("a"))
+    val pairs = a.crossJoin(emb.limit(50).select(col("embedding").as("b")))
+    val vals = pairs.select(
+      Similarity.cosine(col("a"), col("b")).as("ab"),
+      Similarity.cosine(col("b"), col("a")).as("ba")).collect()
+    vals.foreach { r =>
+      assert(math.abs(r.getDouble(0)) <= 1.0 + 1e-12)
+      assert(r.getDouble(0) == r.getDouble(1))
+    }
+  }
+
+  test("SRP-LSH with few planes achieves useful recall@10 vs brute force") {
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 10, planes = 4, tables = 8)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = bruteTop.map { case (q, exact) =>
+      val got = lsh.getOrElse(q, Set.empty)
+      exact.count(got.contains).toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 8-table OR-construction over 4-bit codes: ~0.7 predicted for
+    // moderately-similar neighbors; pin a conservative floor
+    assert(mean >= 0.5, s"mean recall@10 = $mean")
+  }
+
+  test("LSH buckets are deterministic across partitionings") {
+    val b1 = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 64, 5, 4)
+    val b2 = Similarity.lshTopK(emb.repartition(5), queries, "vec_id", "embedding", 64, 5, 4)
+    assert(b1.exceptAll(b2).isEmpty && b2.exceptAll(b1).isEmpty)
+  }
+}

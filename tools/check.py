@@ -50,8 +50,13 @@ def main(outdir, sfdir):
         if name not in oracles:
             print(f"  {name:28s} rows-only: {len(grows)} rows")
             continue
-        exp = con.sql(oracles[name])
-        ecols, erows = canon(exp.fetchall(), [c for c in exp.columns])
+        try:
+            exp = con.sql(oracles[name])
+            ecols, erows = canon(exp.fetchall(), [c for c in exp.columns])
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
         ok = True
         if gcols != ecols:
             print(f"FAIL {name}: columns {gcols} vs oracle {ecols}"); ok = False
