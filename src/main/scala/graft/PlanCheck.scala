@@ -1,0 +1,26 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev tool: steady-state timing (2nd run) or --plan to dump executedPlan. */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val (plan, names0) = args.partition(_ == "--plan")
+    val names = if (names0.nonEmpty) names0.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    for (n <- names) {
+      val fn = SparkEntry.queries(n)
+      if (plan.nonEmpty) {
+        println(s"===== $n ====="); println(fn(spark, sfDir).queryExecution.executedPlan.toString.take(5000))
+      } else {
+        fn(spark, sfDir).count()
+        val t0 = System.nanoTime(); fn(spark, sfDir).count()
+        println(f"STEADY $n%-22s ${(System.nanoTime()-t0)/1e9}%8.3f s")
+      }
+    }
+    spark.stop()
+  }
+}

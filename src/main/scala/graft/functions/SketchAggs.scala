@@ -1,0 +1,152 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Custom Catalyst aggregates for the sketching ops.
+  *
+  * Why custom: the declarative formulation (64 separate `min(...)` /
+  * `sum(case ...)` agg columns) blows past the whole-stage-codegen field
+  * limit, so Spark falls back to interpreted per-expression evaluation —
+  * ~8× slower on the update path. A [[TypedImperativeAggregate]] keeps
+  * the whole sketch in ONE buffer (`Array[Long]`) updated by a tight JVM
+  * loop, runs under `ObjectHashAggregateExec` with map-side partial
+  * aggregation, and shuffles one 512-byte blob per group instead of 64
+  * columns.
+  *
+  * Both sketches are merge-associative (elementwise min / elementwise
+  * sum), so partial aggregation and AQE re-planning are safe at any
+  * partitioning — a requirement for 100 TB runs.
+  */
+object SketchAggs {
+
+  private[graft] val MersenneP: Long = 2147483647L // 2^31 − 1
+
+  /** Fixed-seed affine family h_i(x) = (a_i·x + b_i) mod p — the same
+    * family Dedup.hashFamily exposes, materialized as flat arrays. */
+  private[graft] val (famA: Array[Long], famB: Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(64)(1L + rnd.nextInt((MersenneP - 1).toInt).toLong)
+    val b = Array.fill(64)(rnd.nextInt(MersenneP.toInt).toLong)
+    (a, b)
+  }
+
+  private def longsToBytes(a: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(a.length * 8)
+    a.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private def bytesToLongs(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  /** MinHash signature over a pre-hashed (LONG) shingle column.
+    * min is idempotent ⇒ callers need NO distinct() pass — duplicates
+    * in the input stream cannot change the signature. */
+  case class MinHashAgg(child: Expression, numHashes: Int,
+                        override val mutableAggBufferOffset: Int = 0,
+                        override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+
+    override def createAggregationBuffer(): Array[Long] =
+      Array.fill(numHashes)(Long.MaxValue)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val hm = java.lang.Math.floorMod(v.asInstanceOf[Long], MersenneP)
+        var i = 0
+        while (i < numHashes) {
+          val x = (famA(i) * hm + famB(i)) % MersenneP
+          if (x < buf(i)) buf(i) = x
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+    override def serialize(buf: Array[Long]): Array[Byte] = longsToBytes(buf)
+    override def deserialize(bytes: Array[Byte]): Array[Long] = bytesToLongs(bytes)
+
+    override def withNewMutableAggBufferOffset(o: Int): MinHashAgg = copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MinHashAgg = copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): MinHashAgg = copy(child = c)
+    override def prettyName: String = "minhash_agg"
+  }
+
+  /** 64-bit SimHash over a pre-hashed (LONG) token column: each bit of
+    * each token hash votes ±1 (term-frequency weighted by construction);
+    * eval packs the vote signs into one LONG. Buffer = 64 vote counters. */
+  case class SimHashAgg(child: Expression,
+                        override val mutableAggBufferOffset: Int = 0,
+                        override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = v.asInstanceOf[Long]
+        var b = 0
+        while (b < 64) {
+          buf(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < 64) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = {
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (buf(b) >= 0L) out |= (1L << b); b += 1 }
+      out
+    }
+
+    override def serialize(buf: Array[Long]): Array[Byte] = longsToBytes(buf)
+    override def deserialize(bytes: Array[Byte]): Array[Long] = bytesToLongs(bytes)
+
+    override def withNewMutableAggBufferOffset(o: Int): SimHashAgg = copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): SimHashAgg = copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): SimHashAgg = copy(child = c)
+    override def prettyName: String = "simhash_agg"
+  }
+
+  def minhash_agg(hashed: Column, numHashes: Int = 64): Column =
+    ColumnBridge.column(MinHashAgg(ColumnBridge.expression(hashed), numHashes)
+      .toAggregateExpression())
+
+  def simhash_agg(hashed: Column): Column =
+    ColumnBridge.column(SimHashAgg(ColumnBridge.expression(hashed))
+      .toAggregateExpression())
+}

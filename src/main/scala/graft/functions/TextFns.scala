@@ -16,7 +16,14 @@ object TextFns {
 
   /** Word n-gram shingles, deduplicated. Documents shorter than n words
     * collapse to a single whole-document shingle (so every doc has ≥1
-    * shingle and set semantics stay total). */
+    * shingle and set semantics stay total).
+    *
+    * PERF CONTRACT: `toks` must be a *materialized column reference*
+    * (project `tokens(...)` into a column first), never the raw
+    * `tokens(text)` expression — `toks` appears inside the per-position
+    * lambda, and a computed expression there is re-evaluated once per
+    * shingle position (≈ tokens× redundant splits per row; measured 10×
+    * slowdown on the corpus). An attribute reference is a pointer lookup. */
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(

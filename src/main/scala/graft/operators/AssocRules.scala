@@ -65,8 +65,15 @@ object AssocRules {
       .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("pair_cnt"))
 
-    val directed = pairCnt.select(col("x").as("antecedent"), col("y").as("consequent"), col("pair_cnt"))
-      .unionAll(pairCnt.select(col("y").as("antecedent"), col("x").as("consequent"), col("pair_cnt")))
+    // Rule expansion (pair → 2 directed rules) as a generator over the
+    // aggregated pairs — NOT a unionAll of two projections, which would
+    // plant the whole self-join+agg subtree twice in the physical plan.
+    val directed = pairCnt.select(
+      explode(array(
+        struct(col("x").as("antecedent"), col("y").as("consequent")),
+        struct(col("y").as("antecedent"), col("x").as("consequent")))).as("rule"),
+      col("pair_cnt"))
+      .select(col("rule.antecedent"), col("rule.consequent"), col("pair_cnt"))
 
     // No explicit broadcast hint on itemCnt: it is vocabulary-sized —
     // tiny for retail vocabularies (always broadcast), but potentially

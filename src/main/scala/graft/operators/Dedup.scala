@@ -22,41 +22,25 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** Universal-hash family over a base xxhash64:
-    * h_i(x) = (a_i * (h(x) mod p) + b_i) mod p with p = 2^31−1.
-    * One string hash per shingle + 64 cheap multiply-adds; all
-    * intermediates ≤ (2^31)² so the math never overflows a Long even
-    * under Spark 4's default ANSI mode. Fixed seed → deterministic
-    * across runs and partitionings. */
-  private val MersenneP: Long = 2147483647L // 2^31 − 1
-  private[operators] val hashFamily: Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(64)((1L + rnd.nextInt((MersenneP - 1).toInt).toLong,
-      rnd.nextInt(MersenneP.toInt).toLong))
-  }
-
   /** MinHash signatures: (id, sig ARRAY<LONG>[numHashes]).
     *
-    * Plan: tokens → shingles → explode → distinct(id, shingle) →
-    * groupBy(id).agg(64 × min) — one shuffle for the distinct, one for
-    * the agg (both keyed on id), partial aggregation on the map side
-    * keeps the shuffle at |distinct shingles| rows.
+    * Plan: tokens → shingles → explode → xxhash64 → ONE keyed agg with
+    * the custom [[graft.functions.SketchAggs.MinHashAgg]] buffer
+    * (a declarative 64-column min() formulation exceeds whole-stage-
+    * codegen field limits and drops to interpreted eval — ~2× slower;
+    * the typed buffer also shuffles one 512 B blob per doc, not 64
+    * columns). No distinct() pass: min is idempotent, duplicate shingles
+    * cannot change the signature — one shuffle total.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
-    require(numHashes <= hashFamily.length, s"at most ${hashFamily.length} hashes")
-    val sh = docs.select(
-      col(idCol),
-      explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleN)).as("shingle"))
-      .distinct()
-      .withColumn("h", xxhash64(col("shingle")))
-    val mins = (0 until numHashes).map { i =>
-      val (a, b) = hashFamily(i)
-      min(pmod(pmod(col("h"), lit(MersenneP)) * lit(a) + lit(b), lit(MersenneP))).as(s"mh$i")
-    }
-    sh.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+    require(numHashes <= 64, "at most 64 hashes")
+    docs.select(col(idCol), TextFns.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        explode(TextFns.wordShingles(col("_toks"), shingleN)).as("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("h"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.SketchAggs.minhash_agg(col("h"), numHashes).as("sig"))
   }
 
   /** Banded LSH candidate pairs from signatures, with the MinHash-estimated
@@ -98,20 +82,14 @@ object Dedup {
 
   /** 64-bit SimHash per document: per-token xxhash64, each bit votes ±1
     * weighted by term frequency, sign of the vote is the output bit.
-    * One explode + one keyed agg (64 integer sums) — fully codegen'd. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitVotes = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L)).as(s"v$b")
-    }
-    val assembled = (0 until 64)
-      .map(b => when(col(s"v$b") >= 0L, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    tok.groupBy(col(idCol))
-      .agg(bitVotes.head, bitVotes.tail: _*)
-      .select(col(idCol), assembled.as("simhash"))
-  }
+    * One explode + one keyed agg via the custom
+    * [[graft.functions.SketchAggs.SimHashAgg]] buffer (64 vote counters
+    * in one Array[Long] — same codegen-limit rationale as MinHash). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
+      .select(col(idCol), xxhash64(col("token")).as("h"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.SketchAggs.simhash_agg(col("h")).as("simhash"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -133,9 +111,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, minJaccard: Double = 0.0,
                         maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("id"),
-      explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleN)).as("shingle"))
+    val sh = docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("shingle"))
       .distinct()
     val filtered = maxShingleDf match {
       case Some(cap) =>

@@ -46,16 +46,21 @@ object TextQueries {
     // Quality heuristics: exact integer counts + deterministic ratios.
     "q_quality_score" -> QueryDef(
       (s, dir) => {
-        val toks = TextFns.tokens(col("text"))
-        Tables.documents(s, dir).select(
-          col("doc_id"),
-          length(col("text")).cast("long").as("n_chars_m"),
-          size(toks).cast("long").as("n_tokens"),
-          length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonspace"),
-          (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
-            size(toks)).as("avg_token_len"),
-          (TextFns.vocabHits(toks, TextFns.EnStop).cast("double") /
-            size(toks)).as("stopword_ratio"))
+        // tokens materialized once per row (see TextFns.wordShingles
+        // PERF CONTRACT — same re-evaluation hazard applies to any
+        // expression referenced by several output columns)
+        val toks = col("_toks")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("_toks"))
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_m"),
+            size(toks).cast("long").as("n_tokens"),
+            length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonspace"),
+            (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+              size(toks)).as("avg_token_len"),
+            (TextFns.vocabHits(toks, TextFns.EnStop).cast("double") /
+              size(toks)).as("stopword_ratio"))
       },
       s"""SELECT doc_id,
          |       CAST(length(text) AS BIGINT) AS n_chars_m,
@@ -71,19 +76,21 @@ object TextQueries {
     // fixed tie order (en > de > es > fr).
     "q_lang_id" -> QueryDef(
       (s, dir) => {
-        val toks = TextFns.tokens(col("text"))
+        val toks = col("_toks")
         val (en, de, es, fr) = (
           TextFns.vocabHits(toks, TextFns.EnStop),
           TextFns.vocabHits(toks, TextFns.DeStop),
           TextFns.vocabHits(toks, TextFns.EsStop),
           TextFns.vocabHits(toks, TextFns.FrStop))
-        Tables.documents(s, dir).select(
-          col("doc_id"),
-          when(en >= de && en >= es && en >= fr, "en")
-            .when(de >= es && de >= fr, "de")
-            .when(es >= fr, "es")
-            .otherwise("fr").as("pred_lang"),
-          en.cast("long").as("en_hits"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+          .select(
+            col("doc_id"),
+            when(en >= de && en >= es && en >= fr, "en")
+              .when(de >= es && de >= fr, "de")
+              .when(es >= fr, "es")
+              .otherwise("fr").as("pred_lang"),
+            en.cast("long").as("en_hits"))
       },
       s"""SELECT doc_id,
          |       ${langCase(sqlHits(TextFns.EnStop), sqlHits(TextFns.DeStop),
