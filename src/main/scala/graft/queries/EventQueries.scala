@@ -74,6 +74,33 @@ object EventQueries {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
         |       (max(ts_us) - min(ts_us)) // 1000000 AS duration_secs
+        |FROM sessions GROUP BY user_id, session_idx"""),
+
+    // The SAME session semantics via Spark's built-in session_window
+    // (the streaming-capable formulation, run in batch) — verified
+    // against the identical lag-based oracle. Two independent engines,
+    // one answer.
+    "q_session_window" -> QueryDef(
+      (s, dir) => graft.streaming.StreamingOps.sessionWindows(
+          Tables.events(s, dir), gap = "30 minutes", watermark = None)
+        .select(col("user_id"), col("n_events"),
+          unix_micros(col("first_ts")).as("session_start_us"),
+          unix_micros(col("last_ts")).as("session_end_us")),
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS boundary
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts_us,
+        |         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
         |FROM sessions GROUP BY user_id, session_idx""")
   )
 }

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference declares spark-streaming
+  * but never uses it (SURVEY §2.8) — this is the capability extension:
+  * the same aggregation shapes as the batch queries, expressed over an
+  * unbounded stream with watermarks, plus custom-state sessionization.
+  *
+  * Each builder takes a DataFrame that may be batch OR streaming — the
+  * plans are identical; only the sink mode differs. That's the point:
+  * one declarative definition, Catalyst plans both.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour counts per event type (streaming mirror of
+    * q_events_hourly). Late data beyond the watermark is dropped;
+    * in append mode a bucket emits once its watermark passes. */
+  def hourlyEventCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("bucket.start").as("bucket_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessions via the built-in session_window — works over
+    * batch AND streams (merging windows within `gap`). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: Option[String] = Some("1 hour")): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("n_events"), col("first_ts"), col("last_ts"))
+  }
+
+  // ------------------------- custom state: flatMapGroupsWithState -----
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp,
+                      event_type: String, value: Double)
+  final case class SessionState(startUs: Long, endUs: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n_events: Long, total_value: Double)
+
+  /** Sessionization with explicit state (the KeyValueGroupedDataset
+    * .flatMapGroupsWithState surface): a session closes when the event-
+    * time watermark passes its end + gap; closed sessions are emitted in
+    * Append mode. State is per-user O(1) — at 100 TB the state store
+    * scales with |active users in a gap window|, not with history. */
+  def sessionizeWithState(events: Dataset[Ev], gapMinutes: Long = 30,
+                          watermark: String = "1 hour"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fn(userId: Long, rows: Iterator[Ev],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionOut(userId, s.startUs, s.endUs, s.n, s.total))
+      } else {
+        val evs = rows.toSeq.sortBy(_.ts.getTime)
+        var out = List.empty[SessionOut]
+        var cur = state.getOption
+        evs.foreach { e =>
+          val tUs = e.ts.getTime * 1000L
+          cur match {
+            case Some(s) if tUs - s.endUs <= gapUs =>
+              cur = Some(s.copy(endUs = math.max(s.endUs, tUs), n = s.n + 1,
+                total = s.total + e.value))
+            case Some(s) =>
+              out ::= SessionOut(userId, s.startUs, s.endUs, s.n, s.total)
+              cur = Some(SessionState(tUs, tUs, 1, e.value))
+            case None =>
+              cur = Some(SessionState(tUs, tUs, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.endUs / 1000L + gapMinutes * 60L * 1000L)
+        }
+        out.reverseIterator
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+
+/** Drives the streaming builders through actual micro-batch execution
+  * (MemoryStream source → memory sink), asserting streamed results match
+  * the batch evaluation of the same builders.
+  */
+class StreamingSpec extends SparkSpec {
+
+  // offset from epoch: a row with event-time == the initial watermark (0)
+  // is filtered as late by the stateful operator — keep fixtures clear
+  private def ts(min: Long): Timestamp = new Timestamp((min + 1440) * 60000L)
+
+  val evs: Seq[Ev] = Seq(
+    Ev(1, ts(0), "click", 1.0), Ev(1, ts(10), "click", 2.0),  // session A (u1)
+    Ev(1, ts(90), "view", 3.0),                               // session B (u1, 80min gap)
+    Ev(2, ts(5), "click", 5.0),                               // session C (u2)
+    Ev(2, ts(300), "view", 7.0))                              // session D + watermark push
+
+  test("streaming hourly counts match batch on closed buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.hourlyEventCounts(ms.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    ms.addData(evs: _*)
+    q.processAllAvailable()
+    // push the watermark far past every bucket so all buckets close
+    ms.addData(Ev(9, ts(10000), "noop", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hourly")
+      .filter(col("event_type") =!= "noop")
+      .select("bucket_start", "event_type", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = StreamingOps.hourlyEventCounts(evs.toDF(), watermark = "1 hour")
+      .select("bucket_start", "event_type", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.sessionizeWithState(ms.toDS(), gapMinutes = 30, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    ms.addData(evs: _*)
+    q.processAllAvailable()
+    ms.addData(Ev(9, ts(20000), "noop", 0.0)) // advance watermark → time out all
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions")
+      .filter(col("user_id") < 9)
+      .select("user_id", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 5.0), (2L, 1L, 7.0)))
+  }
+
+  test("session_window batch == lag-based sessionize on driver events") {
+    val sw = SparkEntry.queries("q_session_window")(spark, sf001)
+      .select("user_id", "n_events", "session_start_us", "session_end_us")
+      .collect().map(_.toSeq).toSet
+    val lagBased = SparkEntry.queries("q_sessionize")(spark, sf001)
+      .select("user_id", "n_events", "session_start_us", "session_end_us")
+      .collect().map(_.toSeq).toSet
+    assert(sw == lagBased)
+    assert(sw.nonEmpty)
+  }
+}
