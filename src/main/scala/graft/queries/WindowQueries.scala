@@ -80,6 +80,14 @@ object WindowQueries {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""),
 
+    // Full grouping-set lattice.
+    "q_cube" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty")),
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""),
+
     // Distinct aggregation (Catalyst expands to a two-phase agg).
     "q_distinct_agg" -> QueryDef(
       (s, dir) => Tables.lineitem(s, dir)

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded, distributed billing-data generator — capability parity with
+  * the reference's driver-side generator
+  * (`/root/reference/BD_hw1/src/generator/ItemBillingGenerator.java:16-34`,
+  * `FoodGenerator.java:15-44`, `RandomDateGenerator.java:7-14`), which
+  * writes 1M lines through a single PrintStream on one machine.
+  *
+  * Same distribution, Spark-native mechanics (FIXTURES.md §5):
+  *  - basket size: uniform 1..max-1 (`Random.nextInt(max)` with 0→1);
+  *  - items: `size` uniform draws from the vocabulary, then dedup —
+  *    realized basket size skews small, exactly like the reference's
+  *    HashSet dedup;
+  *  - date: uniform day-of-year 2015, rendered NON-zero-padded (y-M-d);
+  *  - fully deterministic from (seed, rowId) via xxhash64 — no RNG
+  *    state, so any partitioning/retry yields identical data, and
+  *    generation scales linearly with `spark.range(n)` parallelism.
+  */
+object DataGen {
+
+  val DefaultVocab: Seq[String] = Seq(
+    "uova", "latte", "pane", "vino", "pesce", "insalata", "formaggio", "dolce")
+
+  /** Deterministic uniform value in [0, bound) from (seed, id, tag). */
+  private def draw(bound: Int, tag: String, seed: Long) =
+    pmod(xxhash64(col("billId"), lit(tag), lit(seed)), lit(bound.toLong))
+
+  /** Baskets as (billId, date DATE, items ARRAY<STRING>). */
+  def baskets(spark: SparkSession, n: Long, maxItems: Int = 10,
+              vocab: Seq[String] = DefaultVocab, seed: Long = 42L): DataFrame = {
+    val vocabCol = array(vocab.map(lit): _*)
+    spark.range(n).select(col("id").as("billId"))
+      .withColumn("day", draw(365, "day", seed)) // 2015 is not a leap year
+      .withColumn("size", greatest(draw(maxItems, "size", seed), lit(1L)))
+      .withColumn("items", array_distinct(transform(
+        sequence(lit(1), col("size")),
+        i => element_at(vocabCol,
+          (pmod(xxhash64(col("billId"), i, lit(seed)), lit(vocab.size.toLong)) + 1).cast("int")))))
+      .select(col("billId"),
+        date_add(lit(java.sql.Date.valueOf("2015-01-01")), col("day").cast("int")).as("date"),
+        col("items"))
+  }
+
+  /** Reference-format dialect-A text lines (`2015-3-7,pane,latte`) —
+    * non-padded dates, basket items comma-joined. Round-trips through
+    * BillingReader.dialectA. */
+  def dialectALines(spark: SparkSession, n: Long, maxItems: Int = 10,
+                    vocab: Seq[String] = DefaultVocab, seed: Long = 42L): Dataset[String] = {
+    import spark.implicits._
+    baskets(spark, n, maxItems, vocab, seed)
+      .select(concat_ws(",",
+        concat_ws("-", year(col("date")), month(col("date")), dayofmonth(col("date"))),
+        concat_ws(",", col("items"))).as("line"))
+      .as[String]
+  }
+
+  /** Dialect-B priced lines (`2015-1-3,15 pane,12 uova`) — the reference
+    * never shipped a generator for this dialect (SURVEY §1.1 ⚠); costs
+    * are deterministic 1..20 per (billing, item). */
+  def dialectBLines(spark: SparkSession, n: Long, maxItems: Int = 10,
+                    vocab: Seq[String] = DefaultVocab, seed: Long = 42L): Dataset[String] = {
+    import spark.implicits._
+    baskets(spark, n, maxItems, vocab, seed)
+      .select(col("billId"), col("date"), col("items"))
+      .withColumn("priced", transform(col("items"),
+        it => concat(
+          (pmod(xxhash64(col("billId"), it, lit(seed)), lit(20L)) + 1).cast("string"),
+          lit(" "), it)))
+      .select(concat_ws(",",
+        concat_ws("-", year(col("date")), month(col("date")), dayofmonth(col("date"))),
+        concat_ws(",", col("priced"))).as("line"))
+      .as[String]
+  }
+}
