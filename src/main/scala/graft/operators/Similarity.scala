@@ -27,7 +27,14 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Composable-HOF cosine — reference semantics; three vector walks +
+    * an intermediate array per row. Kept for the native==HOF equality pin. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Native fused-loop cosine (custom codegen'd Expression) — same fold
+    * order, bit-identical results, no per-row allocation. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     * @param corpus  (idCol, vecCol) rows

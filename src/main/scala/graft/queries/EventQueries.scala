@@ -32,6 +32,21 @@ object EventQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2"""),
 
+    // Semi-structured payloads: JSON string column → typed extraction →
+    // aggregate (the schema-on-read path for event property bags).
+    "q_json_extract" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")),
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type"""),
+
     // Gap-based sessionization: per user, a new session starts when the
     // gap to the previous event exceeds 30 min. Two narrow windows over
     // the same (user_id, ts) shuffle — Spark reuses one sort; session

@@ -80,6 +80,37 @@ object WindowQueries {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""),
 
+    // Group-to-list (SURVEY §2.4 "group-to-list" row): ordered per-part
+    // month series, canonicalized to a sortable string so both engines
+    // agree on list order (binary-sorted 'yyyy-MM:qty' entries).
+    "q_group_list" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), monthKey(col("l_shipdate")).as("month"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty"))
+        .groupBy(col("l_partkey"))
+        .agg(array_join(sort_array(collect_list(
+          concat_ws(":", col("month"), col("qty")))), ",").as("month_series")),
+      """SELECT l_partkey,
+        |       array_to_string(list_sort(list(month || ':' || CAST(qty AS VARCHAR))), ',') AS month_series
+        |FROM (SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
+        |             CAST(sum(l_quantity) AS BIGINT) AS qty
+        |      FROM lineitem GROUP BY 1, 2)
+        |GROUP BY l_partkey"""),
+
+    // Skew-guard: two-stage salted aggregation must equal the plain
+    // groupBy (oracle IS the plain groupBy) — merge-associativity check.
+    "q_salted_agg" -> QueryDef(
+      (s, dir) => graft.operators.Salting.saltedAgg(
+        Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_quantity")),
+        Seq(col("l_returnflag")), buckets = 16,
+        Seq("count_lines" -> count(lit(1)),
+          "sum_qty" -> sum(col("l_quantity")),
+          "min_qty" -> min(col("l_quantity")),
+          "max_qty" -> max(col("l_quantity")))),
+      """SELECT l_returnflag, count(*) AS count_lines, sum(l_quantity) AS sum_qty,
+        |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag"""),
+
     // Full grouping-set lattice.
     "q_cube" -> QueryDef(
       (s, dir) => Tables.lineitem(s, dir)
