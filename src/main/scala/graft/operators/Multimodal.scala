@@ -50,6 +50,29 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling plumbing: one row per sampled frame index (every
+    * `everyN`-th frame, always including frame 0). Runs BEFORE decode so
+    * a downstream per-frame decoder touches only the sampled subset —
+    * the batch shape a video pipeline needs at scale. */
+  def sampleFrames(features: DataFrame, everyN: Int): DataFrame =
+    features.select(
+      col("media_id"), col("n_frames"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))).as("frame_idx"))
+
+  /** Resize planning (pure column math, no decode): target box fit with
+    * aspect preserved; emits the scale factor the real resizer would use. */
+  def resizePlan(features: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(
+      lit(maxDim.toDouble) / col("width"),
+      lit(maxDim.toDouble) / col("height"),
+      lit(1.0))
+    features.select(
+      col("media_id"), col("width"), col("height"),
+      scale.as("scale"),
+      floor(col("width") * scale).cast("int").as("resized_w"),
+      floor(col("height") * scale).cast("int").as("resized_h"))
+  }
+
   /** Column-level metadata pass (no decode): cheap filters a curation
     * pipeline runs BEFORE paying for decode — size caps, format routing,
     * content hashing for exact dedup of payloads. */

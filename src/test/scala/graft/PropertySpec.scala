@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{AssocRules, TopK}
+
+/** Property suites from SURVEY §5.2: invariants over generated baskets,
+  * including the permutation-invariance property the reference's own
+  * Spark impl violates (§2.7 Q2). Drives scalacheck Gen directly with
+  * fixed seeds (the scalatest bridge artifact isn't in the offline
+  * dependency cache).
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic samples: one per seed. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def forAll[A](g: Gen[A])(body: A => Unit): Unit =
+    samples(g, 5).foreach(body)
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val basketsGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(5, 40)
+    rows <- Gen.listOfN(n, for {
+      bid <- Gen.choose(0L, 9L)
+      item <- Gen.oneOf("a", "b", "c", "d", "e")
+    } yield (bid, item))
+  } yield rows
+
+  test("rules: 0 < confidence <= 1, support <= confidence, pair symmetry") {
+    import spark.implicits._
+    forAll(basketsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("bid", "item")
+        val rules = AssocRules.rules(df, "bid", "item").collect()
+        val pc = rules.map(r => ((r.get(0), r.get(1)), r.getAs[Long]("pair_cnt"))).toMap
+        rules.foreach { r =>
+          val (s, c) = (r.getAs[Double]("support"), r.getAs[Double]("confidence"))
+          assert(c > 0.0 && c <= 1.0 + 1e-15)
+          assert(s <= c + 1e-15)
+          assert(pc(((r.get(1), r.get(0)))) == r.getAs[Long]("pair_cnt"))
+        }
+      }
+    }
+  }
+
+  test("top-k is invariant under input row permutation (the §2.7 Q2 property)") {
+    import spark.implicits._
+    forAll(basketsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        def topOf(data: Seq[(Long, String)]) = {
+          val counts = data.toDF("bid", "item").groupBy("item").agg(count(lit(1)).as("cnt"))
+          TopK.perGroup(counts.withColumn("g", lit(1)), Seq(col("g")), col("cnt"),
+            Seq(col("item")), 3).select("item", "cnt", "rn")
+            .collect().map(_.toSeq).toSet
+        }
+        assert(topOf(rows) == topOf(scala.util.Random.shuffle(rows)))
+      }
+    }
+  }
+
+  test("sum of per-month item counts equals total exploded rows") {
+    import spark.implicits._
+    forAll(basketsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("bid", "item")
+        val total = df.count()
+        val summed = df.groupBy("bid", "item").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c"))).collect().head.getLong(0)
+        assert(summed == total)
+      }
+    }
+  }
+}
