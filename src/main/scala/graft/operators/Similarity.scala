@@ -70,6 +70,53 @@ object Similarity {
     }: _*)
   }
 
+  /** ANN via IVF (inverted-file index): a KMeans coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest cells and scores exact cosine only there.
+    *
+    * Plan shape at 100 TB: training samples the corpus (MLlib KMeans is
+    * distributed); assignment is a crossJoin against `nlist` broadcast
+    * centroids (constant-sized build side) + rank-1 window; the search
+    * join is keyed on cell id — candidates ≈ corpus·nprobe/nlist per
+    * query. Centroid low bits can vary across cluster topologies (float
+    * reduction order in KMeans), so this op is rows-only for the oracle;
+    * recall vs brute force is pinned in SimilaritySpec.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5).fit(train)
+    // centroids as float arrays so CosineSimilarity's getFloat applies
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(centroids.toDF("cell", "center"))
+
+    def assign(df: DataFrame, id: String, vec: String, probes: Int) = {
+      val scored = df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .crossJoin(cdf)
+        .withColumn("csim", cosine(col(vec), col("center")))
+      TopK.perGroup(scored, Seq(col(id)), col("csim"), Seq(col("cell")), probes, "crank")
+        .select(col(id), col(vec), col("cell"))
+    }
+
+    val c = assign(corpus, "neighbor_id", "cvec", 1)
+    val q = assign(queries, "query_id", "qvec", nprobe)
+    val scored = c.join(q.hint("broadcast"), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos_sim", cosine(col("qvec"), col("cvec")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    TopK.perGroup(scored, Seq(col("query_id")), col("cos_sim"),
+      Seq(col("neighbor_id")), k, rankName = "rank")
+  }
+
   /** ANN via multi-table SRP-LSH (OR-construction): a candidate is any
     * vector sharing the query's bucket in ≥1 of `tables` independent
     * codes; exact cosine + top-k over the deduplicated candidate set.

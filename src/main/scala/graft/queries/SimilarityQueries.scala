@@ -36,6 +36,14 @@ object SimilarityQueries {
         |  FROM scored)
         |WHERE rank <= 10"""),
 
+    "q_ann_ivf" -> QueryDef.unverified(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
+      }),
+
     "q_ann_lsh" -> QueryDef.unverified(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)

@@ -52,6 +52,18 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@10 = $mean")
   }
 
+  test("IVF with nprobe=4/16 cells achieves useful recall@10 vs brute force") {
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = bruteTop.map { case (q, exact) =>
+      exact.count(ivf.getOrElse(q, Set.empty).contains).toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean IVF recall@10 = $mean")
+  }
+
   test("LSH buckets are deterministic across partitionings") {
     val b1 = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 64, 5, 4)
     val b2 = Similarity.lshTopK(emb.repartition(5), queries, "vec_id", "embedding", 64, 5, 4)
