@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, the single right row with the
+  * greatest `ts` ≤ the left row's `ts`, per key. Spark has no ASOF join
+  * operator; rather than a custom SparkPlan, this composes built-ins
+  * (preference (a) of the custom-operator ladder):
+  *
+  *   tag both sides → unionByName → ONE shuffle on key + sort by
+  *   (ts, side) → `last(_, ignoreNulls)` carry-forward window → keep
+  *   left rows.
+  *
+  * That is exactly the merge phase of a sort-merge as-of join, planned
+  * with a single exchange per side-union — the same shuffle volume a
+  * native AsOfJoinExec would need. Ties: right rows sort BEFORE left
+  * rows at equal ts (side 0 < 1), so ts-equal matches are included;
+  * callers must make right (key, ts) unique for a deterministic match
+  * (as any as-of semantics requires).
+  *
+  * Left-join semantics: unmatched left rows keep NULL right columns.
+  */
+object AsOfJoin {
+
+  def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightPrefix: String = "r_"): DataFrame = {
+    val rStructCols = right.columns.filterNot(_ == key).map(col)
+    val rStructType = right.select(struct(rStructCols: _*).as("_r")).schema("_r").dataType
+
+    val l = left.select(
+      col(key).as("_k"), col(ts).cast("long").as("_ts"), lit(1).as("_side"),
+      struct(left.columns.map(col): _*).as("_lrow"),
+      lit(null).cast(rStructType).as("_rrow"))
+    val r = right.select(
+      col(key).as("_k"), col(ts).cast("long").as("_ts"), lit(0).as("_side"),
+      lit(null).cast(l.schema("_lrow").dataType).as("_lrow"),
+      struct(rStructCols: _*).as("_rrow"))
+
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = l.unionByName(r)
+      .withColumn("_match", last(col("_rrow"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+
+    val leftOut = left.columns.map(c => col(s"_lrow.$c").as(c))
+    val rightOut = right.columns.filterNot(_ == key)
+      .map(c => col(s"_match.$c").as(s"$rightPrefix$c"))
+    carried.select(leftOut ++ rightOut: _*)
+  }
+}
