@@ -80,6 +80,33 @@ object WindowQueries {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""),
 
+    // Pivot: long→wide reshape (pinned pivot values; both engines use
+    // filtered aggregation underneath).
+    "q_pivot" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity"))),
+      """SELECT l_linestatus,
+        |       sum(l_quantity) FILTER (WHERE l_returnflag = 'A') AS A,
+        |       sum(l_quantity) FILTER (WHERE l_returnflag = 'N') AS N,
+        |       sum(l_quantity) FILTER (WHERE l_returnflag = 'R') AS R
+        |FROM lineitem GROUP BY l_linestatus"""),
+
+    // Exact percentiles (linear interpolation — identical formula in
+    // Spark's percentile and DuckDB's quantile_cont; quantities are
+    // integral so the interpolation arithmetic is exact).
+    "q_percentile" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90"),
+          count(lit(1)).as("n")),
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.9) AS p90, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag"""),
+
     // Group-to-list (SURVEY §2.4 "group-to-list" row): ordered per-part
     // month series, canonicalized to a sortable string so both engines
     // agree on list order (binary-sorted 'yyyy-MM:qty' entries).

@@ -1,0 +1,25 @@
+package graft
+
+import graft.operators.AsOfJoin
+
+/** Fixture-level as-of semantics, including the unmatched-left NULL path
+  * the driver data cannot exercise (every user there has orders). */
+class AsOfJoinSpec extends SparkSpec {
+
+  test("backward as-of: latest right <= left ts, ties included, NULL when none") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "e1"), (1L, 200L, "e2"), (2L, 50L, "e3"), (3L, 10L, "e4"))
+      .toDF("k", "ts", "ev")
+    val right = Seq((1L, 90L, "a"), (1L, 150L, "b"), (1L, 200L, "t"), (9L, 5L, "z"))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.backward(left, right, "k", "ts")
+      .select("ev", "r_ts", "r_v").collect()
+      .map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+
+    assert(out("e1") == (Some(90L), Some("a")))   // plain backward match
+    assert(out("e2") == (Some(200L), Some("t")))  // tie at equal ts IS matched
+    assert(out("e3") == (None, None))             // key exists nowhere on right
+    assert(out("e4") == (None, None))             // right rows only after left ts? none before
+    assert(out.size == 4)                         // left-join: all left rows kept
+  }
+}
