@@ -36,6 +36,18 @@ object StreamingOps {
       .select(col("user_id"), col("n_events"), col("first_ts"), col("last_ts"))
   }
 
+  /** The reference's Q1 aggregation (monthly item counts) over an
+    * append-only billing stream (SURVEY §2.8 optional extension). Works
+    * batch AND streaming; calendar months aren't fixed intervals so the
+    * streaming form runs in update mode on a derived month key (state
+    * grows O(months × items) — vocabulary-bounded). Top-k ranking stays
+    * a batch pass over the maintained counts. */
+  def monthlyItemCounts(billings: DataFrame): DataFrame =
+    billings
+      .select(date_format(col("ts"), "yyyy-MM").as("month"), explode(col("items")).as("item"))
+      .groupBy(col("month"), col("item"))
+      .agg(count(lit(1)).as("cnt"))
+
   // ------------------------- custom state: flatMapGroupsWithState -----
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp,

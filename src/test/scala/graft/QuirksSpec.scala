@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AssocRules, TopK}
+import graft.sources.BillingReader
+
+/** SURVEY §2.7 Q1–Q8 pinned as named test cases (§5.2 item 5): the
+  * reference's two implementations of each query disagree with each
+  * other; these tests pin the documented *intent* this engine chose.
+  */
+class QuirksSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("Q1: top-5 emits exactly 5 rows (MR emitted 6)") {
+    val counts = Seq(("m", "a", 7L), ("m", "b", 6L), ("m", "c", 5L), ("m", "d", 4L),
+      ("m", "e", 3L), ("m", "f", 2L), ("m", "g", 1L)).toDF("month", "item", "cnt")
+    assert(TopK.perGroup(counts, Seq(col("month")), col("cnt"), Seq(col("item")), 5)
+      .count() == 5)
+  }
+
+  test("Q2: true top-5, not shuffle-order-dependent take-5 (tie-break = item asc)") {
+    val counts = Seq(("m", "z", 9L), ("m", "y", 9L), ("m", "x", 9L))
+      .toDF("month", "item", "cnt")
+    val got = TopK.perGroup(counts, Seq(col("month")), col("cnt"), Seq(col("item")), 2)
+      .orderBy("rn").select("item").as[String].collect().toSeq
+    assert(got == Seq("x", "y")) // deterministic ties by item name asc
+  }
+
+  test("Q3: support/confidence are fractions, not percentages") {
+    val baskets = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("bid", "item")
+    val r = AssocRules.rules(baskets, "bid", "item").collect()
+    assert(r.forall(_.getAs[Double]("support") <= 1.0))
+    assert(r.forall(_.getAs[Double]("confidence") <= 1.0))
+  }
+
+  test("Q4: named output columns kill the tuple-order ambiguity") {
+    val baskets = Seq((1L, "a"), (1L, "b")).toDF("bid", "item")
+    val cols = AssocRules.rules(baskets, "bid", "item").columns.toSet
+    assert(Set("antecedent", "consequent", "support", "confidence").subsetOf(cols))
+  }
+
+  test("Q5: singleton billings produce no self-pair (MR inflated self-co-occurrence)") {
+    val baskets = Seq((1L, "solo"), (2L, "a"), (2L, "b")).toDF("bid", "item")
+    val r = AssocRules.rules(baskets, "bid", "item")
+    assert(r.filter(col("antecedent") === col("consequent")).count() == 0)
+    assert(r.filter(col("antecedent") === "solo").count() == 0)
+  }
+
+  test("Q6: real (year, month) key — same month of different years NOT merged") {
+    val path = fixtureFile("q6.txt", "2015-1-1,pane\n2016-1-1,pane\n")
+    val months = BillingReader.dialectA(spark, path)
+      .select(date_format(col("date"), "yyyy-MM").as("m")).as[String].collect().toSet
+    assert(months == Set("2015-01", "2016-01"))
+  }
+
+  test("Q7: duplicate items within a billing are treated as a set") {
+    val path = fixtureFile("q7.txt", "2015-1-1,latte,latte,latte\n")
+    val items = BillingReader.dialectA(spark, path)
+      .select(col("items")).collect().head.getAs[scala.collection.Seq[String]](0)
+    assert(items.toSeq == Seq("latte"))
+  }
+
+  test("Q8: one canonical yyyy-MM month key everywhere") {
+    val path = fixtureFile("q8.txt", "2015-3-7,pane\n2015-11-2,latte\n")
+    val months = BillingReader.dialectA(spark, path)
+      .select(date_format(col("date"), "yyyy-MM").as("m")).as[String].collect()
+    assert(months.forall(_.matches("""\d{4}-\d{2}""")))
+    assert(months.contains("2015-03")) // zero-padded canonical form
+  }
+}

@@ -64,6 +64,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 5.0), (2L, 1L, 7.0)))
   }
 
+  test("streaming monthly item counts (reference Q1) match batch in update mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val billings = Seq(
+      (new Timestamp(1420070400000L), Seq("pane", "latte")),         // 2015-01
+      (new Timestamp(1420156800000L), Seq("pane")),                  // 2015-01
+      (new Timestamp(1422748800000L), Seq("latte", "uova", "pane"))) // 2015-02
+    val ms = MemoryStream[(Timestamp, Seq[String])]
+    val q = StreamingOps.monthlyItemCounts(ms.toDF().toDF("ts", "items"))
+      .writeStream.format("memory").queryName("monthly").outputMode("update").start()
+    ms.addData(billings: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("monthly")
+      // update mode re-emits changed rows; keep the final count per key
+      .groupBy("month", "item").agg(max("cnt").as("cnt"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val batch = StreamingOps.monthlyItemCounts(billings.toDF("ts", "items"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(streamed == batch)
+    assert(batch(("2015-01", "pane")) == 2L)
+  }
+
   test("session_window batch == lag-based sessionize on driver events") {
     val sw = SparkEntry.queries("q_session_window")(spark, sf001)
       .select("user_id", "n_events", "session_start_us", "session_end_us")
