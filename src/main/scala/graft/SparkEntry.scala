@@ -15,7 +15,7 @@ object SparkEntry {
     RelationalQueries.defs ++ BasketQueries.defs ++
       JoinQueries.defs ++ WindowQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      MediaQueries.defs
+      MediaQueries.defs ++ SqlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
