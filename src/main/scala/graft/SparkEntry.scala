@@ -17,6 +17,12 @@ object SparkEntry {
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MediaQueries.defs ++ SqlQueries.defs
 
+  // a name collision between registry files would silently drop a query
+  // (and its oracle) from the driver surface via toMap — fail loudly
+  require(registry.map(_._1).distinct.size == registry.size,
+    "duplicate query names: " + registry.map(_._1).groupBy(identity)
+      .collect { case (n, os) if os.size > 1 => n }.mkString(", "))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")

@@ -58,6 +58,9 @@ object SketchAggs {
                         override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
+    require(numHashes >= 1 && numHashes <= famA.length,
+      s"numHashes must be in 1..${famA.length}, got $numHashes")
+
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
 

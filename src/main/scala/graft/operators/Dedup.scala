@@ -74,7 +74,8 @@ object Dedup {
       .withColumn("est_jaccard",
         aggregate(
           zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / lit(64.0))
+          lit(0), (acc, v) => acc + v).cast("double") /
+          lit((bands * rowsPerBand).toDouble))
       .drop("sig1", "sig2")
   }
 

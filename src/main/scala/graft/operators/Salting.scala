@@ -21,8 +21,12 @@ object Salting {
 
   def saltedAgg(df: DataFrame, keyCols: Seq[Column], buckets: Int,
                 aggs: Seq[(String, Column)]): DataFrame = {
-    // deterministic salt: spread rows, not correctness-relevant
-    val salted = df.withColumn("_salt", pmod(xxhash64(struct(df.columns.map(col): _*)), lit(buckets.toLong)))
+    // salt by row position, NOT row content: the canonical skew case is
+    // billions of byte-identical rows for one hot key, and a content
+    // hash would send them all to one salt bucket (no spread at all).
+    // The salt value never reaches results (stage 2 merges it away), so
+    // partition-layout dependence is harmless.
+    val salted = df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val partialAggs = aggs.map { case (name, expr) => expr.as(s"_p_$name") }
     val partial = salted.groupBy((keyCols :+ col("_salt")): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)

@@ -33,7 +33,9 @@ object BillingReader {
       col("billId"),
       to_date(col("fields").getItem(0), "y-M-d").as("date"),
       array_distinct(filter(
-        slice(col("fields"), lit(2), greatest(size(col("fields")) - 1, lit(0))),
+        transform(
+          slice(col("fields"), lit(2), greatest(size(col("fields")) - 1, lit(0))),
+          i => trim(i)),
         i => length(i) > 0)).as("items"))
 
   /** Dialect B — `<date>,<cost> <item>,...` (cost FIRST; the reference's

@@ -74,15 +74,28 @@ object StreamingOps {
         state.remove()
         Iterator.single(SessionOut(userId, s.startUs, s.endUs, s.n, s.total))
       } else {
-        val evs = rows.toSeq.sortBy(_.ts.getTime)
+        // full microsecond precision: getTime carries millis, getNanos
+        // the sub-second part (so sub-ms events agree with the batch
+        // queries' unix_micros)
+        def micros(t: java.sql.Timestamp): Long =
+          t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+        val evs = rows.toSeq.sortBy(e => micros(e.ts))
         var out = List.empty[SessionOut]
         var cur = state.getOption
         evs.foreach { e =>
-          val tUs = e.ts.getTime * 1000L
+          val tUs = micros(e.ts)
           cur match {
-            case Some(s) if tUs - s.endUs <= gapUs =>
-              cur = Some(s.copy(endUs = math.max(s.endUs, tUs), n = s.n + 1,
-                total = s.total + e.value))
+            // within gap of either session edge (flatMapGroupsWithState
+            // delivers late-but-above-watermark rows, so tUs may precede
+            // the session start): merge, extending both edges
+            case Some(s) if tUs >= s.startUs - gapUs && tUs <= s.endUs + gapUs =>
+              cur = Some(SessionState(math.min(s.startUs, tUs), math.max(s.endUs, tUs),
+                s.n + 1, s.total + e.value))
+            // straggler more than a gap BEFORE the open session: it can
+            // never merge with anything still open — emit standalone
+            case Some(s) if tUs < s.startUs - gapUs =>
+              out ::= SessionOut(userId, tUs, tUs, 1, e.value)
+            // more than a gap after: close current, open new
             case Some(s) =>
               out ::= SessionOut(userId, s.startUs, s.endUs, s.n, s.total)
               cur = Some(SessionState(tUs, tUs, 1, e.value))

@@ -46,13 +46,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
-  test("flatMapGroupsWithState sessionization emits closed sessions") {
+  test("flatMapGroupsWithState sessionization emits closed sessions, handles stragglers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
-    val q = StreamingOps.sessionizeWithState(ms.toDS(), gapMinutes = 30, watermark = "0 seconds")
+    val q = StreamingOps.sessionizeWithState(ms.toDS(), gapMinutes = 30, watermark = "2000 minutes")
       .writeStream.format("memory").queryName("sessions").outputMode("append").start()
     ms.addData(evs: _*)
+    q.processAllAvailable()
+    // out-of-order arrivals in a later batch:
+    ms.addData(
+      Ev(1, ts(85), "view", 10.0),   // 5 min BEFORE open session B(90) → merges, start extends
+      Ev(2, ts(-100), "view", 9.0))  // > gap before u2's open session → standalone session
     q.processAllAvailable()
     ms.addData(Ev(9, ts(20000), "noop", 0.0)) // advance watermark → time out all
     q.processAllAvailable()
@@ -61,7 +66,12 @@ class StreamingSpec extends SparkSpec {
       .filter(col("user_id") < 9)
       .select("user_id", "n_events", "total_value").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(got == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 5.0), (2L, 1L, 7.0)))
+    assert(got == Set(
+      (1L, 2L, 3.0),   // session A (u1: t0 + t10)
+      (1L, 2L, 13.0),  // session B (u1: t85 merged into t90)
+      (2L, 1L, 5.0),   // session C (u2: t5)
+      (2L, 1L, 7.0),   // session D (u2: t300)
+      (2L, 1L, 9.0)))  // straggler standalone (u2: t-100)
   }
 
   test("streaming monthly item counts (reference Q1) match batch in update mode") {
