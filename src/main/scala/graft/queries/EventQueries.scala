@@ -32,6 +32,32 @@ object EventQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2"""),
 
+    // Per-event ML feature engineering: lag gap + rolling counts/sums
+    // over a bounded row frame — the per-entity feature shape a training
+    // pipeline materializes (one shuffle on user, one sort, N features).
+    "q_event_features" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
+        val prior10 = w.rowsBetween(-10, -1)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+          .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+          .withColumn("prev_gap_secs", expr("gap_us div 1000000"))
+          .withColumn("n_prior_10", count(lit(1)).over(prior10))
+          .withColumn("val_prior_10",
+            sum(col("value").cast(DecimalType(18, 2))).over(prior10).cast("double"))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("prev_gap_secs"), col("n_prior_10"), col("val_prior_10"))
+      },
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS prev_gap_secs,
+        |       count(*) OVER (w ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS n_prior_10,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (w ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS val_prior_10
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"""),
+
     // Backward as-of join (operator Spark lacks, composed Spark-first —
     // see operators/AsOfJoin): each 2024 event matched to the latest
     // order of the same key. Right side deduped to unique (key, ts) so
