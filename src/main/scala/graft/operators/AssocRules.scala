@@ -65,9 +65,32 @@ object AssocRules {
       .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("pair_cnt"))
 
+    finishRules(pairCnt, itemCnt, total)
+  }
+
+  /** Same rules, array-shaped input: one row per basket with an items
+    * array (dialect-A's native shape). Pair generation runs map-side
+    * through the custom [[graft.functions.PairsGenerator]] — no
+    * self-join, no distinct pass; the only shuffles are the two keyed
+    * aggregations. Preferred path when baskets are already arrays. */
+  def rulesFromBasketArrays(baskets: DataFrame, itemsCol: String): DataFrame = {
+    import graft.functions.PairsGenerator.pairs
+    val arr = array_distinct(col(itemsCol))
+    val total = baskets.agg(count(lit(1)).as("total_baskets"))
+    val itemCnt = baskets.select(explode(arr).as("antecedent"))
+      .groupBy(col("antecedent")).agg(count(lit(1)).as("antecedent_cnt"))
+    val pairCnt = baskets.select(pairs(arr).as(Seq("x", "y")))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("pair_cnt"))
+    finishRules(pairCnt, itemCnt, total)
+  }
+
+  /** Shared tail: directed-rule expansion + antecedent-count join +
+    * global-total scalar. */
+  private def finishRules(pairCnt: DataFrame, itemCnt: DataFrame,
+                          total: DataFrame): DataFrame = {
     // Rule expansion (pair → 2 directed rules) as a generator over the
     // aggregated pairs — NOT a unionAll of two projections, which would
-    // plant the whole self-join+agg subtree twice in the physical plan.
+    // plant the whole pair-generation subtree twice in the physical plan.
     val directed = pairCnt.select(
       explode(array(
         struct(col("x").as("antecedent"), col("y").as("consequent")),

@@ -50,6 +50,28 @@ object BasketQueries {
         |       sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY 1, 2"""),
 
+    // ESERCIZIO 3 via the custom PairsGenerator over array-shaped
+    // baskets (map-side pair-gen, no self-join) — same oracle as the
+    // join formulation below: two implementations, one answer.
+    "q_assoc_rules_gen" -> QueryDef(
+      (s, dir) => AssocRules.rulesFromBasketArrays(
+        Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("items")),
+        "items"),
+      """WITH items AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem),
+        |tot AS (SELECT count(DISTINCT bid) AS total_baskets FROM items),
+        |ic AS (SELECT item, count(*) AS antecedent_cnt FROM items GROUP BY 1),
+        |pc AS (SELECT a.item AS x, b.item AS y, count(*) AS pair_cnt
+        |       FROM items a JOIN items b ON a.bid = b.bid AND a.item < b.item
+        |       GROUP BY 1, 2),
+        |dir AS (SELECT x AS antecedent, y AS consequent, pair_cnt FROM pc
+        |        UNION ALL
+        |        SELECT y AS antecedent, x AS consequent, pair_cnt FROM pc)
+        |SELECT d.antecedent, d.consequent, d.pair_cnt,
+        |       d.pair_cnt / (SELECT total_baskets FROM tot) AS support,
+        |       d.pair_cnt / ic.antecedent_cnt AS confidence
+        |FROM dir d JOIN ic ON ic.item = d.antecedent"""),
+
     // ESERCIZIO 3 on order/part baskets. See AssocRules for the plan.
     "q_assoc_rules" -> QueryDef(
       (s, dir) => AssocRules.rules(

@@ -32,6 +32,30 @@ object EventQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2"""),
 
+    // Interval (range) self-join: event pairs of the same user within a
+    // 60 s window. Equality on user co-partitions the join; the range
+    // predicate filters inside each key group — never an all-pairs
+    // product across users.
+    "q_interval_join" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        val a = ev.select(col("user_id"), col("event_id").as("event_id1"), col("ts_us").as("ts1"))
+        val b = ev.select(col("user_id"), col("event_id").as("event_id2"), col("ts_us").as("ts2"))
+        a.join(b, Seq("user_id"))
+          .filter((col("ts2") > col("ts1") ||
+            (col("ts2") === col("ts1") && col("event_id2") > col("event_id1"))) &&
+            col("ts2") <= col("ts1") + lit(60000000L))
+          .select(col("user_id"), col("event_id1"), col("event_id2"),
+            expr("(ts2 - ts1) div 1000000").as("gap_secs"))
+      },
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT a.user_id, a.event_id AS event_id1, b.event_id AS event_id2,
+        |       (b.ts_us - a.ts_us) // 1000000 AS gap_secs
+        |FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |  AND (b.ts_us > a.ts_us OR (b.ts_us = a.ts_us AND b.event_id > a.event_id))
+        |  AND b.ts_us <= a.ts_us + 60000000"""),
+
     // Per-event ML feature engineering: lag gap + rolling counts/sums
     // over a bounded row frame — the per-entity feature shape a training
     // pipeline materializes (one shuffle on user, one sort, N features).

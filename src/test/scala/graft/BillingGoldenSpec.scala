@@ -73,6 +73,20 @@ class BillingGoldenSpec extends SparkSpec {
     ab.foreach { case ((x, y), n) => assert(ab((y, x)) == n) }
   }
 
+  test("PairsGenerator path == self-join path on golden baskets") {
+    val arrays = BillingReader.dialectA(spark, goldenPath).select(col("billId"), col("items"))
+    val viaGen = AssocRules.rulesFromBasketArrays(arrays, "items")
+    val viaJoin = AssocRules.rules(
+      arrays.select(col("billId"), explode(col("items")).as("item")), "billId", "item")
+    assert(viaGen.exceptAll(viaJoin).isEmpty && viaJoin.exceptAll(viaGen).isEmpty)
+    // generator handles degenerate baskets: empty array, singleton, dup items
+    import spark.implicits._
+    val edge = Seq((1L, Seq[String]()), (2L, Seq("a")), (3L, Seq("b", "a", "b")))
+      .toDF("billId", "items")
+    val pairs = AssocRules.rulesFromBasketArrays(edge, "items")
+    assert(pairs.count() == 2) // only basket 3 yields the (a,b) pair → 2 directed rules
+  }
+
   test("golden Q2: revenue per item per month from dialect B") {
     val path = fixtureFile("priced2.txt",
       "2015-1-3,15 pane,12 uova\n2015-1-20,3 pane\n2016-1-3,7 pane\n")
