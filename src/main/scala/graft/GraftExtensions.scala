@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, PairsGenerator, SketchAggs}
+
+/** Session extension wiring: registers the engine's custom Catalyst
+  * expressions as SQL functions, so the pure-SQL surface has the same
+  * vocabulary as the Scala API:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
+  *
+  *   SELECT cosine_similarity(a.embedding, b.embedding) FROM ...
+  *   SELECT pairs(items) AS (x, y) FROM baskets
+  *   SELECT minhash_agg(xxhash64(shingle), 64) FROM ... GROUP BY doc_id
+  *   SELECT simhash_agg(xxhash64(token)) FROM ... GROUP BY doc_id
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** One source of truth for the SQL surface — consumed by the
+    * extensions injector at session build AND by [[registerOn]] for
+    * sessions that already exist (getOrCreate ignores withExtensions
+    * when it returns an existing session). */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "_FUNC_(a, b) - cosine similarity of two float arrays (fused native loop)"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("pairs"),
+      info("pairs", "_FUNC_(arr) - generates every canonical (x < y) pair from an array"),
+      (args: Seq[Expression]) => PairsGenerator(args.head)),
+    (FunctionIdentifier("minhash_agg"),
+      info("minhash_agg", "_FUNC_(hash64[, k]) - k-hash MinHash signature of a pre-hashed column"),
+      (args: Seq[Expression]) => {
+        val k = if (args.length > 1)
+          args(1).eval().asInstanceOf[Number].intValue() else 64
+        SketchAggs.MinHashAgg(args.head, k).toAggregateExpression()
+      }),
+    (FunctionIdentifier("simhash_agg"),
+      info("simhash_agg", "_FUNC_(hash64) - 64-bit SimHash of a pre-hashed token column"),
+      (args: Seq[Expression]) => SketchAggs.SimHashAgg(args.head).toAggregateExpression()))
+
+  /** Register on an already-built session (idempotent). */
+  def registerOn(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Drives the SQL-registered custom functions through a session built
+  * with GraftExtensions — the pure-SQL user's view of the engine. */
+class ExtensionsSpec extends SparkSpec {
+
+  // getOrCreate ignores withExtensions when another suite already built
+  // the JVM-wide session, so register on whatever session comes back —
+  // same registration tuples either way (the injection path proper is
+  // exercised in a fresh JVM via `runMain`).
+  lazy val extSpark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    GraftExtensions.registerOn(s)
+    s
+  }
+
+  test("custom functions callable from pure SQL") {
+    val s = extSpark
+    val cos = s.sql(
+      "SELECT cosine_similarity(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+
+    val pairRows = s.sql(
+      "SELECT p.* FROM (SELECT array('b', 'a', 'c') AS items) LATERAL VIEW pairs(items) p AS x, y")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairRows == Set(("a", "b"), ("a", "c"), ("b", "c")))
+
+    val sig = s.sql(
+      """SELECT minhash_agg(xxhash64(t), 8) AS sig FROM (SELECT explode(array('x','y','z')) AS t)""")
+      .collect().head.getAs[scala.collection.Seq[Long]]("sig")
+    assert(sig.length == 8)
+
+    val sh = s.sql(
+      """SELECT simhash_agg(xxhash64(t)) AS h FROM (SELECT explode(array('x','y')) AS t)""")
+      .collect().head.getLong(0)
+    assert(sh != 0L)
+  }
+}
