@@ -48,6 +48,32 @@ object StreamingOps {
       .groupBy(col("month"), col("item"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Q2 streaming: per-item monthly revenue over a priced-line stream
+    * (ts, item, unitCost). Decimal accumulation so maintained state is
+    * exact under any micro-batch slicing. */
+  def monthlyRevenue(pricedLines: DataFrame): DataFrame =
+    pricedLines
+      .groupBy(date_format(col("ts"), "yyyy-MM").as("month"), col("item"))
+      .agg(sum(col("unitCost").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("total"))
+
+  /** Q3 streaming: maintained item and pair counts over a billing stream
+    * (ts, items ARRAY<STRING>) — pair generation via the custom
+    * PairsGenerator runs map-side per micro-batch; update-mode state is
+    * two vocabulary-bounded count tables. Support/confidence are a
+    * cheap batch projection over the maintained counts (the reference's
+    * accumulator pre-pass becomes a third running count). */
+  def basketCounts(billings: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.PairsGenerator.pairs
+    val arr = array_distinct(col("items"))
+    val itemCnt = billings.select(explode(arr).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("item_cnt"))
+    val pairCnt = billings.select(pairs(arr).as(Seq("x", "y")))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("pair_cnt"))
+    val total = billings.groupBy().agg(count(lit(1)).as("total_baskets"))
+    (itemCnt, pairCnt, total)
+  }
+
   // ------------------------- custom state: flatMapGroupsWithState -----
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp,

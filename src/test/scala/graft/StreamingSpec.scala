@@ -97,6 +97,40 @@ class StreamingSpec extends SparkSpec {
     assert(batch(("2015-01", "pane")) == 2L)
   }
 
+  test("streaming Q2 (monthly revenue) and Q3 (basket counts) match batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Q2: priced lines
+    val priced = Seq(
+      (new Timestamp(1420070400000L), "pane", 15.0),
+      (new Timestamp(1420156800000L), "pane", 3.0),
+      (new Timestamp(1422748800000L), "uova", 12.0))
+    val ms2 = MemoryStream[(Timestamp, String, Double)]
+    val q2 = StreamingOps.monthlyRevenue(ms2.toDF().toDF("ts", "item", "unitCost"))
+      .writeStream.format("memory").queryName("rev").outputMode("complete").start()
+    ms2.addData(priced: _*)
+    q2.processAllAvailable(); q2.stop()
+    val streamedRev = spark.table("rev").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(streamedRev == Map(("2015-01", "pane") -> 18.0, ("2015-02", "uova") -> 12.0))
+
+    // Q3: basket streams through the PairsGenerator
+    val baskets = Seq(
+      (new Timestamp(1420070400000L), Seq("pane", "latte")),
+      (new Timestamp(1420156800000L), Seq("latte", "pane", "uova")),
+      (new Timestamp(1422748800000L), Seq("latte")))
+    val ms3 = MemoryStream[(Timestamp, Seq[String])]
+    val (_, pairCnt, _) = StreamingOps.basketCounts(ms3.toDF().toDF("ts", "items"))
+    val q3 = pairCnt.writeStream.format("memory").queryName("pairs")
+      .outputMode("complete").start()
+    ms3.addData(baskets: _*)
+    q3.processAllAvailable(); q3.stop()
+    val streamedPairs = spark.table("pairs").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(streamedPairs == Map(
+      ("latte", "pane") -> 2L, ("latte", "uova") -> 1L, ("pane", "uova") -> 1L))
+  }
+
   test("session_window batch == lag-based sessionize on driver events") {
     val sw = SparkEntry.queries("q_session_window")(spark, sf001)
       .select("user_id", "n_events", "session_start_us", "session_end_us")
