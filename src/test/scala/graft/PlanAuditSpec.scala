@@ -1,0 +1,45 @@
+package graft
+
+/** Plan-quality pins: the scale claims in the scaladocs are assertions
+  * about physical plans — hold them in CI so a refactor that silently
+  * loses pushdown / broadcast / group-limit shows up as a red test, not
+  * a 100× regression in production.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q1_agg: filter reaches the parquet scan, columns pruned") {
+    val p = planOf("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "scan reads columns the query never uses")
+  }
+
+  test("q_top5_month: partial WindowGroupLimit below the exchange") {
+    val p = planOf("q_top5_month")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("Partial"), "map-side top-k pre-filter missing")
+  }
+
+  test("q_join_broadcast: both dims broadcast, no shuffle join") {
+    val p = planOf("q_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_topn_global: TakeOrderedAndProject, no global sort") {
+    val p = planOf("q_topn_global")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Sort ["), "global sort planned for a limit-10 query")
+  }
+
+  test("q_filter_project: predicates pushed to parquet") {
+    val p = planOf("q_filter_project")
+    // plan toString truncates long PushedFilters lists — assert on the
+    // quantity predicate (fully printed) and the shipdate DataFilter
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"))
+    assert(p.contains("DataFilters: [isnotnull(l_quantity"))
+    assert(p.contains("(l_shipdate"))
+  }
+}
