@@ -95,6 +95,30 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ------------------------------------------- embedding-cosine near-dups
+
+  /** Embedding-space near-duplicate pairs: SRP-LSH candidate generation
+    * (any shared bucket across `tables` independent codes) + exact
+    * cosine filter ≥ threshold. The embedding analogue of the MinHash
+    * path: candidates come from a keyed join on (table, bucket), never
+    * an all-pairs product; exact scoring touches only candidates. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, threshold: Double,
+                        planes: Int = 4, tables: Int = 8): DataFrame = {
+    val coded = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col("id"), col("vec"),
+        posexplode(Similarity.srpBuckets(col("vec"), dim, planes, tables))
+          .as(Seq("table", "bucket")))
+    val l = coded.select(col("id").as("id1"), col("vec").as("v1"), col("table"), col("bucket"))
+    val r = coded.select(col("id").as("id2"), col("vec").as("v2"), col("table"), col("bucket"))
+    l.join(r, Seq("table", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("cos_sim", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id1"), col("id2"), col("cos_sim"))
+  }
+
   // ------------------------------------------------- exact n-gram Jaccard
 
   /** Exact word-n-gram Jaccard similarity for all document pairs sharing

@@ -44,6 +44,16 @@ object SimilarityQueries {
           "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
       }),
 
+    // Embedding-space near-dup pairs (LSH candidates + exact cosine
+    // filter) — rows-only (bucketing is engine-seeded); recall vs the
+    // exact pass is pinned in SimilaritySpec. Threshold 0.4 is the
+    // operating point for THIS corpus (random embeddings top out at
+    // cosine ~0.51); real near-dup corpora run 0.9+.
+    "q_embed_neardup" -> QueryDef.unverified(
+      (s, dir) => graft.operators.Dedup.embeddingNearDups(
+        Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64,
+        threshold = 0.4, planes = 2, tables = 16)),
+
     "q_ann_lsh" -> QueryDef.unverified(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)

@@ -64,6 +64,25 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, s"mean IVF recall@10 = $mean")
   }
 
+  test("embedding near-dup pairs: LSH+exact recovers high-cosine pairs") {
+    import graft.operators.Dedup
+    // ground truth: exact all-pairs cosine >= 0.9 (500x500 fine at sf0.001)
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val exact = a.join(b, col("id1") < col("id2"))
+      .filter(Similarity.cosine(col("v1"), col("v2")) >= 0.4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 64, 0.4,
+      planes = 2, tables = 16)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no false positives possible (exact cosine refilter); check recall
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.5, s"near-dup recall = $recall (${lsh.size}/${exact.size})")
+    }
+  }
+
   test("LSH buckets are deterministic across partitionings") {
     val b1 = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 64, 5, 4)
     val b2 = Similarity.lshTopK(emb.repartition(5), queries, "vec_id", "embedding", 64, 5, 4)
