@@ -52,7 +52,7 @@ object SimilarityQueries {
     "q_embed_neardup" -> QueryDef.unverified(
       (s, dir) => graft.operators.Dedup.embeddingNearDups(
         Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64,
-        threshold = 0.4, planes = 2, tables = 16)),
+        threshold = 0.4, planes = 4, tables = 16)),
 
     "q_ann_lsh" -> QueryDef.unverified(
       (s, dir) => {

@@ -73,7 +73,7 @@ class SimilaritySpec extends SparkSpec {
       .filter(Similarity.cosine(col("v1"), col("v2")) >= 0.4)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 64, 0.4,
-      planes = 2, tables = 16)
+      planes = 4, tables = 16)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // no false positives possible (exact cosine refilter); check recall
     assert(lsh.subsetOf(exact))
