@@ -33,23 +33,40 @@ object GraftExtensions {
     * extensions injector at session build AND by [[registerOn]] for
     * sessions that already exist (getOrCreate ignores withExtensions
     * when it returns an existing session). */
+  private def requireArity(name: String, args: Seq[Expression], ok: Int => Boolean): Unit =
+    if (!ok(args.length)) throw new IllegalArgumentException(
+      s"$name: invalid number of arguments (${args.length})")
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "_FUNC_(a, b) - cosine similarity of two float arrays (fused native loop)"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        requireArity("cosine_similarity", args, _ == 2)
+        CosineSimilarity(args(0), args(1))
+      }),
     (FunctionIdentifier("pairs"),
       info("pairs", "_FUNC_(arr) - generates every canonical (x < y) pair from an array"),
-      (args: Seq[Expression]) => PairsGenerator(args.head)),
-    (FunctionIdentifier("minhash_agg"),
-      info("minhash_agg", "_FUNC_(hash64[, k]) - k-hash MinHash signature of a pre-hashed column"),
       (args: Seq[Expression]) => {
-        val k = if (args.length > 1)
-          args(1).eval().asInstanceOf[Number].intValue() else 64
+        requireArity("pairs", args, _ == 1)
+        PairsGenerator(args.head)
+      }),
+    (FunctionIdentifier("minhash_agg"),
+      info("minhash_agg", "_FUNC_(hash64[, k]) - k-hash MinHash signature of a pre-hashed column; k must be a literal"),
+      (args: Seq[Expression]) => {
+        requireArity("minhash_agg", args, n => n == 1 || n == 2)
+        val k = if (args.length > 1) {
+          if (!args(1).foldable) throw new IllegalArgumentException(
+            "minhash_agg: k must be a literal integer")
+          args(1).eval().asInstanceOf[Number].intValue()
+        } else 64
         SketchAggs.MinHashAgg(args.head, k).toAggregateExpression()
       }),
     (FunctionIdentifier("simhash_agg"),
       info("simhash_agg", "_FUNC_(hash64) - 64-bit SimHash of a pre-hashed token column"),
-      (args: Seq[Expression]) => SketchAggs.SimHashAgg(args.head).toAggregateExpression()))
+      (args: Seq[Expression]) => {
+        requireArity("simhash_agg", args, _ == 1)
+        SketchAggs.SimHashAgg(args.head).toAggregateExpression()
+      }))
 
   /** Register on an already-built session (idempotent). */
   def registerOn(spark: org.apache.spark.sql.SparkSession): Unit =

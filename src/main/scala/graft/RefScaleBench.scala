@@ -45,7 +45,7 @@ object RefScaleBench {
     time2("q2-revenue-month") {
       BillingReader.dialectB(spark, s"$dir/b")
         .groupBy(col("item"), date_format(col("date"), "yyyy-MM").as("month"))
-        .agg(sum(col("unitCost")).as("total")).count()
+        .agg(graft.functions.ColFns.moneySum(col("unitCost"), 2).as("total")).count()
     }
     time2("q3-rules-join") {
       AssocRules.rules(

@@ -53,10 +53,18 @@ case class PairsGenerator(child: Expression)
     var i = 0
     while (i < n) {
       val v = arr.get(i, elementType)
-      if (v != null && !buf.contains(v)) buf += v
+      if (v != null) buf += v
       i += 1
     }
-    val items = buf.sorted(ordering.asInstanceOf[Ordering[Any]])
+    // sort, then dedup adjacents with the TYPE ordering — JVM equals is
+    // reference equality for BinaryType/struct values, which would leak
+    // duplicates and emit x==x self-pairs
+    val ord = ordering.asInstanceOf[Ordering[Any]]
+    val sorted = buf.sorted(ord)
+    val items = new scala.collection.mutable.ArrayBuffer[Any](sorted.length)
+    sorted.foreach { v =>
+      if (items.isEmpty || ord.compare(items.last, v) != 0) items += v
+    }
     for {
       i <- (0 until items.length).iterator
       j <- (i + 1) until items.length

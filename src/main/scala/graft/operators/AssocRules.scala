@@ -76,7 +76,11 @@ object AssocRules {
   def rulesFromBasketArrays(baskets: DataFrame, itemsCol: String): DataFrame = {
     import graft.functions.PairsGenerator.pairs
     val arr = array_distinct(col(itemsCol))
-    val total = baskets.agg(count(lit(1)).as("total_baskets"))
+    // total = baskets with ≥1 item, matching rules()'s countDistinct over
+    // exploded item rows (an empty basket can never contain a pair, so it
+    // must not inflate the support denominator)
+    val total = baskets
+      .agg(count(when(size(arr) >= 1, lit(1))).as("total_baskets"))
     val itemCnt = baskets.select(explode(arr).as("antecedent"))
       .groupBy(col("antecedent")).agg(count(lit(1)).as("antecedent_cnt"))
     val pairCnt = baskets.select(pairs(arr).as(Seq("x", "y")))

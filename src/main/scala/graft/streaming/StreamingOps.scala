@@ -70,7 +70,9 @@ object StreamingOps {
       .groupBy(col("item")).agg(count(lit(1)).as("item_cnt"))
     val pairCnt = billings.select(pairs(arr).as(Seq("x", "y")))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("pair_cnt"))
-    val total = billings.groupBy().agg(count(lit(1)).as("total_baskets"))
+    // non-empty baskets only — same denominator rule as AssocRules
+    val total = billings.groupBy()
+      .agg(count(when(size(arr) >= 1, lit(1))).as("total_baskets"))
     (itemCnt, pairCnt, total)
   }
 

@@ -85,6 +85,11 @@ class BillingGoldenSpec extends SparkSpec {
       .toDF("billId", "items")
     val pairs = AssocRules.rulesFromBasketArrays(edge, "items")
     assert(pairs.count() == 2) // only basket 3 yields the (a,b) pair → 2 directed rules
+    // full equality ON the degenerate input — pins the support
+    // denominator rule (empty baskets excluded on both paths)
+    val viaJoinEdge = AssocRules.rules(
+      edge.select(col("billId"), explode(col("items")).as("item")), "billId", "item")
+    assert(pairs.exceptAll(viaJoinEdge).isEmpty && viaJoinEdge.exceptAll(pairs).isEmpty)
   }
 
   test("golden Q2: revenue per item per month from dialect B") {

@@ -6,19 +6,14 @@ import org.apache.spark.sql.SparkSession
   * with GraftExtensions — the pure-SQL user's view of the engine. */
 class ExtensionsSpec extends SparkSpec {
 
-  // getOrCreate ignores withExtensions when another suite already built
-  // the JVM-wide session, so register on whatever session comes back —
-  // same registration tuples either way (the injection path proper is
-  // exercised in a fresh JVM via `runMain`).
+  // Register on the SHARED test session: building a differently-configured
+  // session here would silently dictate JVM-wide config for whichever
+  // suite initializes second (getOrCreate first-wins), and getOrCreate
+  // ignores withExtensions on an existing session anyway. The real
+  // injection path (withExtensions in a fresh JVM) is exercised via
+  // `runMain` during verification.
   lazy val extSpark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    val s = SparkSpec.spark
     GraftExtensions.registerOn(s)
     s
   }
