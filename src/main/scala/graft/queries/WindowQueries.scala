@@ -80,6 +80,39 @@ object WindowQueries {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""),
 
+    // Distribution windows: quartile assignment per group (total order
+    // → deterministic ntile in both engines).
+    "q_ntile" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            col("l_returnflag"), col("l_quantity"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+      },
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       l_returnflag, l_quantity,
+        |       CAST(ntile(4) OVER (PARTITION BY l_returnflag
+        |         ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT) AS quartile
+        |FROM lineitem"""),
+
+    // Scalar string functions over part names (shared SQL semantics).
+    "q_string_funcs" -> QueryDef(
+      (s, dir) => Tables.part(s, dir).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("consonants"),
+        levenshtein(col("p_type"), lit("STANDARD")).cast("long").as("type_dist")),
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |       substring(p_name, 1, 8) AS name_prefix,
+        |       CAST(length(p_name) AS BIGINT) AS name_len,
+        |       regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
+        |       CAST(levenshtein(p_type, 'STANDARD') AS BIGINT) AS type_dist
+        |FROM part"""),
+
     // Pivot: long→wide reshape (pinned pivot values; both engines use
     // filtered aggregation underneath).
     "q_pivot" -> QueryDef(
