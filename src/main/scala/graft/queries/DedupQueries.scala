@@ -83,9 +83,15 @@ object DedupQueries {
         |  AND d.doc_id NOT IN (SELECT doc_id FROM losers)
         |  AND len(t.t) >= 30"""),
 
-    // MinHash signatures (64 hashes, 3-gram shingles).
+    // MinHash signatures (64 hashes, 3-gram shingles). The registry
+    // projection joins the array to one string: the driver canonicalizes
+    // results via a pandas sort, which cannot hash array cells (round-1
+    // crash) — the operator API (Dedup.minhashSignatures) keeps the
+    // typed ARRAY<LONG> column.
     "q_minhash_sig" -> QueryDef.unverified(
-      (s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")),
+      (s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"),
+          array_join(transform(col("sig"), x => x.cast("string")), ",").as("sig"))),
 
     // Banded LSH candidates at the ~0.5 threshold (16 bands × 4 rows).
     "q_minhash_lsh" -> QueryDef.unverified(

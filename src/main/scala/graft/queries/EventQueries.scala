@@ -116,7 +116,7 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k")),
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type"""),
@@ -156,8 +156,10 @@ object EventQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |), sessions AS (
         |  SELECT user_id, ts_us,
-        |         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |         -- DuckDB sum(int) is HUGEINT, which pandas reads as float64
+        |         -- and the driver hash is dtype-sensitive: cast back to BIGINT.
+        |         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |  FROM flagged
         |)
         |SELECT user_id, session_idx, count(*) AS n_events,

@@ -2,36 +2,44 @@
 """Local stand-in for the driver's correctness gate (dev tool only; the
 shipped engine is pure Scala/Spark). Usage:
   python3 tools/check.py <verifyOutDir> <sfDir>
-Reads each <outDir>/<name> parquet (Spark output) and oracle_sql.json,
-runs the oracle in DuckDB with views named after the tables, and
-compares row-sets (columns sorted by name, rows sorted, values
-compared exactly; floats compared bit-exactly to match a hash gate).
+
+Mimics the driver faithfully (lesson of round 1, where Python `==`
+passed 99111 == 99111.0 but the driver's dtype-sensitive hash failed):
+  - results go through pandas (`duckdb.sql(...).df()`), so DuckDB
+    HUGEINT becomes float64 here exactly as it does at the driver;
+  - columns sorted by name, rows sorted via pandas sort_values — which
+    CRASHES on array-typed cells just like the driver's canonical sort;
+  - dtypes must match exactly (int64 vs float64 is a FAIL even when the
+    values compare equal);
+  - values compared exactly (floats bit-for-bit via repr).
+Additionally lints every oracle: a HUGEINT column in the oracle result
+means an uncast integer sum() — rejected outright, because pandas
+silently widens it to float64 and the driver hash can never match.
+Rows-only outputs (no oracle) are still canonicalized, so a
+driver-crashing column type fails here first.
 """
-import sys, os, json, math
+import sys, os, json
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(norm(r[i]) for i in order))
-    out.sort(key=lambda t: tuple(str(x) for x in t))
-    return [cols[i] for i in order], out
+def canon(df):
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
-def norm(v):
-    if isinstance(v, float):
-        return v  # exact: bit-match is the bar
-    import decimal, datetime
-    if isinstance(v, decimal.Decimal):
-        return float(v)
-    if isinstance(v, datetime.datetime):
-        return v.isoformat()
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return v
+def cell(v):
+    # repr distinguishes 1 from 1.0 and is bit-faithful for floats.
+    return repr(v)
+
+def diff_rows(g, e):
+    for i in range(len(g)):
+        gr, er = [cell(x) for x in g.iloc[i]], [cell(x) for x in e.iloc[i]]
+        if gr != er:
+            return i, gr, er
+    return None
 
 def main(outdir, sfdir):
     con = duckdb.connect()
@@ -45,34 +53,53 @@ def main(outdir, sfdir):
         d = os.path.join(outdir, name)
         if not os.path.isdir(d):
             continue
-        got = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
-        gcols, grows = canon(got.fetchall(), [c for c in got.columns])
+        try:
+            got = canon(con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')").df())
+        except Exception as ex:
+            print(f"FAIL {name}: spark output does not canonicalize "
+                  f"(driver would crash too): {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
         if name not in oracles:
-            print(f"  {name:28s} rows-only: {len(grows)} rows")
+            print(f"  {name:28s} rows-only: {len(got)} rows")
             continue
         try:
-            exp = con.sql(oracles[name])
-            ecols, erows = canon(exp.fetchall(), [c for c in exp.columns])
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
+            rel = con.sql(oracles[name])
+            hug = [c for c, t in zip(rel.columns, rel.types)
+                   if str(t).upper() in ("HUGEINT", "INT128", "UHUGEINT")]
+            if hug:
+                print(f"FAIL {name}: oracle columns {hug} are HUGEINT — "
+                      f"uncast integer sum(); wrap in CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
+            exp = canon(rel.df())
+        except Exception as ex:
+            print(f"FAIL {name}: oracle error: {ex}")
             n_fail += 1
             continue
         ok = True
-        if gcols != ecols:
-            print(f"FAIL {name}: columns {gcols} vs oracle {ecols}"); ok = False
-        elif len(grows) != len(erows):
-            print(f"FAIL {name}: {len(grows)} rows vs oracle {len(erows)}"); ok = False
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs oracle {list(exp.columns)}")
+            ok = False
+        elif [str(t) for t in got.dtypes] != [str(t) for t in exp.dtypes]:
+            bad = [(c, str(a), str(b)) for c, a, b in
+                   zip(got.columns, got.dtypes, exp.dtypes) if str(a) != str(b)]
+            print(f"FAIL {name}: dtype mismatch (col, spark, oracle): {bad}")
+            ok = False
+        elif len(got) != len(exp):
+            print(f"FAIL {name}: {len(got)} rows vs oracle {len(exp)}")
+            ok = False
         else:
-            for i, (g, e) in enumerate(zip(grows, erows)):
-                if g != e:
-                    print(f"FAIL {name}: first diff at sorted-row {i}:")
-                    print(f"  spark : {g}")
-                    print(f"  oracle: {e}")
-                    ok = False
-                    break
+            d0 = diff_rows(got, exp)
+            if d0 is not None:
+                i, gr, er = d0
+                print(f"FAIL {name}: first diff at sorted-row {i}:")
+                print(f"  spark : {gr}")
+                print(f"  oracle: {er}")
+                ok = False
         if ok:
             n_pass += 1
-            print(f"  {name:28s} OK ({len(grows)} rows)")
+            print(f"  {name:28s} OK ({len(got)} rows)")
         else:
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
