@@ -51,12 +51,27 @@ object Dedup {
     * Self-join is keyed on (band, band_hash): at scale each bucket is a
     * small co-partitioned group, never a global cross product. Skew note:
     * a degenerate bucket (e.g. empty-text docs sharing a signature) would
-    * square — cap with a bucket-size guard upstream if the corpus can
-    * contain mass-identical degenerate rows.
+    * square — `maxBucketSize` drops buckets above the cap BEFORE the
+    * self-join (a bucket of d docs yields d² pair rows; members of a
+    * dropped bucket still pair through their other bands/buckets, so for
+    * genuinely-similar non-degenerate pairs recall is barely affected —
+    * same contract as `ngramJaccardPairs.maxShingleDf`). Opt-in to keep
+    * exact banded semantics by default.
+    *
+    * Signatures whose length differs from bands × rowsPerBand fail at
+    * runtime (raise_error) instead of silently slicing short bands and
+    * mis-scaling est_jaccard.
     */
   def lshCandidates(sigs: DataFrame, idCol: String,
-                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val banded = sigs.select(
+                    bands: Int = 16, rowsPerBand: Int = 4,
+                    maxBucketSize: Option[Int] = None): DataFrame = {
+    val expected = bands * rowsPerBand
+    val checked = sigs.filter(
+      when(size(col("sig")) === lit(expected), lit(true))
+        .otherwise(raise_error(concat(
+          lit("lshCandidates: signature length "), size(col("sig")).cast("string"),
+          lit(s" != bands*rowsPerBand = $expected")))))
+    val banded = checked.select(
       col(idCol),
       col("sig"),
       posexplode(transform(
@@ -65,8 +80,19 @@ object Dedup {
         // input is supported by HashExpression) salted with the band index
         b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b)))
         .as(Seq("band", "band_hash")))
-    val l = banded.select(col(idCol).as("id1"), col("sig").as("sig1"), col("band"), col("band_hash"))
-    val r = banded.select(col(idCol).as("id2"), col("sig").as("sig2"), col("band"), col("band_hash"))
+    val pruned = maxBucketSize match {
+      case Some(cap) =>
+        // Count per bucket (map-side combinable, tiny) and semi-join the
+        // survivors — the oversized bucket's rows never reach the pair
+        // join, so a degenerate bucket costs O(d), not O(d²).
+        val ok = banded.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= cap)
+          .select(col("band"), col("band_hash"))
+        banded.join(ok, Seq("band", "band_hash"), "left_semi")
+      case None => banded
+    }
+    val l = pruned.select(col(idCol).as("id1"), col("sig").as("sig1"), col("band"), col("band_hash"))
+    val r = pruned.select(col(idCol).as("id2"), col("sig").as("sig2"), col("band"), col("band_hash"))
     l.join(r, Seq("band", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
@@ -101,10 +127,18 @@ object Dedup {
     * (any shared bucket across `tables` independent codes) + exact
     * cosine filter ≥ threshold. The embedding analogue of the MinHash
     * path: candidates come from a keyed join on (table, bucket), never
-    * an all-pairs product; exact scoring touches only candidates. */
+    * an all-pairs product; exact scoring touches only candidates.
+    *
+    * `maxBucketSize` (opt-in, like `lshCandidates`) drops over-full
+    * (table, bucket) groups before the id-list is collected — a hot
+    * bucket (mass-duplicate embeddings, or all-zero vectors landing in
+    * one code) would otherwise build one giant array on a single task
+    * and square into d² candidate pairs. Members of a dropped bucket
+    * still pair through the other `tables − 1` independent codes. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
-                        planes: Int = 4, tables: Int = 16): DataFrame = {
+                        planes: Int = 4, tables: Int = 16,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
     import graft.functions.PairsGenerator.pairs
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // Candidate generation carries ONLY ids (no embedding payloads in
@@ -117,7 +151,18 @@ object Dedup {
     val coded = base
       .select(col("id"), posexplode(
         Similarity.srpBuckets(col("vec"), dim, planes, tables)).as(Seq("table", "bucket")))
-    val candidates = coded
+    val kept = maxBucketSize match {
+      case Some(cap) =>
+        // Drop over-full buckets before collect_list so the giant id
+        // array never materializes on any task (count agg is map-side
+        // combinable; semi-join is co-partitioned with the groupBy key).
+        val ok = coded.groupBy(col("table"), col("bucket"))
+          .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= cap)
+          .select(col("table"), col("bucket"))
+        coded.join(ok, Seq("table", "bucket"), "left_semi")
+      case None => coded
+    }
+    val candidates = kept
       .groupBy(col("table"), col("bucket"))
       .agg(collect_list(col("id")).as("ids"))
       .select(pairs(col("ids")).as(Seq("id1", "id2")))

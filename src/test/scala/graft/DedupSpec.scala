@@ -69,6 +69,48 @@ class DedupSpec extends SparkSpec {
     assert(rand > 16.0, s"random-pair hamming unexpectedly low: $rand")
   }
 
+  test("maxBucketSize bounds degenerate LSH buckets; distinct dups still pair") {
+    import spark.implicits._
+    // Adversarial fixture: 1000 mass-identical docs (one signature, so
+    // every (band, hash) bucket holds all 1000 → 499,500 pairs uncapped)
+    // plus one genuinely-duplicated distinct text.
+    val crowd = (1L to 1000L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val pair = Seq((2001L, "an entirely different sentence about distributed systems and shuffles"),
+                   (2002L, "an entirely different sentence about distributed systems and shuffles"))
+    val docs = (crowd ++ pair).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val capped = Dedup.lshCandidates(sigs, "doc_id", maxBucketSize = Some(10))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((2001L, 2002L)),
+      s"expected only the small-bucket pair, got ${capped.size} candidates")
+  }
+
+  test("lshCandidates rejects a signature length != bands*rowsPerBand") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 64)
+    val ex = intercept[Exception] {
+      Dedup.lshCandidates(sigs, "doc_id", bands = 8, rowsPerBand = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("signature length")), s"got: $ex")
+  }
+
+  test("embeddingNearDups maxBucketSize bounds a degenerate hot bucket") {
+    import spark.implicits._
+    val crowdVec = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.1f)
+    val pairVec = Array.tabulate(8)(i => if (i == 7) -1.0f else -0.1f)
+    val rows = (1L to 1000L).map(i => (i, crowdVec)) ++
+      Seq((2001L, pairVec), (2002L, pairVec.clone()))
+    val emb = rows.toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDups(emb, "vec_id", "embedding", dim = 8,
+        threshold = 0.9, maxBucketSize = Some(10))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((2001L, 2002L)),
+      s"expected only the small-bucket pair, got ${capped.size} candidates")
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val df = Seq((1L, "aa"), (2L, "aa"), (3L, "bb")).toDF("doc_id", "text")
