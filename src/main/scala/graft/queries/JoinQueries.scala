@@ -81,6 +81,74 @@ object JoinQueries {
         |FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)"""),
 
+    // LEFT OUTER join with NULL-extension semantics exercised: every
+    // customer is kept, customers with no big order (202 at sf0.01) get
+    // n_big_orders = 0 and a NULL spend. The filter on the right side is
+    // pushed below the join; the join itself shuffles on custkey.
+    "q_left_join" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(count(col("o_orderkey")).as("n_big_orders"),
+            moneySum(col("o_totalprice"), 2).as("big_spend"))
+      },
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_big_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_spend
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1, 2"""),
+
+    // FULL OUTER join: high-balance customers vs customers with big
+    // orders — mismatches exist in BOTH directions, so both NULL
+    // extensions are exercised (and hash-checked; nullable BIGINT reads
+    // as float64 on both sides of the driver's compare, consistently).
+    "q_full_join" -> QueryDef(
+      (s, dir) => {
+        val hc = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey"), col("c_name"))
+        val ho = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_big_orders"),
+            moneySum(col("o_totalprice"), 2).as("big_spend"))
+        hc.join(ho, hc("c_custkey") === ho("o_custkey"), "full")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_name"), col("n_big_orders"), col("big_spend"))
+      },
+      """WITH hc AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000),
+        |ho AS (SELECT o_custkey, count(*) AS n_big_orders,
+        |              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_spend
+        |       FROM orders WHERE o_totalprice > 400000 GROUP BY 1)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name, n_big_orders, big_spend
+        |FROM hc FULL JOIN ho ON c_custkey = o_custkey"""),
+
+    // INTERSECT (distinct set semantics): customers active in both 1997
+    // and 1998. Plans as a left-semi over distinct keys — one shuffle
+    // per side on the set key, no row multiplication.
+    "q_intersect" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey").as("custkey"))
+          .intersect(
+            o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey").as("custkey")))
+      },
+      """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1998"""),
+
+    // EXCEPT (distinct set semantics): 1997 buyers who went quiet in 1998.
+    "q_except" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey").as("custkey"))
+          .except(
+            o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey").as("custkey")))
+      },
+      """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1998"""),
+
     // Union of heterogeneous entities into one keyed stream.
     "q_union" -> QueryDef(
       (s, dir) => {
