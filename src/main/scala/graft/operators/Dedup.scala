@@ -22,6 +22,16 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
+  /** 60-bit md5-derived base hash, bit-identical in Spark and DuckDB:
+    * both engines produce the same md5 hex digest and agree on parsing
+    * its first 15 hex chars (60 bits, always non-negative) as an
+    * integer. Sketches built on it are oracle-verifiable end to end;
+    * xxhash64 stays the default because it is ~3× cheaper per row —
+    * use `portable = true` only where cross-engine reproducibility
+    * matters more than throughput. */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** MinHash signatures: (id, sig ARRAY<LONG>[numHashes]).
     *
     * Plan: tokens → shingles → explode → xxhash64 → ONE keyed agg with
@@ -33,12 +43,14 @@ object Dedup {
     * cannot change the signature — one shuffle total.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
+                        numHashes: Int = 64, shingleN: Int = 3,
+                        portable: Boolean = false): DataFrame = {
     require(numHashes <= 64, "at most 64 hashes")
+    val base = if (portable) portableHash64(col("shingle")) else xxhash64(col("shingle"))
     docs.select(col(idCol), TextFns.tokens(col(textCol)).as("_toks"))
       .select(col(idCol),
         explode(TextFns.wordShingles(col("_toks"), shingleN)).as("shingle"))
-      .select(col(idCol), xxhash64(col("shingle")).as("h"))
+      .select(col(idCol), base.as("h"))
       .groupBy(col(idCol))
       .agg(graft.functions.SketchAggs.minhash_agg(col("h"), numHashes).as("sig"))
   }
@@ -112,11 +124,14 @@ object Dedup {
     * One explode + one keyed agg via the custom
     * [[graft.functions.SketchAggs.SimHashAgg]] buffer (64 vote counters
     * in one Array[Long] — same codegen-limit rationale as MinHash). */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              portable: Boolean = false): DataFrame = {
+    val base = if (portable) portableHash64(col("token")) else xxhash64(col("token"))
     docs.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
-      .select(col(idCol), xxhash64(col("token")).as("h"))
+      .select(col(idCol), base.as("h"))
       .groupBy(col(idCol))
       .agg(graft.functions.SketchAggs.simhash_agg(col("h")).as("simhash"))
+  }
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -4,14 +4,56 @@ import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.operators.Dedup
 
-/** Near-duplicate detection over `documents`. The exact n-gram Jaccard
-  * pass is DuckDB-oracle-verified; MinHash/SimHash use engine-specific
-  * hash functions (xxhash64 + fixed affine family) that DuckDB cannot
-  * reproduce, so those queries carry the weaker rows-only check — their
-  * *semantics* are pinned by scalatest instead (MinHashSpec: LSH
-  * candidates ⊇ truly-similar pairs from the exact pass).
+/** Near-duplicate detection over `documents`. Every query here is
+  * DuckDB-oracle-verified: the sketch queries run with
+  * `portable = true` (md5-derived 60-bit base hash — both engines agree
+  * on md5, and the affine family's constants are interpolated below
+  * into the oracle SQL), so signatures, LSH candidates, and SimHash
+  * values hash-match bit for bit. The operator API's default stays
+  * xxhash64 (~3× cheaper); scalatest pins that the two hash families
+  * agree on semantics (DedupSpec recall tests).
   */
 object DedupQueries {
+
+  private val P = graft.functions.SketchAggs.MersenneP // 2^31 − 1
+
+  /** Shared CTE prefix: tokens → 3-gram shingles → distinct (id, shingle)
+    * — identical to the q_ngram_jaccard oracle so the two stay in sync. */
+  private val ShingleCtes =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+      |  FROM documents
+      |), sh0 AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 3
+      |    THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)])
+      |    ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM toks
+      |), sh AS (SELECT DISTINCT doc_id AS id, unnest(s) AS shingle FROM sh0),
+      |hm AS (SELECT id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS hm FROM sh)"""
+      .stripMargin
+
+  /** The 64 affine min-hashes as DuckDB aggregate expressions, constants
+    * lifted from the exact family MinHashAgg uses. */
+  private val SigList: String = {
+    import graft.functions.SketchAggs.{famA, famB}
+    (0 until 64).map(i => s"min((${famA(i)}*hm + ${famB(i)}) % $P)")
+      .mkString("[", ", ", "]")
+  }
+
+  /** "some band's 4-row slice matches" — OR over the 16 band slices. */
+  private val AnyBandEqual: String =
+    (0 until 16).map { b =>
+      val lo = b * 4 + 1; val hi = b * 4 + 4
+      s"a.sig[$lo:$hi] = b.sig[$lo:$hi]"
+    }.mkString("(", " OR ", ")")
+
+  /** SimHash bit-packing: per bit, the sign of the ±1 vote sum; the
+    * portable base hash has 60 bits, so bits 60–63 are always 0 votes
+    * (vote −1 per token) and never set — packing 0..59 is exact. */
+  private val SimhashPack: String =
+    (0 until 60).map { b =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -83,24 +125,48 @@ object DedupQueries {
         |  AND d.doc_id NOT IN (SELECT doc_id FROM losers)
         |  AND len(t.t) >= 30"""),
 
-    // MinHash signatures (64 hashes, 3-gram shingles). The registry
-    // projection joins the array to one string: the driver canonicalizes
-    // results via a pandas sort, which cannot hash array cells (round-1
-    // crash) — the operator API (Dedup.minhashSignatures) keeps the
-    // typed ARRAY<LONG> column.
-    "q_minhash_sig" -> QueryDef.unverified(
-      (s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+    // MinHash signatures (64 hashes, 3-gram shingles), portable hash
+    // family so the oracle reproduces the signature bit for bit. The
+    // registry projection joins the array to one string: the driver
+    // canonicalizes results via a pandas sort, which cannot hash array
+    // cells (round-1 crash) — the operator API keeps ARRAY<LONG>.
+    "q_minhash_sig" -> QueryDef(
+      (s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text",
+          portable = true)
         .select(col("doc_id"),
-          array_join(transform(col("sig"), x => x.cast("string")), ",").as("sig"))),
+          array_join(transform(col("sig"), x => x.cast("string")), ",").as("sig")),
+      s"""WITH $ShingleCtes
+        |SELECT id AS doc_id, array_to_string($SigList, ',') AS sig
+        |FROM hm GROUP BY id"""),
 
     // Banded LSH candidates at the ~0.5 threshold (16 bands × 4 rows).
-    "q_minhash_lsh" -> QueryDef.unverified(
+    // The oracle re-derives candidates first-principles: any of the 16
+    // four-row signature slices equal (all-pairs is fine at oracle
+    // scale; the engine side stays the keyed bucket join).
+    "q_minhash_lsh" -> QueryDef(
       (s, dir) => Dedup.lshCandidates(
-        Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text"),
-        "doc_id", bands = 16, rowsPerBand = 4)),
+        Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text",
+          portable = true),
+        "doc_id", bands = 16, rowsPerBand = 4),
+      s"""WITH $ShingleCtes,
+        |sigs AS (SELECT id, $SigList AS sig FROM hm GROUP BY id)
+        |SELECT a.id AS id1, b.id AS id2,
+        |       CAST(list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END
+        |                      for i in generate_series(1, 64)]) AS DOUBLE) / 64 AS est_jaccard
+        |FROM sigs a JOIN sigs b ON a.id < b.id
+        |WHERE $AnyBandEqual"""),
 
-    // 64-bit SimHash per document.
-    "q_simhash" -> QueryDef.unverified(
-      (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text"))
+    // 64-bit SimHash per document (portable hash family; the oracle
+    // recomputes the per-bit vote sums and packs the sign bits).
+    "q_simhash" -> QueryDef(
+      (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text",
+        portable = true),
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS t
+        |  FROM documents
+        |), tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h FROM tok)
+        |SELECT doc_id, $SimhashPack AS simhash
+        |FROM h GROUP BY doc_id""")
   )
 }

@@ -111,6 +111,22 @@ class DedupSpec extends SparkSpec {
       s"expected only the small-bucket pair, got ${capped.size} candidates")
   }
 
+  test("portableHash64 pins the cross-engine value (md5 first 15 hex chars)") {
+    import spark.implicits._
+    // DuckDB: SELECT CAST(concat('0x', substr(md5('abc'),1,15)) AS BIGINT)
+    val got = Seq("abc").toDF("s")
+      .select(Dedup.portableHash64(col("s"))).head().getLong(0)
+    assert(got == 648541476951500027L)
+  }
+
+  test("portable and xxhash64 MinHash agree on LSH recall semantics") {
+    val portablePairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(docs, "doc_id", "text", portable = true), "doc_id")
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truePairs -- portablePairs
+    assert(missed.isEmpty, s"portable LSH missed $missed")
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val df = Seq((1L, "aa"), (2L, "aa"), (3L, "bb")).toDF("doc_id", "text")
