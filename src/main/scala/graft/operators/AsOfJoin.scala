@@ -24,17 +24,30 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Ordering key for the merge: timestamps go through unix_micros —
+    * a plain cast("long") truncates to whole seconds, which would make
+    * sub-second as-of matching silently wrong. Dates order by epoch
+    * day; numerics are taken as-is. */
+  private def orderKey(df: DataFrame, ts: String): org.apache.spark.sql.Column =
+    df.schema(ts).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(ts))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(to_utc_timestamp(col(ts), "UTC"))
+      case org.apache.spark.sql.types.DateType => unix_date(col(ts)).cast("long")
+      case _ => col(ts).cast("long")
+    }
+
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightPrefix: String = "r_"): DataFrame = {
     val rStructCols = right.columns.filterNot(_ == key).map(col)
     val rStructType = right.select(struct(rStructCols: _*).as("_r")).schema("_r").dataType
 
     val l = left.select(
-      col(key).as("_k"), col(ts).cast("long").as("_ts"), lit(1).as("_side"),
+      col(key).as("_k"), orderKey(left, ts).as("_ts"), lit(1).as("_side"),
       struct(left.columns.map(col): _*).as("_lrow"),
       lit(null).cast(rStructType).as("_rrow"))
     val r = right.select(
-      col(key).as("_k"), col(ts).cast("long").as("_ts"), lit(0).as("_side"),
+      col(key).as("_k"), orderKey(right, ts).as("_ts"), lit(0).as("_side"),
       lit(null).cast(l.schema("_lrow").dataType).as("_lrow"),
       struct(rStructCols: _*).as("_rrow"))
 

@@ -26,11 +26,17 @@ object StreamingOps {
         col("n_events"), col("total_value"))
 
   /** Gap-based sessions via the built-in session_window — works over
-    * batch AND streams (merging windows within `gap`). */
+    * batch AND streams (merging windows within `gap`).
+    *
+    * Boundary contract: a session splits only when the gap is EXCEEDED —
+    * two events exactly `gap` apart share a session, matching the
+    * lag-based q_sessionize and its DuckDB oracle (strict `>`); Spark's
+    * session_window is half-open (splits AT the gap), so one microsecond
+    * is added to the window duration to align the two engines. */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes",
                      watermark: Option[String] = Some("1 hour")): DataFrame = {
     val src = watermark.fold(events)(w => events.withWatermark("ts", w))
-    src.groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+    src.groupBy(col("user_id"), session_window(col("ts"), s"$gap 1 microsecond").as("sw"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
       .select(col("user_id"), col("n_events"), col("first_ts"), col("last_ts"))
@@ -81,61 +87,65 @@ object StreamingOps {
   final case class Ev(user_id: Long, ts: java.sql.Timestamp,
                       event_type: String, value: Double)
   final case class SessionState(startUs: Long, endUs: Long, n: Long, total: Double)
+  final case class OpenSessions(sessions: List[SessionState])
   final case class SessionOut(user_id: Long, session_start_us: Long,
                               session_end_us: Long, n_events: Long, total_value: Double)
 
   /** Sessionization with explicit state (the KeyValueGroupedDataset
-    * .flatMapGroupsWithState surface): a session closes when the event-
-    * time watermark passes its end + gap; closed sessions are emitted in
-    * Append mode. State is per-user O(1) — at 100 TB the state store
-    * scales with |active users in a gap window|, not with history. */
+    * .flatMapGroupsWithState surface). State holds ALL open sessions of
+    * a user (not just the latest): above-watermark stragglers open their
+    * own session and can merge with later stragglers, and an event
+    * bridging two open sessions collapses them into one. A session is
+    * emitted ONLY once the event-time watermark passes its end + gap —
+    * at that point no admissible event can extend it — never eagerly on
+    * a gap-after event, so no split/duplicate sessions.
+    *
+    * State is per-user O(open sessions within the watermark window) — at
+    * 100 TB the state store scales with |active users in a gap window|,
+    * not with history. */
   def sessionizeWithState(events: Dataset[Ev], gapMinutes: Long = 30,
                           watermark: String = "1 hour"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+
+    /** Emit sessions the watermark has sealed; park the rest in state
+      * with the timeout on the earliest still-open end. */
+    def expire(userId: Long, all: List[SessionState], wmMs: Long,
+               state: GroupState[OpenSessions]): Iterator[SessionOut] = {
+      val (closed, open) = all.partition(s => s.endUs / 1000L + gapMs <= wmMs)
+      if (open.nonEmpty) {
+        state.update(OpenSessions(open))
+        state.setTimeoutTimestamp(open.map(_.endUs).min / 1000L + gapMs)
+      } else state.remove()
+      closed.sortBy(_.startUs).iterator
+        .map(s => SessionOut(userId, s.startUs, s.endUs, s.n, s.total))
+    }
 
     def fn(userId: Long, rows: Iterator[Ev],
-           state: GroupState[SessionState]): Iterator[SessionOut] = {
+           state: GroupState[OpenSessions]): Iterator[SessionOut] = {
+      val wmMs = state.getCurrentWatermarkMs()
       if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator.single(SessionOut(userId, s.startUs, s.endUs, s.n, s.total))
+        expire(userId, state.get.sessions, wmMs, state)
       } else {
         // full microsecond precision: getTime carries millis, getNanos
         // the sub-second part (so sub-ms events agree with the batch
         // queries' unix_micros)
         def micros(t: java.sql.Timestamp): Long =
           t.getTime / 1000L * 1000000L + t.getNanos / 1000L
-        val evs = rows.toSeq.sortBy(e => micros(e.ts))
-        var out = List.empty[SessionOut]
-        var cur = state.getOption
-        evs.foreach { e =>
+        var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
+        rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
           val tUs = micros(e.ts)
-          cur match {
-            // within gap of either session edge (flatMapGroupsWithState
-            // delivers late-but-above-watermark rows, so tUs may precede
-            // the session start): merge, extending both edges
-            case Some(s) if tUs >= s.startUs - gapUs && tUs <= s.endUs + gapUs =>
-              cur = Some(SessionState(math.min(s.startUs, tUs), math.max(s.endUs, tUs),
-                s.n + 1, s.total + e.value))
-            // straggler more than a gap BEFORE the open session: it can
-            // never merge with anything still open — emit standalone
-            case Some(s) if tUs < s.startUs - gapUs =>
-              out ::= SessionOut(userId, tUs, tUs, 1, e.value)
-            // more than a gap after: close current, open new
-            case Some(s) =>
-              out ::= SessionOut(userId, s.startUs, s.endUs, s.n, s.total)
-              cur = Some(SessionState(tUs, tUs, 1, e.value))
-            case None =>
-              cur = Some(SessionState(tUs, tUs, 1, e.value))
+          val (touched, rest) = sessions.partition(s =>
+            tUs >= s.startUs - gapUs && tUs <= s.endUs + gapUs)
+          val merged = touched.foldLeft(SessionState(tUs, tUs, 1, e.value)) { (acc, s) =>
+            SessionState(math.min(acc.startUs, s.startUs), math.max(acc.endUs, s.endUs),
+              acc.n + s.n, acc.total + s.total)
           }
+          sessions = merged :: rest
         }
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.endUs / 1000L + gapMinutes * 60L * 1000L)
-        }
-        out.reverseIterator
+        expire(userId, sessions, wmMs, state)
       }
     }
 

@@ -22,4 +22,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("e4") == (None, None))             // right rows only after left ts? none before
     assert(out.size == 4)                         // left-join: all left rows kept
   }
+
+  test("backward as-of on TimestampType keeps sub-second precision") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // events 250 ms apart inside ONE second — a cast("long") ordering
+    // (whole seconds) would tie all of these and match the 750 ms quote
+    // to the 250 ms event
+    def t(ms: Long) = new Timestamp(1700000000000L + ms)
+    val left = Seq((1L, t(250), "early"), (1L, t(900), "late")).toDF("k", "ts", "ev")
+    val right = Seq((1L, t(100), "q1"), (1L, t(750), "q2")).toDF("k", "ts", "v")
+    val out = AsOfJoin.backward(left, right, "k", "ts")
+      .select("ev", "r_v").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("early" -> "q1", "late" -> "q2"))
+  }
 }

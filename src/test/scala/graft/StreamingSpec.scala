@@ -57,7 +57,11 @@ class StreamingSpec extends SparkSpec {
     // out-of-order arrivals in a later batch:
     ms.addData(
       Ev(1, ts(85), "view", 10.0),   // 5 min BEFORE open session B(90) → merges, start extends
-      Ev(2, ts(-100), "view", 9.0))  // > gap before u2's open session → standalone session
+      Ev(2, ts(-100), "view", 9.0))  // > gap before u2's open sessions → opens its own session
+    q.processAllAvailable()
+    // a second straggler within gap of the first: the two must MERGE
+    // (round-1 bug: each straggler emitted standalone immediately)
+    ms.addData(Ev(2, ts(-80), "view", 11.0))
     q.processAllAvailable()
     ms.addData(Ev(9, ts(20000), "noop", 0.0)) // advance watermark → time out all
     q.processAllAvailable()
@@ -71,7 +75,28 @@ class StreamingSpec extends SparkSpec {
       (1L, 2L, 13.0),  // session B (u1: t85 merged into t90)
       (2L, 1L, 5.0),   // session C (u2: t5)
       (2L, 1L, 7.0),   // session D (u2: t300)
-      (2L, 1L, 9.0)))  // straggler standalone (u2: t-100)
+      (2L, 2L, 20.0))) // straggler pair merged (u2: t-100 + t-80)
+  }
+
+  test("sessionizeWithState: a bridging event collapses two open sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.sessionizeWithState(ms.toDS(), gapMinutes = 30, watermark = "2000 minutes")
+      .writeStream.format("memory").queryName("bridge").outputMode("append").start()
+    // two sessions 50 min apart — separate under a 30-min gap
+    ms.addData(Ev(1, ts(0), "a", 1.0), Ev(1, ts(50), "b", 2.0))
+    q.processAllAvailable()
+    // late bridging event at t25: within gap of both → ONE session of 3
+    ms.addData(Ev(1, ts(25), "c", 4.0))
+    q.processAllAvailable()
+    ms.addData(Ev(9, ts(20000), "noop", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bridge").filter(col("user_id") === 1)
+      .select("n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((3L, 7.0)))
   }
 
   test("streaming monthly item counts (reference Q1) match batch in update mode") {
@@ -129,6 +154,22 @@ class StreamingSpec extends SparkSpec {
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     assert(streamedPairs == Map(
       ("latte", "pane") -> 2L, ("latte", "uova") -> 1L, ("pane", "uova") -> 1L))
+  }
+
+  test("session boundary: exactly-gap-apart events share a session; gap+1us splits") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+    def t(us: Long) = new Timestamp(us / 1000) // whole-ms fixtures
+    // u1: exactly 30 min apart → ONE session (strict-> contract);
+    // u2: 30 min + 1 ms apart → TWO sessions
+    val events = Seq(
+      (1L, t(0)), (1L, t(gapUs)),
+      (2L, t(0)), (2L, t(gapUs + 1000))).toDF("user_id", "ts")
+    val got = StreamingOps.sessionWindows(events, gap = "30 minutes", watermark = None)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
   }
 
   test("session_window batch == lag-based sessionize on driver events") {
