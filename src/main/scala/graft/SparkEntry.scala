@@ -15,7 +15,7 @@ object SparkEntry {
     RelationalQueries.defs ++ BasketQueries.defs ++
       JoinQueries.defs ++ WindowQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      MediaQueries.defs ++ SqlQueries.defs
+      MediaQueries.defs ++ SqlQueries.defs ++ TpchQueries.defs
 
   // a name collision between registry files would silently drop a query
   // (and its oracle) from the driver surface via toMap — fail loudly

