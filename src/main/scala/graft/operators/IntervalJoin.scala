@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Windowed interval self-join: pairs of rows with the same key whose
+  * timestamps are within `windowUs`, (strictly) ordered by a total
+  * (ts, id) tie-break so each unordered pair appears exactly once.
+  *
+  * Why not a plain key-equality self-join + range filter: that plan
+  * evaluates the range predicate on |key group|² combinations, so one
+  * bot-grade hot key with d events across months costs d² work even
+  * when almost nothing is within the window. Bucketing time at the
+  * window width and joining on (key, bucket) bounds the product to
+  * pairs of ADJACENT buckets: work scales with Σ_b d_b·(d_b + d_b₊₁) —
+  * the same order as the genuine candidate count — instead of
+  * (Σ_b d_b)². A pair within `windowUs` spans at most one bucket
+  * boundary, so emitting the left row into its own and the next bucket
+  * finds every pair exactly once (no post-join dedup needed).
+  */
+object IntervalJoin {
+
+  /** @param df       input with (keyCol, idCol, tsCol) — tsCol must be a
+    *                 NON-NEGATIVE integral epoch value in the same unit
+    *                 as windowUs (`div` truncates toward zero, so
+    *                 negative timestamps would mis-bucket)
+    * @param windowUs max ts2 − ts1 for a pair (inclusive); also the
+    *                 bucket width */
+  def selfPairs(df: DataFrame, keyCol: String, idCol: String, tsCol: String,
+                windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"window must be positive, got $windowUs")
+    val base = df.select(col(keyCol).as("_k"), col(idCol).as("_id"), col(tsCol).as("_ts"))
+    // left rows fan out to their own and the successor bucket; right rows
+    // stay in their own bucket → equality join on (_k, _b) is exact
+    val l = base.select(col("_k"), col("_id").as("_id1"), col("_ts").as("_ts1"),
+        explode(array(expr(s"_ts div ${windowUs}"), expr(s"_ts div ${windowUs} + 1"))).as("_b"))
+    val r = base.select(col("_k"), col("_id").as("_id2"), col("_ts").as("_ts2"),
+      expr(s"_ts div ${windowUs}").as("_b"))
+    l.join(r, Seq("_k", "_b"))
+      .filter((col("_ts2") > col("_ts1") ||
+        (col("_ts2") === col("_ts1") && col("_id2") > col("_id1"))) &&
+        col("_ts2") <= col("_ts1") + lit(windowUs))
+      .select(col("_k").as(keyCol), col("_id1").as(s"${idCol}1"),
+        col("_id2").as(s"${idCol}2"), col("_ts1"), col("_ts2"))
+  }
+}

@@ -33,21 +33,18 @@ object EventQueries {
         |FROM events GROUP BY 1, 2"""),
 
     // Interval (range) self-join: event pairs of the same user within a
-    // 60 s window. Equality on user co-partitions the join; the range
-    // predicate filters inside each key group — never an all-pairs
-    // product across users.
+    // 60 s window, via the time-bucketed IntervalJoin operator — the
+    // join key is (user, minute-bucket), not user alone, so a bot-grade
+    // hot user costs work proportional to genuine nearby pairs, never
+    // |user history|² (the round-1 residual scale risk).
     "q_interval_join" -> QueryDef(
       (s, dir) => {
         val ev = Tables.events(s, dir)
           .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
-        val a = ev.select(col("user_id"), col("event_id").as("event_id1"), col("ts_us").as("ts1"))
-        val b = ev.select(col("user_id"), col("event_id").as("event_id2"), col("ts_us").as("ts2"))
-        a.join(b, Seq("user_id"))
-          .filter((col("ts2") > col("ts1") ||
-            (col("ts2") === col("ts1") && col("event_id2") > col("event_id1"))) &&
-            col("ts2") <= col("ts1") + lit(60000000L))
+        graft.operators.IntervalJoin.selfPairs(ev, "user_id", "event_id", "ts_us",
+            windowUs = 60000000L)
           .select(col("user_id"), col("event_id1"), col("event_id2"),
-            expr("(ts2 - ts1) div 1000000").as("gap_secs"))
+            expr("(_ts2 - _ts1) div 1000000").as("gap_secs"))
       },
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
         |SELECT a.user_id, a.event_id AS event_id1, b.event_id AS event_id2,
