@@ -29,6 +29,17 @@ object ColFns {
   def moneySum(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Reference-style `###.##` presentation formatting (SURVEY §2.7 Q3 /
+    * §2.2 row 15): Java's DecimalFormat rounds HALF_EVEN and drops
+    * trailing zeros ("2", "0.5"), while Spark's format_number rounds
+    * HALF_UP and pads ("2.00", "0.50"). bround gives the half-even
+    * rounding; the decimal cast keeps plain notation (a double→string
+    * cast switches to scientific at 1e7); the regex trims the zeros.
+    * Presentation-layer only — data paths keep full-precision fractions. */
+  def refFormat(c: Column, scale: Int): Column =
+    regexp_replace(bround(c, scale).cast(DecimalType(20, scale)).cast("string"),
+      "\\.?0+$", "")
+
   /** Timestamp literal matching the column's actual type (the driver
     * parquet may surface as TIMESTAMP or TIMESTAMP_NTZ depending on
     * inferTimestampNTZ) — keeps comparisons pushdown-friendly. */

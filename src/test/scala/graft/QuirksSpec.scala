@@ -68,4 +68,21 @@ class QuirksSpec extends SparkSpec {
     assert(months.forall(_.matches("""\d{4}-\d{2}""")))
     assert(months.contains("2015-03")) // zero-padded canonical form
   }
+
+  test("Q3b: presentation '###.##' formatting matches the reference's DecimalFormat") {
+    // §2.2 row 15: the reference formats support/confidence with
+    // DecimalFormat("###.##") at output time. Data paths here keep full
+    // fractions (Q3); ColFns.refFormat is the presentation equivalent —
+    // pin it against the actual java.text.DecimalFormat on fixtures
+    // covering half-even rounding, trailing-zero dropping, and integers.
+    val vals = Seq(0.0, 0.5, 0.125, 0.135, 1.0, 2.0, 0.33333, 0.666,
+      123.456, 10.1, 0.05, 0.999, 0.001, 1234567.891)
+    val df = new java.text.DecimalFormat("###.##",
+      java.text.DecimalFormatSymbols.getInstance(java.util.Locale.ROOT))
+    val expected = vals.map(df.format)
+    val got = vals.toDF("v")
+      .select(graft.functions.ColFns.refFormat(col("v"), 2).as("s"))
+      .as[String].collect().toSeq
+    assert(got == expected, s"\nspark: $got\njava : $expected")
+  }
 }
