@@ -99,6 +99,36 @@ object TextQueries {
          |FROM (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
          |      FROM documents)"""),
 
+    // Inverted-index build: term → document frequency + sorted posting
+    // list. One explode + distinct + keyed agg — the standard
+    // distributed index-build shape. The fractional df cap (terms in
+    // > 90% of docs are dropped) is the scale guard: stop-term posting
+    // lists are the only unbounded per-key state, and real IR builds
+    // drop or shard exactly those (mirrors Dedup.maxShingleDf). The
+    // corpus size enters as a 1-row broadcast, never a collect.
+    // Postings emit as a joined string (driver compare cannot
+    // canonicalize arrays); sort_array makes the list order
+    // deterministic under any partitioning.
+    "q_inverted_index" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.select(count(lit(1)).as("_n"))
+        docs.select(explode(TextFns.tokens(col("text"))).as("term"), col("doc_id"))
+          .distinct()
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df"),
+            array_join(transform(sort_array(collect_list(col("doc_id"))),
+              _.cast("string")), ",").as("postings"))
+          .crossJoin(broadcast(n))
+          .filter(col("df") <= lit(0.9) * col("_n"))
+          .drop("_n")
+      },
+      """SELECT token AS term, count(*) AS df,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS token
+        |      FROM documents)
+        |GROUP BY token HAVING count(*) <= 0.9 * (SELECT count(*) FROM documents)"""),
+
     // Content fingerprint (exact-dup key): md5 — same hex in both engines.
     "q_fingerprint" -> QueryDef(
       (s, dir) => Tables.documents(s, dir)
