@@ -59,8 +59,21 @@ object Similarity {
   }
 
   /** Per-table SRP bucket ids for a vector column: ARRAY<LONG>[tables],
-    * one `planes`-bit sign code per table. */
+    * one `planes`-bit sign code per table. Runs the fused codegen'd
+    * [[graft.functions.SrpCode]] — bit-identical to the HOF formulation
+    * below (SrpSpec pins equality), so bucket assignments are unchanged. */
   def srpBuckets(vec: Column, dim: Int, planes: Int, tables: Int): Column = {
+    val hp = hyperplanes(dim, planes, tables)
+    val flat = new Array[Double](tables * planes * dim)
+    for (t <- 0 until tables; p <- 0 until planes; i <- 0 until dim)
+      flat((t * planes + p) * dim + i) = hp(t)(p)(i)
+    graft.functions.SrpCode(vec, flat, dim, planes, tables)
+  }
+
+  /** Composable-HOF SRP coder — tables × planes separate aggregate()
+    * folds; interpreted (no codegen) and allocation-heavy. Kept for the
+    * native==HOF equality pin, same pattern as cosineHof. */
+  def srpBucketsHof(vec: Column, dim: Int, planes: Int, tables: Int): Column = {
     val hp = hyperplanes(dim, planes, tables)
     array((0 until tables).map { t =>
       (0 until planes).map { p =>
