@@ -30,8 +30,10 @@ object SketchAggs {
 
   private[graft] val MersenneP: Long = 2147483647L // 2^31 − 1
 
-  /** Fixed-seed affine family h_i(x) = (a_i·x + b_i) mod p — the same
-    * family Dedup.hashFamily exposes, materialized as flat arrays. */
+  /** Fixed-seed affine family h_i(x) = (a_i·x + b_i) mod p, materialized
+    * as flat arrays. The constants are also interpolated into the DuckDB
+    * oracle SQL (DedupQueries.SigList) so signatures verify bit-exactly
+    * when built on the portable base hash. */
   private[graft] val (famA: Array[Long], famB: Array[Long]) = {
     val rnd = new scala.util.Random(42)
     val a = Array.fill(64)(1L + rnd.nextInt((MersenneP - 1).toInt).toLong)

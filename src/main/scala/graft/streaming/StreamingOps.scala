@@ -82,6 +82,19 @@ object StreamingOps {
     (itemCnt, pairCnt, total)
   }
 
+  /** Streaming exact dedup: first arrival per key wins, duplicates
+    * arriving within the watermark horizon are dropped. State is the
+    * dedup key set bounded BY the watermark (expired keys evicted) —
+    * the streaming counterpart of Dedup.exact, and the standard
+    * at-least-once → effectively-once repair stage in an event
+    * ingestion pipeline. A duplicate later than the watermark horizon
+    * is out of contract (same as any watermarked operator). */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           tsCol: String = "ts",
+                           watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ------------------------- custom state: flatMapGroupsWithState -----
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp,

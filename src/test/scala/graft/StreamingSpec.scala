@@ -156,6 +156,24 @@ class StreamingSpec extends SparkSpec {
       ("latte", "pane") -> 2L, ("latte", "uova") -> 1L, ("pane", "uova") -> 1L))
   }
 
+  test("streaming dedup drops within-watermark duplicates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.dedupWithinWatermark(ms.toDF(), Seq("user_id", "event_type"),
+        watermark = "60 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    ms.addData(Ev(1, ts(0), "click", 1.0), Ev(1, ts(5), "click", 2.0)) // dup in-batch
+    q.processAllAvailable()
+    ms.addData(Ev(1, ts(10), "click", 3.0), Ev(1, ts(10), "view", 4.0)) // dup next batch + new key
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup").select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // first arrival per (user, type) wins; later duplicates dropped
+    assert(got == Set((1L, "click", 1.0), (1L, "view", 4.0)))
+  }
+
   test("session boundary: exactly-gap-apart events share a session; gap+1us splits") {
     import java.sql.Timestamp
     import spark.implicits._
