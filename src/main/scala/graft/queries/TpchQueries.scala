@@ -54,6 +54,39 @@ object TpchQueries {
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10"""),
 
+    // TPC-H Q1 (pricing summary): the canonical scan-heavy aggregate —
+    // one pushed-down date filter, one 4-group hash agg, eight decimal-
+    // exact aggregates. Averages are (exact decimal sum as double) /
+    // (exact count): a single IEEE division, bit-stable in both engines.
+    "q_tpch_q1" -> QueryDef(
+      (s, dir) => {
+        val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= to_timestamp(lit("2001-05-01")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            moneySum(col("l_quantity"), 2).as("sum_qty"),
+            moneySum(col("l_extendedprice"), 2).as("sum_base_price"),
+            moneySum(disc, 4).as("sum_disc_price"),
+            moneySum(disc * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+            (moneySum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+            (moneySum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+            (moneySum(col("l_discount"), 2) / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-05-01'
+        |GROUP BY l_returnflag, l_linestatus"""),
+
     // TPC-H Q18 shape (large-volume customers): orders whose total
     // lineitem quantity exceeds 300, with customer attribution, top-100
     // by order value. The HAVING pre-aggregate runs BEFORE any join —

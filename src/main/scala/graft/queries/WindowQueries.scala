@@ -97,6 +97,53 @@ object WindowQueries {
         |         ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT) AS quartile
         |FROM lineitem"""),
 
+    // Ranking-window family over a total order: rank/dense_rank agree
+    // in both engines given the (o_totalprice, o_orderkey) tie-break;
+    // percent_rank and cume_dist are single IEEE divisions of exact
+    // integers — bit-stable.
+    "q_window_rankings" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .withColumn("prnk", percent_rank().over(w))
+          .withColumn("cdist", cume_dist().over(w))
+      },
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |       percent_rank() OVER w AS prnk,
+        |       cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)"""),
+
+    // Calendar/date function surface (year/quarter/month/day-of-week,
+    // truncation, day arithmetic) — Spark's dayofweek is 1=Sunday,
+    // DuckDB's dayofweek is 0=Sunday: the oracle adds 1.
+    "q_date_funcs" -> QueryDef(
+      (s, dir) => Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_epoch0")),
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch0
+        |FROM orders"""),
+
     // Scalar string functions over part names (shared SQL semantics).
     "q_string_funcs" -> QueryDef(
       (s, dir) => Tables.part(s, dir).select(
