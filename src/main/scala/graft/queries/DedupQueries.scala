@@ -125,6 +125,44 @@ object DedupQueries {
         |  AND d.doc_id NOT IN (SELECT doc_id FROM losers)
         |  AND len(t.t) >= 30"""),
 
+    // The SAME curation pipeline with the 100 TB near-dup stage swapped
+    // in: banded MinHash LSH (portable hash family) instead of the
+    // exact inverted-index pass — candidates come from bucket joins, so
+    // no shingle posting list ever squares. With the portable family
+    // the whole pipeline INCLUDING the LSH stage is oracle-verified:
+    // the drop-in claim is hash-checked, not asserted.
+    "q_curation_lsh" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val reps = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", portable = true)
+        val losers = Dedup.lshCandidates(sigs, "doc_id", bands = 16, rowsPerBand = 4)
+          .filter(col("est_jaccard") >= 0.5)
+          .select(col("id2").as("doc_id")).distinct()
+        docs.join(reps, Seq("doc_id"), "left_semi")
+          .join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"),
+            size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+          .filter(col("n_tokens") >= 30)
+      },
+      s"""WITH $ShingleCtes,
+        |sigs AS (SELECT id, $SigList AS sig FROM hm GROUP BY id),
+        |losers AS (
+        |  SELECT DISTINCT b.id AS doc_id
+        |  FROM sigs a JOIN sigs b ON a.id < b.id
+        |  WHERE $AnyBandEqual
+        |    AND CAST(list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END
+        |                       for i in generate_series(1, 64)]) AS DOUBLE) / 64 >= 0.5
+        |),
+        |reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+        |SELECT d.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens
+        |FROM documents d
+        |JOIN toks t ON t.doc_id = d.doc_id
+        |WHERE d.doc_id IN (SELECT doc_id FROM reps)
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+        |  AND len(t.t) >= 30"""),
+
     // MinHash signatures (64 hashes, 3-gram shingles), portable hash
     // family so the oracle reproduces the signature bit for bit. The
     // registry projection joins the array to one string: the driver
