@@ -28,6 +28,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // let the async ContextCleaner catch up between queries: 118 query
+      // executions in one JVM otherwise accumulate broadcast/shuffle
+      // refs until late queries stall on GC mid-measurement (observed
+      // 2.5 s → 17.8 s on the same query)
+      System.gc()
       val cold = time(fn)
       val steady = time(fn)
       name -> (cold, steady)
