@@ -80,6 +80,25 @@ object WindowQueries {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""),
 
+    // Explicit GROUPING SETS (arbitrary combos, unlike rollup/cube's
+    // fixed lattices) + grouping_id to tell a real NULL from an
+    // aggregated-out dimension — both engines use the standard bitmask.
+    "q_grouping_sets" -> QueryDef(
+      (s, dir) => Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice"), 2).as("total"),
+          grouping_id().cast("long").as("gid")),
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |                        (o_orderpriority), (o_orderstatus))"""),
+
     // Distribution windows: quartile assignment per group (total order
     // → deterministic ntile in both engines).
     "q_ntile" -> QueryDef(

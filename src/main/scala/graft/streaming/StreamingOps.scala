@@ -82,6 +82,29 @@ object StreamingOps {
     (itemCnt, pairCnt, total)
   }
 
+  /** Watermarked stream-stream inner join: right events attributed to a
+    * left event of the same key within `[leftTs, leftTs + within]` (the
+    * impression→click attribution shape). Both sides carry watermarks
+    * and the join condition is time-bounded, so each side's buffered
+    * state is evicted once the other stream's watermark passes — state
+    * is O(events in the attribution window), not unbounded (the
+    * requirement for a stream-stream join to run at all in Append mode,
+    * and for 100 TB/day streams to hold steady-state memory).
+    *
+    * Non-key column names must be disjoint between the two sides
+    * (standard Spark join-ambiguity rule; callers prefix their
+    * columns). The right key is renamed internally for the equi-clause
+    * and dropped from the output. */
+  def joinWithinWatermark(left: DataFrame, right: DataFrame, key: String,
+                          leftTs: String, rightTs: String,
+                          within: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, within)
+    val r = right.withColumnRenamed(key, s"${key}_r").withWatermark(rightTs, within)
+    l.join(r, expr(
+      s"$key = ${key}_r AND $rightTs >= $leftTs AND $rightTs <= $leftTs + interval '$within'"))
+      .drop(s"${key}_r")
+  }
+
   /** Streaming exact dedup: first arrival per key wins, duplicates
     * arriving within the watermark horizon are dropped. State is the
     * dedup key set bounded BY the watermark (expired keys evicted) —

@@ -156,6 +156,32 @@ class StreamingSpec extends SparkSpec {
       ("latte", "pane") -> 2L, ("latte", "uova") -> 1L, ("pane", "uova") -> 1L))
   }
 
+  test("stream-stream join attributes clicks to impressions within the window") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp, String)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamingOps.joinWithinWatermark(
+      imps.toDF().toDF("user_id", "imp_ts", "ad"),
+      clicks.toDF().toDF("user_id", "click_ts", "target"),
+      key = "user_id", leftTs = "imp_ts", rightTs = "click_ts",
+      within = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    // impression at t0; click 10 min later (attributed) arrives in a
+    // LATER micro-batch; click 40 min later (outside window) dropped;
+    // click for an unseen user dropped
+    imps.addData((1L, ts(0), "adA"), (2L, ts(0), "adB"))
+    q.processAllAvailable()
+    clicks.addData((1L, ts(10), "buy"), (2L, ts(40), "late"), (9L, ts(5), "ghost"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attrib").select("user_id", "ad", "target").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "adA", "buy")))
+  }
+
   test("streaming dedup drops within-watermark duplicates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
