@@ -99,6 +99,43 @@ object TextQueries {
          |FROM (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
          |      FROM documents)"""),
 
+    // Bigram language-model counts: corpus bigram frequency and the
+    // conditional P(w2 | w1) = cnt(w1,w2) / cnt(w1·*) — both counts are
+    // exact integers, the probability is one IEEE division, so the whole
+    // model is oracle-checkable. Shape: explode 2-shingles → keyed agg →
+    // broadcast-or-shuffle join on the prefix marginal (AQE decides).
+    "q_bigram_lm" -> QueryDef(
+      (s, dir) => {
+        // raw bigrams WITH duplicates (wordShingles dedups — set
+        // semantics are right for Jaccard, wrong for LM counts); toks
+        // materialized per the TextFns PERF CONTRACT; docs with < 2
+        // tokens produce a null array, which explode drops
+        val toks = col("_toks")
+        val bigrams = Tables.documents(s, dir)
+          .select(TextFns.tokens(col("text")).as("_toks"))
+          .select(explode(when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1),
+              i => struct(element_at(toks, i).as("w1"),
+                element_at(toks, i + 1).as("w2"))))).as("bg"))
+          .select(col("bg.w1"), col("bg.w2"))
+        val pair = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+        val marg = pair.groupBy(col("w1")).agg(sum(col("cnt")).as("w1_total"))
+        pair.join(marg, Seq("w1"))
+          .select(col("w1"), col("w2"), col("cnt"),
+            (col("cnt").cast("double") / col("w1_total")).as("p_cond"))
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT b[1] AS w1, b[2] AS w2
+        |  FROM (SELECT unnest([[t[i], t[i+1]] for i in generate_series(1, len(t) - 1)]) AS b
+        |        FROM toks WHERE len(t) >= 2)
+        |), pair AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |marg AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS w1_total FROM pair GROUP BY 1)
+        |SELECT pair.w1, w2, cnt, CAST(cnt AS DOUBLE) / w1_total AS p_cond
+        |FROM pair JOIN marg ON pair.w1 = marg.w1"""),
+
     // Inverted-index build: term → document frequency + sorted posting
     // list. One explode + distinct + keyed agg — the standard
     // distributed index-build shape. The fractional df cap (terms in
