@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface. The reference declares spark-streaming
   * but never uses it (SURVEY §2.8) — this is the capability extension:
@@ -117,6 +118,42 @@ object StreamingOps {
                            watermark: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  final case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-key running totals on the modern `transformWithState` API
+    * (Spark 4 arbitrary-state operator, the successor to
+    * flatMapGroupsWithState): typed ValueState in the RocksDB state
+    * store, one updated (n, total) row per key per micro-batch in
+    * Update mode. State is O(keys); the processor surface also carries
+    * timers and TTL for eviction policies, which the GroupState API
+    * lacks. Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (asserted by the runtime). */
+  class RunningTotalProcessor extends StatefulProcessor[Long, Ev, RunningTotal] {
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)](
+        "totals", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[RunningTotal] = {
+      val (n0, t0) = Option(state.get()).getOrElse((0L, 0.0))
+      var n = n0; var t = t0
+      rows.foreach { e => n += 1; t += e.value }
+      state.update((n, t))
+      Iterator.single(RunningTotal(key, n, t))
+    }
+  }
+
+  def runningTotalsWithState(events: Dataset[Ev]): Dataset[RunningTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 
   // ------------------------- custom state: flatMapGroupsWithState -----
 

@@ -156,6 +156,32 @@ class StreamingSpec extends SparkSpec {
       ("latte", "pane") -> 2L, ("latte", "uova") -> 1L, ("pane", "uova") -> 1L))
   }
 
+  test("transformWithState maintains running totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = util.Try(spark.conf.get("spark.sql.streaming.stateStore.providerClass")).toOption
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.runningTotalsWithState(ms.toDS())
+        .writeStream.format("memory").queryName("totals").outputMode("update").start()
+      ms.addData(Ev(1, ts(0), "a", 2.0), Ev(1, ts(1), "b", 3.0), Ev(2, ts(0), "c", 7.0))
+      q.processAllAvailable()
+      ms.addData(Ev(1, ts(2), "d", 5.0)) // state must survive the batch boundary
+      q.processAllAvailable()
+      q.stop()
+      // update mode re-emits per batch; last row per key is the total
+      val got = spark.table("totals")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, 3L, 10.0), (2L, 1L, 7.0)))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream join attributes clicks to impressions within the window") {
     import java.sql.Timestamp
     import spark.implicits._
