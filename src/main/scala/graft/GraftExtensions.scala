@@ -20,8 +20,10 @@ import graft.functions.{CosineSimilarity, PairsGenerator, SketchAggs}
   *   SELECT simhash_agg(xxhash64(token)) FROM ... GROUP BY doc_id
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
+  }
 }
 
 object GraftExtensions {
@@ -68,9 +70,16 @@ object GraftExtensions {
         SketchAggs.SimHashAgg(args.head).toAggregateExpression()
       }))
 
-  /** Register on an already-built session (idempotent). */
-  def registerOn(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register on an already-built session (idempotent): SQL functions
+    * via the function registry, the HOF-fusion optimizer rule via
+    * experimental.extraOptimizations (the post-build counterpart of
+    * injectOptimizerRule). */
+  def registerOn(spark: org.apache.spark.sql.SparkSession): Unit = {
     registrations.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.FuseDotProduct
+  }
 }
