@@ -26,15 +26,29 @@ object MediaQueries {
 
     // Batched decode via mapPartitions (stubbed codec) — rows-only.
     "q_media_features" -> QueryDef.unverified(
-      (s, dir) => {
-        import s.implicits._
-        val media = Tables.documents(s, dir).select(
-          col("doc_id").as("media_id"),
-          encode(col("text"), "UTF-8").as("payload"),
-          element_at(array(lit("image"), lit("audio"), lit("video")),
-            (col("doc_id") % 3 + 1).cast("int")).as("format"))
-          .as[Multimodal.MediaRow]
-        Multimodal.extractFeatures(media).toDF()
-      })
+      (s, dir) => features(s, dir)),
+
+    // Frame-sampling plumbing over the decoded features: one row per
+    // sampled frame index, generated BEFORE any per-frame decode so the
+    // expensive stage touches only the sample — rows-only (derives from
+    // the stub codec).
+    "q_media_frames" -> QueryDef.unverified(
+      (s, dir) => Multimodal.sampleFrames(features(s, dir), everyN = 30)),
+
+    // Resize planning (pure column math on decoded dims): box-fit scale
+    // factors the real resizer would apply — rows-only (stub dims).
+    "q_media_resize" -> QueryDef.unverified(
+      (s, dir) => Multimodal.resizePlan(features(s, dir), maxDim = 512))
   )
+
+  private def features(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("format"))
+      .as[Multimodal.MediaRow]
+    Multimodal.extractFeatures(media).toDF()
+  }
 }
