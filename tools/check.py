@@ -34,6 +34,16 @@ def cell(v):
     # repr distinguishes 1 from 1.0 and is bit-faithful for floats.
     return repr(v)
 
+def fast_equal(g, e):
+    for c in g.columns:
+        gc, ec = g[c], e[c]
+        if str(gc.dtype) in ("float64", "float32"):
+            if gc.to_numpy().tobytes() != ec.to_numpy().tobytes():
+                return False
+        elif not gc.equals(ec):
+            return False
+    return True
+
 def diff_rows(g, e):
     for i in range(len(g)):
         gr, er = [cell(x) for x in g.iloc[i]], [cell(x) for x in e.iloc[i]]
@@ -89,7 +99,10 @@ def main(outdir, sfdir):
         elif len(got) != len(exp):
             print(f"FAIL {name}: {len(got)} rows vs oracle {len(exp)}")
             ok = False
-        else:
+        elif not fast_equal(got, exp):
+            # fast path is C-speed and bit-exact (float columns compare as
+            # raw bytes, so -0.0 vs 0.0 and NaN payloads count as diffs);
+            # only walk rows for the error message when something differs
             d0 = diff_rows(got, exp)
             if d0 is not None:
                 i, gr, er = d0
