@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native codegen'd SRP (signed-random-projection) bucket coder over an
   * ARRAY<FLOAT> vector: all `tables` × `planes` hyperplane dot products
@@ -36,24 +36,51 @@ case class SrpCode(child: Expression, flat: Array[Double],
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"srp_code needs ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${other.sql}")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // HOF parity: a NULL vector element — or a vector whose length differs
+  // from dim (zip_with pads the short side with nulls) — makes every
+  // per-plane dot NULL in the composable formulation, and
+  // `when(null >= 0)` falls to the otherwise branch: all bits unset.
+  // Mirror both cases here.
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
-    val n = math.min(dim, a.numElements())
+    val n = a.numElements()
+    val isF = elemIsFloat
+    var hasNull = n != dim
+    var i0 = 0
+    while (i0 < n && !hasNull) { hasNull = a.isNullAt(i0); i0 += 1 }
     val out = new Array[Long](tables)
-    var t = 0
-    while (t < tables) {
-      var code = 0L
-      var p = 0
-      while (p < planes) {
-        val base = (t * planes + p) * dim
-        var dot = 0.0
-        var i = 0
-        while (i < n) { dot += a.getFloat(i).toDouble * flat(base + i); i += 1 }
-        if (dot >= 0.0) code |= (1L << p)
-        p += 1
+    if (!hasNull) {
+      var t = 0
+      while (t < tables) {
+        var code = 0L
+        var p = 0
+        while (p < planes) {
+          val base = (t * planes + p) * dim
+          var dot = 0.0
+          var i = 0
+          while (i < n) {
+            val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+            dot += x * flat(base + i)
+            i += 1
+          }
+          if (dot >= 0.0) code |= (1L << p)
+          p += 1
+        }
+        out(t) = code
+        t += 1
       }
-      out(t) = code
-      t += 1
     }
     new GenericArrayData(out)
   }
@@ -64,21 +91,26 @@ case class SrpCode(child: Expression, flat: Array[Double],
       val out = ctx.freshName("out"); val n = ctx.freshName("n")
       val t = ctx.freshName("t"); val p = ctx.freshName("p"); val i = ctx.freshName("i")
       val code = ctx.freshName("code"); val dot = ctx.freshName("dot")
-      val base = ctx.freshName("base")
+      val base = ctx.freshName("base"); val hasNull = ctx.freshName("hasNull")
+      val get = if (elemIsFloat) s"(double) $a.getFloat" else s"$a.getDouble"
       s"""
+         |int $n = $a.numElements();
+         |boolean $hasNull = $n != $dim;
+         |for (int $i = 0; $i < $n && !$hasNull; $i++) $hasNull = $a.isNullAt($i);
          |long[] $out = new long[$tables];
-         |int $n = java.lang.Math.min($dim, $a.numElements());
-         |for (int $t = 0; $t < $tables; $t++) {
-         |  long $code = 0L;
-         |  for (int $p = 0; $p < $planes; $p++) {
-         |    int $base = ($t * $planes + $p) * $dim;
-         |    double $dot = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $dot += ((double) $a.getFloat($i)) * $mat[$base + $i];
+         |if (!$hasNull) {
+         |  for (int $t = 0; $t < $tables; $t++) {
+         |    long $code = 0L;
+         |    for (int $p = 0; $p < $planes; $p++) {
+         |      int $base = ($t * $planes + $p) * $dim;
+         |      double $dot = 0.0;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        $dot += ($get($i)) * $mat[$base + $i];
+         |      }
+         |      if ($dot >= 0.0) $code |= (1L << $p);
          |    }
-         |    if ($dot >= 0.0) $code |= (1L << $p);
+         |    $out[$t] = $code;
          |  }
-         |  $out[$t] = $code;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

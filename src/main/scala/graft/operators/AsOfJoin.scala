@@ -27,12 +27,19 @@ object AsOfJoin {
   /** Ordering key for the merge: timestamps go through unix_micros —
     * a plain cast("long") truncates to whole seconds, which would make
     * sub-second as-of matching silently wrong. Dates order by epoch
-    * day; numerics are taken as-is. */
+    * day; numerics are taken as-is. TIMESTAMP_NTZ is rejected loudly:
+    * any instant mapping routes it through the session timezone, which
+    * is non-monotonic across DST gaps — callers must convert the wall
+    * clock to an instant (or epoch value) with an explicit zone first. */
   private def orderKey(df: DataFrame, ts: String): org.apache.spark.sql.Column =
     df.schema(ts).dataType match {
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(ts))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        unix_micros(to_utc_timestamp(col(ts), "UTC"))
+        throw new IllegalArgumentException(
+          s"AsOfJoin: column '$ts' is TIMESTAMP_NTZ; convert to TIMESTAMP " +
+            "with an explicit zone (e.g. to_utc_timestamp) or to epoch " +
+            "micros before joining — implicit session-zone conversion is " +
+            "non-monotonic across DST transitions")
       case org.apache.spark.sql.types.DateType => unix_date(col(ts)).cast("long")
       case _ => col(ts).cast("long")
     }

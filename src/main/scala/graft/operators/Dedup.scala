@@ -12,6 +12,21 @@ import graft.functions.TextFns
   */
 object Dedup {
 
+  /** Drop rows of over-full bucket groups: count per bucket key
+    * (map-side combinable, tiny) and semi-join the survivors — a
+    * degenerate bucket of d rows costs O(d) instead of d² downstream.
+    * Shared by the MinHash-LSH and embedding-LSH candidate paths. */
+  private def capBuckets(rows: DataFrame, keys: Seq[String],
+                         maxBucketSize: Option[Int]): DataFrame =
+    maxBucketSize match {
+      case Some(cap) =>
+        val ok = rows.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= cap)
+          .select(keys.map(col): _*)
+        rows.join(ok, keys, "left_semi")
+      case None => rows
+    }
+
   /** Exact dedup: canonical representative (min id) per duplicate group.
     * Plain hash groupBy — partial+final agg, single shuffle on the key. */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
@@ -92,17 +107,7 @@ object Dedup {
         // input is supported by HashExpression) salted with the band index
         b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b)))
         .as(Seq("band", "band_hash")))
-    val pruned = maxBucketSize match {
-      case Some(cap) =>
-        // Count per bucket (map-side combinable, tiny) and semi-join the
-        // survivors — the oversized bucket's rows never reach the pair
-        // join, so a degenerate bucket costs O(d), not O(d²).
-        val ok = banded.groupBy(col("band"), col("band_hash"))
-          .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= cap)
-          .select(col("band"), col("band_hash"))
-        banded.join(ok, Seq("band", "band_hash"), "left_semi")
-      case None => banded
-    }
+    val pruned = capBuckets(banded, Seq("band", "band_hash"), maxBucketSize)
     val l = pruned.select(col(idCol).as("id1"), col("sig").as("sig1"), col("band"), col("band_hash"))
     val r = pruned.select(col(idCol).as("id2"), col("sig").as("sig2"), col("band"), col("band_hash"))
     l.join(r, Seq("band", "band_hash"))
@@ -166,17 +171,9 @@ object Dedup {
     val coded = base
       .select(col("id"), posexplode(
         Similarity.srpBuckets(col("vec"), dim, planes, tables)).as(Seq("table", "bucket")))
-    val kept = maxBucketSize match {
-      case Some(cap) =>
-        // Drop over-full buckets before collect_list so the giant id
-        // array never materializes on any task (count agg is map-side
-        // combinable; semi-join is co-partitioned with the groupBy key).
-        val ok = coded.groupBy(col("table"), col("bucket"))
-          .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= cap)
-          .select(col("table"), col("bucket"))
-        coded.join(ok, Seq("table", "bucket"), "left_semi")
-      case None => coded
-    }
+    // cap applies BEFORE collect_list so the giant id array of a hot
+    // bucket never materializes on any task
+    val kept = capBuckets(coded, Seq("table", "bucket"), maxBucketSize)
     val candidates = kept
       .groupBy(col("table"), col("bucket"))
       .agg(collect_list(col("id")).as("ids"))

@@ -55,6 +55,12 @@ object FuseDotProduct extends Rule[LogicalPlan] {
           LambdaFunction(add: Add, aArgs, _),
           LambdaFunction(fin: NamedLambdaVariable, fArgs, _))
         if supportedElem(a) && supportedElem(b) &&
+          // the multiply itself must run in DOUBLE precision (casts
+          // present, or double inputs): a float×float multiply rounds
+          // to float before widening, and the fused kernel's double
+          // multiply would change low bits — skip those, bit-identity
+          // is the rule's contract
+          m.dataType == DoubleType &&
           usesBothVars(m.left, m.right, mArgs) &&
           usesBothVars(add.left, add.right, aArgs) &&
           fArgs.collect { case v: NamedLambdaVariable => v.exprId }.contains(fin.exprId) =>

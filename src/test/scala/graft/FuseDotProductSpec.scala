@@ -60,6 +60,18 @@ class FuseDotProductSpec extends SparkSpec {
     assert(run(fused = true) == expected)
   }
 
+  test("float-precision multiplies are NOT rewritten (bit-identity guard)") {
+    withRule {
+      // no casts: the multiply runs in FLOAT precision in the HOF plan;
+      // the fused double-multiply kernel would change low bits
+      val q = emb.select(aggregate(
+        zip_with(col("embedding"), col("embedding"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+      assert(!q.queryExecution.optimizedPlan.toString.contains("dot_product"))
+      assert(q.count() == 50)
+    }
+  }
+
   test("non-dot aggregates are left alone") {
     withRule {
       // a fold that SUMS (no multiply) must not be rewritten

@@ -45,11 +45,16 @@ class PlanAuditSpec extends SparkSpec {
   test("q_tpch_q18: lineitem aggregates below the joins; top-100 has no global sort") {
     val p = planOf("q_tpch_q18")
     assert(p.contains("TakeOrderedAndProject"))
-    // the quantity HAVING must run before any join: the aggregate's
-    // filter appears under HashAggregate, not above a join output
+    // the quantity HAVING must run BELOW the joins: plan strings print
+    // parents first, so the aggregate's first occurrence must come
+    // after the first join operator (above-join aggregation would put
+    // a HashAggregate before every join line)
     val aggIdx = p.indexOf("HashAggregate")
-    val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("BroadcastHashJoin"))
+    val joinIdx = Seq(p.indexOf("SortMergeJoin"), p.indexOf("BroadcastHashJoin"))
+      .filter(_ >= 0).minOption.getOrElse(-1)
     assert(aggIdx >= 0 && joinIdx >= 0)
+    assert(aggIdx > joinIdx,
+      s"quantity aggregate is not below the joins (agg@$aggIdx join@$joinIdx)")
     assert(p.contains("total_qty"), "pre-join quantity aggregate missing")
   }
 

@@ -19,6 +19,37 @@ class SrpSpec extends SparkSpec {
     assert(native.count() > 0)
   }
 
+  test("SrpCode handles ARRAY<DOUBLE> and matches the HOF coder there too") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 40L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
+      .toDF("id", "v")
+    val native = df.select(col("id"), Similarity.srpBuckets(col("v"), 16, 4, 8).as("c"))
+    val hof = df.select(col("id"), Similarity.srpBucketsHof(col("v"), 16, 4, 8).as("c"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
+  test("SrpCode matches HOF on null elements and length mismatches (all bits unset)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array[java.lang.Double](1.0, null, 3.0, 4.0)), // null element
+      (2L, Array[java.lang.Double](1.0, 2.0))              // shorter than dim
+    ).toDF("id", "v")
+    val native = df.select(col("id"), Similarity.srpBuckets(col("v"), 4, 3, 2).as("c"))
+    val hof = df.select(col("id"), Similarity.srpBucketsHof(col("v"), 4, 3, 2).as("c"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    val codes = native.collect().map(_.getSeq[Long](1)).toSeq
+    assert(codes.forall(_.forall(_ == 0L)), s"expected all-zero codes, got $codes")
+  }
+
+  test("SrpCode rejects non-numeric-array input at analysis") {
+    import spark.implicits._
+    val df = Seq((1L, Array("a", "b"))).toDF("id", "v")
+    intercept[Exception] {
+      df.select(graft.functions.SrpCode(col("v"), Array.fill(4)(0.5), 2, 1, 2)).collect()
+    }
+  }
+
   test("SrpCode validates the hyperplane matrix size") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")

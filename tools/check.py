@@ -109,7 +109,12 @@ def main(outdir, sfdir):
                 print(f"FAIL {name}: first diff at sorted-row {i}:")
                 print(f"  spark : {gr}")
                 print(f"  oracle: {er}")
-                ok = False
+            else:
+                # bytes differ but repr can't show it (e.g. NaN payload,
+                # -0.0): still a mismatch for a byte-level hash gate
+                print(f"FAIL {name}: float columns differ at byte level "
+                      f"(repr-identical — NaN payload or signed zero)")
+            ok = False
         if ok:
             n_pass += 1
             print(f"  {name:28s} OK ({len(got)} rows)")
