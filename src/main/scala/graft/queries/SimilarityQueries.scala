@@ -48,11 +48,15 @@ object SimilarityQueries {
     // filter) — rows-only (bucketing is engine-seeded); recall vs the
     // exact pass is pinned in SimilaritySpec. Threshold 0.4 is the
     // operating point for THIS corpus (random embeddings top out at
-    // cosine ~0.51); real near-dup corpora run 0.9+.
+    // cosine ~0.51); real near-dup corpora run 0.9+. The bucket cap is
+    // the production posture against degenerate mass-duplicate inputs
+    // (a no-op on this corpus — buckets are orders of magnitude
+    // smaller — so rows are unchanged at any tested SF).
     "q_embed_neardup" -> QueryDef.unverified(
       (s, dir) => graft.operators.Dedup.embeddingNearDups(
         Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64,
-        threshold = 0.4, planes = 4, tables = 16)),
+        threshold = 0.4, planes = 4, tables = 16,
+        maxBucketSize = Some(100000))),
 
     "q_ann_lsh" -> QueryDef.unverified(
       (s, dir) => {
