@@ -22,10 +22,21 @@ object Bench {
     // measure the engine, not Janino bootstrap on whichever query
     // happens to iterate first
     spark.range(1000).selectExpr("sum(id)").collect()
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A crashing query must surface as a failure, not a bogus timing: a
+    // regression could otherwise read as a speedup. Failed runs report
+    // -1 and are excluded from the totals; the `failed` list is the
+    // loud signal.
+    def time(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          -1.0
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // let the async ContextCleaner catch up between queries: 118 query
@@ -33,15 +44,16 @@ object Bench {
       // refs until late queries stall on GC mid-measurement (observed
       // 2.5 s → 17.8 s on the same query)
       System.gc()
-      val cold = time(fn)
-      val steady = time(fn)
+      val cold = time(name, fn)
+      val steady = if (cold < 0) -1.0 else time(name, fn)
       name -> (cold, steady)
     }
     def jsonMap(sel: ((Double, Double)) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
-    val totalCold = results.values.map(_._1).sum
-    val totalSteady = results.values.map(_._2).sum
-    println(s"""{"metric":"total","value":$totalSteady,"unit":"sec","total_cold":$totalCold,"queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, (c, s)) if c < 0 || s < 0 => s"\"$k\"" }
+    val totalCold = results.values.map(_._1).filter(_ >= 0).sum
+    val totalSteady = results.values.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$totalSteady,"unit":"sec","total_cold":$totalCold,"failed":${failed.mkString("[", ",", "]")},"queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,10 +35,26 @@ object ColFns {
     * HALF_UP and pads ("2.00", "0.50"). bround gives the half-even
     * rounding; the decimal cast keeps plain notation (a double→string
     * cast switches to scientific at 1e7); the regex trims the zeros.
-    * Presentation-layer only — data paths keep full-precision fractions. */
-  def refFormat(c: Column, scale: Int): Column =
-    regexp_replace(bround(c, scale).cast(DecimalType(20, scale)).cast("string"),
-      "\\.?0+$", "")
+    * scale >= 1 is required: at scale 0 the trailing-zero regex would
+    * eat significant zeros ("100" → "1") — use a plain decimal cast for
+    * integer formats. Negatives rounding to zero keep their sign
+    * ("-0.001" → "-0"), matching DecimalFormat, which formats from the
+    * IEEE sign bit; the decimal cast loses it ("0"), so it is restored
+    * from the input's own string form. Known divergence (pinned in
+    * QuirksSpec Q3d): doubles whose SHORTEST decimal repr is an exact
+    * half at the target scale (e.g. -0.005) round half-even on that
+    * repr here, while DecimalFormat rounds the exact binary expansion.
+    * Presentation-layer only — data paths keep full-precision
+    * fractions. */
+  def refFormat(c: Column, scale: Int): Column = {
+    require(scale >= 1,
+      s"refFormat needs scale >= 1 (trailing-zero trim is unsound at scale 0), got $scale")
+    val trimmed =
+      regexp_replace(bround(c, scale).cast(DecimalType(20, scale)).cast("string"),
+        "\\.?0+$", "")
+    when(trimmed === "0" && c.cast("string").startsWith("-"), lit("-0"))
+      .otherwise(trimmed)
+  }
 
   /** Timestamp literal matching the column's actual type (the driver
     * parquet may surface as TIMESTAMP or TIMESTAMP_NTZ depending on

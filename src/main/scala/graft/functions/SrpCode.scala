@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
@@ -48,12 +50,23 @@ case class SrpCode(child: Expression, flat: Array[Double],
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  // HOF parity: a NULL vector element — or a vector whose length differs
-  // from dim (zip_with pads the short side with nulls) — makes every
-  // per-plane dot NULL in the composable formulation, and
-  // `when(null >= 0)` falls to the otherwise branch: all bits unset.
-  // Mirror both cases here.
-  override def nullSafeEval(v: Any): Any = {
+  // HOF parity: a NULL vector, a NULL vector element, or a vector whose
+  // length differs from dim (zip_with pads the short side with nulls)
+  // all make every per-plane dot NULL in the composable formulation,
+  // and `when(null >= 0)` falls to the otherwise branch: all bits
+  // unset. Mirror all three here — including the NULL-input case, so
+  // this expression is never null and NULL-vector rows keep flowing
+  // into bucket 0 of every LSH table instead of being dropped by
+  // posexplode.
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(new Array[Long](tables))
+    else evalNonNull(v)
+  }
+
+  private def evalNonNull(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
     val isF = elemIsFloat
@@ -85,36 +98,49 @@ case class SrpCode(child: Expression, flat: Array[Double],
     new GenericArrayData(out)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val mat = ctx.addReferenceObj("srpPlanes", flat, "double[]")
-      val out = ctx.freshName("out"); val n = ctx.freshName("n")
-      val t = ctx.freshName("t"); val p = ctx.freshName("p"); val i = ctx.freshName("i")
-      val code = ctx.freshName("code"); val dot = ctx.freshName("dot")
-      val base = ctx.freshName("base"); val hasNull = ctx.freshName("hasNull")
-      val get = if (elemIsFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Not nullSafeCodeGen: a NULL input must still produce the all-zero
+    // code array (see eval), so the child's null flag only skips the
+    // dot-product loop, never the output assignment.
+    val childGen = child.genCode(ctx)
+    val a = childGen.value
+    val mat = ctx.addReferenceObj("srpPlanes", flat, "double[]")
+    val out = ctx.freshName("out"); val n = ctx.freshName("n")
+    val t = ctx.freshName("t"); val p = ctx.freshName("p"); val i = ctx.freshName("i")
+    val code = ctx.freshName("code"); val dot = ctx.freshName("dot")
+    val base = ctx.freshName("base"); val hasNull = ctx.freshName("hasNull")
+    val get = if (elemIsFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+    val body =
       s"""
-         |int $n = $a.numElements();
-         |boolean $hasNull = $n != $dim;
-         |for (int $i = 0; $i < $n && !$hasNull; $i++) $hasNull = $a.isNullAt($i);
          |long[] $out = new long[$tables];
-         |if (!$hasNull) {
-         |  for (int $t = 0; $t < $tables; $t++) {
-         |    long $code = 0L;
-         |    for (int $p = 0; $p < $planes; $p++) {
-         |      int $base = ($t * $planes + $p) * $dim;
-         |      double $dot = 0.0;
-         |      for (int $i = 0; $i < $n; $i++) {
-         |        $dot += ($get($i)) * $mat[$base + $i];
+         |if (!${childGen.isNull}) {
+         |  int $n = $a.numElements();
+         |  boolean $hasNull = $n != $dim;
+         |  for (int $i = 0; $i < $n && !$hasNull; $i++) $hasNull = $a.isNullAt($i);
+         |  if (!$hasNull) {
+         |    for (int $t = 0; $t < $tables; $t++) {
+         |      long $code = 0L;
+         |      for (int $p = 0; $p < $planes; $p++) {
+         |        int $base = ($t * $planes + $p) * $dim;
+         |        double $dot = 0.0;
+         |        for (int $i = 0; $i < $n; $i++) {
+         |          $dot += ($get($i)) * $mat[$base + $i];
+         |        }
+         |        if ($dot >= 0.0) $code |= (1L << $p);
          |      }
-         |      if ($dot >= 0.0) $code |= (1L << $p);
+         |      $out[$t] = $code;
          |    }
-         |    $out[$t] = $code;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
-    })
+    ev.copy(
+      code = childGen.code + code"""
+        $body
+        org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SrpCode =
     copy(child = newChild)

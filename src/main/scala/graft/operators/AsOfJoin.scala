@@ -44,8 +44,24 @@ object AsOfJoin {
       case _ => col(ts).cast("long")
     }
 
+  /** The unit family an orderKey value lives in — both sides must agree
+    * or the merge compares incompatible scales (micros vs epoch days)
+    * and silently mis-orders. */
+  private def orderUnit(df: DataFrame, ts: String): String =
+    df.schema(ts).dataType match {
+      case org.apache.spark.sql.types.TimestampType => "epoch-micros"
+      case org.apache.spark.sql.types.DateType => "epoch-days"
+      // all numerics go through the same cast("long") — one family
+      case _ => "numeric"
+    }
+
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightPrefix: String = "r_"): DataFrame = {
+    val (lu, ru) = (orderUnit(left, ts), orderUnit(right, ts))
+    require(lu == ru,
+      s"AsOfJoin: '$ts' resolves to different order units on the two sides " +
+        s"(left $lu vs right $ru) — the merge would compare incompatible " +
+        "scales; cast both sides to the same temporal/numeric type first")
     val rStructCols = right.columns.filterNot(_ == key).map(col)
     val rStructType = right.select(struct(rStructCols: _*).as("_r")).schema("_r").dataType
 

@@ -20,22 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
-  /** @param df       input with (keyCol, idCol, tsCol) — tsCol must be a
-    *                 NON-NEGATIVE integral epoch value in the same unit
-    *                 as windowUs (`div` truncates toward zero, so
-    *                 negative timestamps would mis-bucket)
+  /** @param df       input with (keyCol, idCol, tsCol) — tsCol is an
+    *                 integral epoch value in the same unit as windowUs;
+    *                 any sign (bucketing is true floor division, so
+    *                 negative epochs land in the right bucket too)
     * @param windowUs max ts2 − ts1 for a pair (inclusive); also the
     *                 bucket width */
   def selfPairs(df: DataFrame, keyCol: String, idCol: String, tsCol: String,
                 windowUs: Long): DataFrame = {
     require(windowUs > 0, s"window must be positive, got $windowUs")
     val base = df.select(col(keyCol).as("_k"), col(idCol).as("_id"), col(tsCol).as("_ts"))
+    // True floor division: `div` truncates toward zero, which for a
+    // negative ts not on a bucket boundary lands one bucket too high and
+    // silently drops pairs that straddle it. (ts % W + W) % W is the
+    // non-negative remainder, so subtracting it yields the greatest
+    // multiple of W <= ts — exact floor(ts/W) for either sign, with no
+    // double-precision detour.
+    val bucket = expr(s"(_ts - (_ts % $windowUs + $windowUs) % $windowUs) div $windowUs")
     // left rows fan out to their own and the successor bucket; right rows
     // stay in their own bucket → equality join on (_k, _b) is exact
     val l = base.select(col("_k"), col("_id").as("_id1"), col("_ts").as("_ts1"),
-        explode(array(expr(s"_ts div ${windowUs}"), expr(s"_ts div ${windowUs} + 1"))).as("_b"))
+        explode(array(bucket, bucket + lit(1L))).as("_b"))
     val r = base.select(col("_k"), col("_id").as("_id2"), col("_ts").as("_ts2"),
-      expr(s"_ts div ${windowUs}").as("_b"))
+      bucket.as("_b"))
     l.join(r, Seq("_k", "_b"))
       .filter((col("_ts2") > col("_ts1") ||
         (col("_ts2") === col("_ts1") && col("_id2") > col("_id1"))) &&

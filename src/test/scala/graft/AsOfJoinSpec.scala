@@ -36,4 +36,16 @@ class AsOfJoinSpec extends SparkSpec {
       .select("ev", "r_v").collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out == Map("early" -> "q1", "late" -> "q2"))
   }
+
+  test("backward as-of rejects mismatched order-key families (timestamp vs date)") {
+    import spark.implicits._
+    // left micros vs right epoch-days would merge on incompatible scales
+    // and silently put every date "before" every timestamp — refuse loudly
+    val left = Seq((1L, new java.sql.Timestamp(1700000000000L), "e")).toDF("k", "ts", "ev")
+    val right = Seq((1L, java.sql.Date.valueOf("2023-11-14"), "v")).toDF("k", "ts", "v")
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, "k", "ts")
+    }
+    assert(ex.getMessage.contains("order units"))
+  }
 }

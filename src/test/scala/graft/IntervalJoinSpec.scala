@@ -52,4 +52,26 @@ class IntervalJoinSpec extends SparkSpec {
     val out = IntervalJoin.selfPairs(ev, "user_id", "event_id", "ts_us", 100L)
     assert(out.count() == 1999L)
   }
+
+  test("negative epochs bucket by true floor division — pairs across zero are exact") {
+    import spark.implicits._
+    // straddle-zero fixture: (-150,-50) and (-50,40) are within the
+    // window, (40,160) is not; plus a dense two-sided sweep checked
+    // pair-for-pair against the naive join
+    val fx = Seq((1L, 1L, -150L), (1L, 2L, -50L), (1L, 3L, 40L), (1L, 4L, 160L))
+      .toDF("user_id", "event_id", "ts_us")
+    val got = IntervalJoin.selfPairs(fx, "user_id", "event_id", "ts_us", 100L)
+      .select("event_id1", "event_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 3L)))
+
+    val rnd = new scala.util.Random(11)
+    val sweep = (1L to 400L).map(i => (i % 3, i, rnd.between(-500L, 500L)))
+      .toDF("user_id", "event_id", "ts_us")
+    val bucketed = IntervalJoin.selfPairs(sweep, "user_id", "event_id", "ts_us", 100L)
+      .select("user_id", "event_id1", "event_id2")
+    val expected = naive(sweep, 100L)
+    assert(bucketed.exceptAll(expected).isEmpty && expected.exceptAll(bucketed).isEmpty)
+    assert(bucketed.count() > 0)
+  }
 }

@@ -85,4 +85,39 @@ class QuirksSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(got == expected, s"\nspark: $got\njava : $expected")
   }
+
+  test("Q3c: negatives rounding to zero keep their sign ('-0'); scale 0 is rejected") {
+    // DecimalFormat formats from the IEEE sign bit, so anything negative
+    // that rounds to zero prints "-0" — the decimal cast in refFormat
+    // loses that sign and must restore it. And at scale 0 the
+    // trailing-zero trim would corrupt integers ("100" → "1"), so the
+    // helper refuses outright.
+    val vals = Seq(-0.001, -0.004999, -1.0049, -123.456, -0.0, -100.0)
+    val df = new java.text.DecimalFormat("###.##",
+      java.text.DecimalFormatSymbols.getInstance(java.util.Locale.ROOT))
+    val expected = vals.map(df.format)
+    val got = vals.toDF("v")
+      .select(graft.functions.ColFns.refFormat(col("v"), 2).as("s"))
+      .as[String].collect().toSeq
+    assert(got == expected, s"\nspark: $got\njava : $expected")
+    intercept[IllegalArgumentException] {
+      graft.functions.ColFns.refFormat(col("v"), 0)
+    }
+  }
+
+  test("Q3d: known divergence — exact-half shortest-repr doubles round on different views") {
+    // Spark's bround rounds the double's SHORTEST decimal repr
+    // (BigDecimal.valueOf: "-0.005" is an exact half → half-even → -0.00)
+    // while DecimalFormat rounds the exact binary expansion
+    // (-0.005000…104 is over half → -0.01). This only bites doubles
+    // whose shortest repr is an exact half at the target scale — pin the
+    // divergence so a change in either engine surfaces here.
+    val fmt = new java.text.DecimalFormat("###.##",
+      java.text.DecimalFormatSymbols.getInstance(java.util.Locale.ROOT))
+    assert(fmt.format(-0.005) == "-0.01")
+    val got = Seq(-0.005).toDF("v")
+      .select(graft.functions.ColFns.refFormat(col("v"), 2).as("s"))
+      .as[String].collect().head
+    assert(got == "-0")
+  }
 }

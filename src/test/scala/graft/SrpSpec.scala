@@ -42,6 +42,23 @@ class SrpSpec extends SparkSpec {
     assert(codes.forall(_.forall(_ == 0L)), s"expected all-zero codes, got $codes")
   }
 
+  test("SrpCode matches HOF on a NULL input vector (all bits unset, never null)") {
+    import spark.implicits._
+    // the HOF formulation's when(null >= 0) falls through to 0 for every
+    // plane, so a NULL vector gets the all-zero code array — it must
+    // land in bucket 0 of every LSH table, not be dropped by posexplode
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 3.0f, 0.5f)),
+      (2L, null.asInstanceOf[Array[Float]])
+    ).toDF("id", "v")
+    val native = df.select(col("id"), Similarity.srpBuckets(col("v"), 4, 3, 2).as("c"))
+    val hof = df.select(col("id"), Similarity.srpBucketsHof(col("v"), 4, 3, 2).as("c"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    assert(native.filter(col("c").isNull).count() == 0)
+    val nullRow = native.filter(col("id") === 2L).collect().head.getSeq[Long](1)
+    assert(nullRow == Seq(0L, 0L), s"expected all-zero codes for NULL vector, got $nullRow")
+  }
+
   test("SrpCode rejects non-numeric-array input at analysis") {
     import spark.implicits._
     val df = Seq((1L, Array("a", "b"))).toDF("id", "v")
