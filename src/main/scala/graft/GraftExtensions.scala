@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopKPerKey)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
 
@@ -71,15 +73,22 @@ object GraftExtensions {
       }))
 
   /** Register on an already-built session (idempotent): SQL functions
-    * via the function registry, the HOF-fusion optimizer rule via
-    * experimental.extraOptimizations (the post-build counterpart of
-    * injectOptimizerRule). */
+    * via the function registry, the optimizer rules via
+    * experimental.extraOptimizations, and the TopKPerKey planner
+    * strategy via experimental.extraStrategies (the post-build
+    * counterparts of injectOptimizerRule / injectPlannerStrategy). */
   def registerOn(spark: org.apache.spark.sql.SparkSession): Unit = {
     registrations.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseDotProduct))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.FuseDotProduct
+    val rules = Seq(graft.plans.FuseDotProduct, graft.plans.PushFilterThroughTopKPerKey)
+    rules.foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
   }
 }

@@ -27,4 +27,27 @@ object TopK {
     df.withColumn(rankName, row_number().over(w).cast("long"))
       .filter(col(rankName) <= k)
   }
+
+  /** Same top-k-per-group capability on the native whole-operator path
+    * ([[graft.plans.TopKPerKeyNode]] → TopKPerKeyStrategy →
+    * TopKPerKeyExec): bounded heaps instead of sorts on both sides of
+    * the exchange, with the partial phase shrinking the shuffle to ≤ k
+    * rows per key per map partition. Same (orderCol desc, tieBreak asc)
+    * semantics as [[perGroup]] minus the rank column; row sets are
+    * identical when the tie-break is total (pinned in TopKNativeSpec).
+    */
+  def perGroupNative(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                     tieBreak: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    graft.GraftExtensions.registerOn(df.sparkSession)
+    // genuine UnresolvedAttributes (not Column wrappers, whose Spark-4
+    // ColumnNodeExpression the analyzer only converts on the Dataset API
+    // path) — generic ResolveReferences resolves these inside the node
+    val keys = groupCols.map(UnresolvedAttribute.quoted)
+    val order = SortOrder(UnresolvedAttribute.quoted(orderCol), Descending) +:
+      tieBreak.map(c => SortOrder(UnresolvedAttribute.quoted(c), Ascending))
+    PlanBridge.wrapUnary(df, child => graft.plans.TopKPerKeyNode(keys, order, k, child))
+  }
 }

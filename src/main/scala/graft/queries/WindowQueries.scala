@@ -45,6 +45,23 @@ object WindowQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""),
 
+    // Per-key top-k on the native whole-operator path (custom logical
+    // node → TopKPerKeyStrategy → two-phase TopKPerKeyExec): bounded
+    // heaps on both sides of the exchange instead of sorts, with the
+    // partial phase shrinking the shuffle to ≤ k rows per key per map
+    // partition. Same row sets as the window/rank formulation (pinned
+    // in TopKNativeSpec) — here checked against the DuckDB rank oracle.
+    "q_topk_native" -> QueryDef(
+      (s, dir) => graft.operators.TopK.perGroupNative(
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"), "o_totalprice", Seq("o_orderkey"), k = 3),
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3"""),
+
     // Per-customer order sequence: rank + running spend. The running sum
     // is decimal-exact (see class doc), surfaced as double.
     "q_window_running" -> QueryDef(

@@ -66,4 +66,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("DataFilters: [isnotnull(l_quantity"))
     assert(p.contains("(l_shipdate"))
   }
+
+  test("q_topk_native: partial heap below the key exchange, final above, no sorts") {
+    val p = planOf("q_topk_native")
+    assert(p.contains("TopKPerKeyExec(partial"), p)
+    assert(p.contains("TopKPerKeyExec(final"), p)
+    val ex = p.indexOf("Exchange hashpartitioning(o_custkey")
+    assert(ex >= 0, "key exchange missing")
+    assert(p.indexOf("TopKPerKeyExec(final") < ex && ex < p.indexOf("TopKPerKeyExec(partial"),
+      "phases not split across the exchange")
+    assert(!p.contains("Sort "), s"native top-k must not sort:\n$p")
+  }
 }

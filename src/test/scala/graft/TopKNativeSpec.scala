@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TopK
+
+/** The native whole-operator top-k (logical node → strategy → two-phase
+  * exec) must be row-set identical to the window/rank formulation, plan
+  * as partial → exchange → final, and accept key-predicate pushdown
+  * from its optimizer rule.
+  */
+class TopKNativeSpec extends SparkSpec {
+
+  test("native == window top-k on driver orders (sf0.001)") {
+    val o = Tables.orders(spark, sf001)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val native = TopK.perGroupNative(o, Seq("o_custkey"),
+      "o_totalprice", Seq("o_orderkey"), k = 3)
+    val window = TopK.perGroup(o, Seq(col("o_custkey")),
+      col("o_totalprice"), Seq(col("o_orderkey")), k = 3).drop("rn")
+    assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty)
+    assert(native.count() > 0)
+  }
+
+  test("ties, k larger than the group, and multi-column keys") {
+    import spark.implicits._
+    val df = Seq(
+      // key (1,"a"): scores 5,5,3 with ids 1,2,3 — tie at 5 broken by id
+      (1, "a", 1L, 5.0), (1, "a", 2L, 5.0), (1, "a", 3L, 3.0),
+      // key (1,"b"): single row, k exceeds group size
+      (1, "b", 4L, 9.0),
+      // key (2,"a"): all equal scores — tie-break alone decides
+      (2, "a", 5L, 1.0), (2, "a", 6L, 1.0), (2, "a", 7L, 1.0)
+    ).toDF("k1", "k2", "id", "score")
+    val got = TopK.perGroupNative(df, Seq("k1", "k2"),
+      "score", Seq("id"), k = 2)
+      .select("k1", "k2", "id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1, "a", 1L), (1, "a", 2L), (1, "b", 4L),
+      (2, "a", 5L), (2, "a", 6L)))
+  }
+
+  test("plans as partial heap -> exchange -> final heap, no sorts") {
+    val o = Tables.orders(spark, sf001)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val q = TopK.perGroupNative(o, Seq("o_custkey"),
+      "o_totalprice", Seq("o_orderkey"), k = 3)
+    q.collect() // materialize so AQE finalizes the physical plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyExec(partial"), plan)
+    assert(plan.contains("TopKPerKeyExec(final"), plan)
+    assert(plan.contains("Exchange hashpartitioning(o_custkey"), plan)
+    assert(!plan.contains("Sort "), s"native top-k must not sort:\n$plan")
+  }
+
+  test("optimizer rule pushes key-only filters below the node, keeps the rest above") {
+    val o = Tables.orders(spark, sf001)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val q = TopK.perGroupNative(o, Seq("o_custkey"),
+      "o_totalprice", Seq("o_orderkey"), k = 3)
+      .filter(col("o_custkey") < 100 && col("o_totalprice") > 1000.0)
+    val optimized = q.queryExecution.optimizedPlan
+    // key predicate descends to the scan side; value predicate stays above
+    val nodeStr = optimized.toString
+    val idxTopK = nodeStr.indexOf("TopKPerKeyNode")
+    val idxKeyPred = nodeStr.indexOf("o_custkey#", nodeStr.indexOf("Filter", idxTopK))
+    assert(idxTopK >= 0, nodeStr)
+    assert(nodeStr.indexOf("Filter") < idxTopK, s"value filter must stay above:\n$nodeStr")
+    assert(idxKeyPred > idxTopK, s"key filter must be below the node:\n$nodeStr")
+    // and the pushed-down result is still correct
+    val expected = TopK.perGroup(
+      o.filter(col("o_custkey") < 100), Seq(col("o_custkey")),
+      col("o_totalprice"), Seq(col("o_orderkey")), k = 3).drop("rn")
+      .filter(col("o_totalprice") > 1000.0)
+    assert(q.exceptAll(expected).isEmpty && expected.exceptAll(q).isEmpty)
+  }
+
+  test("NULL order values rank like the window formulation (nulls last on desc)") {
+    import spark.implicits._
+    val df = Seq[(Int, Long, java.lang.Double)](
+      (1, 1L, 2.0), (1, 2L, null), (1, 3L, 1.0), (1, 4L, null)
+    ).toDF("k", "id", "score")
+    val native = TopK.perGroupNative(df, Seq("k"), "score", Seq("id"), 3)
+    val window = TopK.perGroup(df, Seq(col("k")), col("score"), Seq(col("id")), 3).drop("rn")
+    assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty)
+  }
+}
