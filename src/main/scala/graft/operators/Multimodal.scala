@@ -22,18 +22,28 @@ object Multimodal {
   /** A media row: opaque payload + source metadata. */
   final case class MediaRow(media_id: Long, payload: Array[Byte], format: String)
 
-  /** Decoded, model-ready features (stub fields). */
-  final case class MediaFeatures(media_id: Long, byte_len: Int, format: String,
-                                 width: Int, height: Int, n_frames: Int)
+  /** Decoded, model-ready features (stub fields). Integral fields are
+    * Long so downstream outputs hash against BIGINT oracle columns. */
+  final case class MediaFeatures(media_id: Long, byte_len: Long, format: String,
+                                 width: Long, height: Long, n_frames: Long)
 
-  /** REAL CODEC GOES HERE. Deterministic fake: features derived from the
-    * payload bytes so tests are stable. A production build replaces this
-    * one function with e.g. a libjpeg/ffmpeg binding. */
-  private def decodeStub(payload: Array[Byte], format: String): (Int, Int, Int) = {
-    val h = java.util.Arrays.hashCode(payload)
-    val w = 64 + math.floorMod(h, 1024)
-    val ht = 64 + math.floorMod(h >> 10, 1024)
-    val frames = if (format == "video") 1 + math.floorMod(h >> 20, 240) else 1
+  /** REAL CODEC GOES HERE. Deterministic fake: dimensions derived from
+    * the md5 of the payload bytes — the same 60-bit portable base hash
+    * as [[Dedup.portableHash64]] (first 15 hex chars of the digest as an
+    * integer), so a DuckDB oracle reproduces width/height/n_frames
+    * exactly. A production build replaces this one function with e.g. a
+    * libjpeg/ffmpeg binding. */
+  private def decodeStub(md: java.security.MessageDigest,
+                         payload: Array[Byte], format: String): (Long, Long, Long) = {
+    md.reset()
+    val d = md.digest(payload)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h = h >>> 4 // first 15 hex nibbles = 60 bits, always non-negative
+    val w = 64 + h % 1024
+    val ht = 64 + (h >> 10) % 1024
+    val frames = if (format == "video") 1 + (h >> 20) % 240 else 1L
     (w, ht, frames)
   }
 
@@ -43,9 +53,10 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition init happens here (decoder context, model weights)
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val (w, h, f) = decodeStub(r.payload, r.format)
-        MediaFeatures(r.media_id, r.payload.length, r.format, w, h, f)
+        val (w, h, f) = decodeStub(md, r.payload, r.format)
+        MediaFeatures(r.media_id, r.payload.length.toLong, r.format, w, h, f)
       }
     }
   }
@@ -57,7 +68,7 @@ object Multimodal {
   def sampleFrames(features: DataFrame, everyN: Int): DataFrame =
     features.select(
       col("media_id"), col("n_frames"),
-      explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))).as("frame_idx"))
+      explode(sequence(lit(0L), col("n_frames") - 1, lit(everyN.toLong))).as("frame_idx"))
 
   /** Resize planning (pure column math, no decode): target box fit with
     * aspect preserved; emits the scale factor the real resizer would use. */
@@ -69,8 +80,8 @@ object Multimodal {
     features.select(
       col("media_id"), col("width"), col("height"),
       scale.as("scale"),
-      floor(col("width") * scale).cast("int").as("resized_w"),
-      floor(col("height") * scale).cast("int").as("resized_h"))
+      floor(col("width") * scale).cast("long").as("resized_w"),
+      floor(col("height") * scale).cast("long").as("resized_h"))
   }
 
   /** Column-level metadata pass (no decode): cheap filters a curation

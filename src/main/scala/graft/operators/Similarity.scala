@@ -52,8 +52,12 @@ object Similarity {
   }
 
   /** Fixed-seed random hyperplanes for signed-random-projection LSH
-    * (tables × planes of them — one independent bucket code per table). */
-  private def hyperplanes(dim: Int, planes: Int, tables: Int): Array[Array[Array[Double]]] = {
+    * (tables × planes of them — one independent bucket code per table).
+    * `private[graft]` so the oracle SQL can interpolate the SAME
+    * constants into DuckDB literal lists (the SigList technique) —
+    * determinism of the seeded stream is what makes SRP bucketing
+    * cross-engine replayable. */
+  private[graft] def hyperplanes(dim: Int, planes: Int, tables: Int): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(42)
     Array.fill(tables, planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
@@ -92,8 +96,10 @@ object Similarity {
     * centroids (constant-sized build side) + rank-1 window; the search
     * join is keyed on cell id — candidates ≈ corpus·nprobe/nlist per
     * query. Centroid low bits can vary across cluster topologies (float
-    * reduction order in KMeans), so this op is rows-only for the oracle;
-    * recall vs brute force is pinned in SimilaritySpec.
+    * reduction order in KMeans), so the end-to-end TRAINING path cannot
+    * be oracle-hashed; recall vs brute force is pinned in
+    * SimilaritySpec. The serving path ([[ivfTopKFrozen]]) freezes the
+    * trained centroids as constants and IS oracle-verified (q_ann_ivf).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
@@ -107,6 +113,22 @@ object Similarity {
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }.toSeq
+    ivfSearch(corpus, queries, idCol, vecCol, k, nprobe, centroids)
+  }
+
+  /** IVF search against a FROZEN quantizer — the production "train once,
+    * serve many" posture: the coarse centroids are checked-in constants
+    * ([[IvfCentroids]]), so cell assignment and search are exactly
+    * replayable (and DuckDB-oracle-verified; KMeans *training* is the
+    * only nondeterministic stage and it is out of the serving path). */
+  def ivfTopKFrozen(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nprobe: Int = 4,
+                    centroids: Seq[(Int, Array[Float])] = IvfCentroids.cells): DataFrame =
+    ivfSearch(corpus, queries, idCol, vecCol, k, nprobe, centroids)
+
+  private def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nprobe: Int,
+                        centroids: Seq[(Int, Array[Float])]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cdf = broadcast(centroids.toDF("cell", "center"))

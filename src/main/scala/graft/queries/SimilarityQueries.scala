@@ -5,13 +5,36 @@ import graft.{QueryDef, Tables}
 import graft.operators.Similarity
 
 /** ANN search over the `embeddings` table (64-dim float vectors).
-  * Queries = every 50th vector; k = 10. The brute-force pass is
-  * oracle-verified (both engines fold the dot product left-to-right in
-  * double); the SRP-LSH pass is rows-only (bucketing uses fixed-seed
-  * hyperplanes DuckDB can't reproduce) and its recall is pinned by
-  * scalatest against the brute-force output.
+  * Queries = every 50th vector; k = 10.
+  *
+  * ALL of the cosine family is DuckDB-oracle-verified, including the
+  * SRP-LSH paths: the fixed-seed hyperplanes are engine-side constants
+  * (`Similarity.hyperplanes`, Random(42)), so the oracle interpolates
+  * the SAME doubles as DuckDB list literals and replays each plane's
+  * sign test with `list_dot_product` — already proven bit-identical to
+  * the engine's sequential double fold by q_ann_brute (both engines
+  * accumulate left-to-right in double). Same SigList/SimhashPack
+  * technique that graduated MinHash/SimHash (DedupQueries).
   */
 object SimilarityQueries {
+
+  /** Render one SRP code array as DuckDB SQL over a DOUBLE[] column
+    * `v`: element t = the `planes`-bit sign code of table t, exactly
+    * [[graft.functions.SrpCode]]'s fold (ascending index, double
+    * accumulate, `>= 0` sign test). Scala's Double.toString is
+    * shortest-round-trip, so DuckDB parses back the identical bits. */
+  private def srpCodesSql(dim: Int, planes: Int, tables: Int): String = {
+    val hp = Similarity.hyperplanes(dim, planes, tables)
+    (0 until tables).map { t =>
+      (0 until planes).map { p =>
+        val plane = hp(t)(p).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }.mkString("[", ", ", "]")
+  }
+
+  private val CosineSql =
+    "list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))"
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -36,34 +59,97 @@ object SimilarityQueries {
         |  FROM scored)
         |WHERE rank <= 10"""),
 
-    "q_ann_ivf" -> QueryDef.unverified(
+    "q_ann_ivf" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.ivfTopK(
+        Similarity.ivfTopKFrozen(
           emb, emb.filter(col("vec_id") % 50 === 0),
-          "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
-      }),
+          "vec_id", "embedding", k = 10, nprobe = 4)
+      },
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (${graft.operators.IvfCentroids.duckdbValues}),
+        |casgn AS (
+        |  SELECT vec_id AS neighbor_id, cell FROM (
+        |    SELECT e.vec_id, cents.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.v, cents.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.c, cents.c))) DESC,
+        |             cents.cell) AS crank
+        |    FROM e CROSS JOIN cents)
+        |  WHERE crank <= 1),
+        |qasgn AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT e.vec_id, cents.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.v, cents.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.c, cents.c))) DESC,
+        |             cents.cell) AS crank
+        |    FROM e CROSS JOIN cents WHERE e.vec_id % 50 = 0)
+        |  WHERE crank <= 4),
+        |cand AS (
+        |  SELECT DISTINCT q.query_id, c.neighbor_id
+        |  FROM qasgn q JOIN casgn c ON q.cell = c.cell
+        |  WHERE q.query_id <> c.neighbor_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, $CosineSql AS cos_sim
+        |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+        |            JOIN e ce ON ce.vec_id = cand.neighbor_id)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10"""),
 
-    // Embedding-space near-dup pairs (LSH candidates + exact cosine
-    // filter) — rows-only (bucketing is engine-seeded); recall vs the
-    // exact pass is pinned in SimilaritySpec. Threshold 0.4 is the
-    // operating point for THIS corpus (random embeddings top out at
-    // cosine ~0.51); real near-dup corpora run 0.9+. The bucket cap is
-    // the production posture against degenerate mass-duplicate inputs
-    // (a no-op on this corpus — buckets are orders of magnitude
-    // smaller — so rows are unchanged at any tested SF).
-    "q_embed_neardup" -> QueryDef.unverified(
+    // Embedding-space near-dup pairs (SRP-LSH candidates + exact cosine
+    // filter), hash-verified end to end: the oracle replays the 16×4
+    // hyperplane sign codes from the interpolated constants, joins on
+    // (table, bucket), and re-scores candidates with the same double
+    // fold. Threshold 0.4 is the operating point for THIS corpus
+    // (random embeddings top out at cosine ~0.51); real near-dup
+    // corpora run 0.9+. The bucket cap is the production posture
+    // against degenerate mass-duplicate inputs (a no-op on this corpus
+    // — buckets are orders of magnitude smaller — so rows are unchanged
+    // at any tested SF, which is what keeps the oracle exact).
+    "q_embed_neardup" -> QueryDef(
       (s, dir) => graft.operators.Dedup.embeddingNearDups(
         Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64,
         threshold = 0.4, planes = 4, tables = 16,
-        maxBucketSize = Some(100000))),
+        maxBucketSize = Some(100000)),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |codes AS (SELECT vec_id, ${srpCodesSql(64, 4, 16)} AS codes FROM e),
+        |b AS (SELECT vec_id, i AS tbl, codes[i] AS bucket
+        |      FROM codes CROSS JOIN generate_series(1, 16) AS g(i)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+        |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |SELECT id1, id2, cos_sim FROM (
+        |  SELECT id1, id2,
+        |         list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos_sim
+        |  FROM cand JOIN e qe ON qe.vec_id = cand.id1
+        |            JOIN e ce ON ce.vec_id = cand.id2)
+        |WHERE cos_sim >= 0.4"""),
 
-    "q_ann_lsh" -> QueryDef.unverified(
+    "q_ann_lsh" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.lshTopK(
           emb, emb.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", dim = 64, k = 10, planes = 4)
-      })
+      },
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |codes AS (SELECT vec_id, ${srpCodesSql(64, 4, 8)} AS codes FROM e),
+        |b AS (SELECT vec_id, i AS tbl, codes[i] AS bucket
+        |      FROM codes CROSS JOIN generate_series(1, 8) AS g(i)),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, $CosineSql AS cos_sim
+        |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+        |            JOIN e ce ON ce.vec_id = cand.neighbor_id)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""")
   )
 }

@@ -23,6 +23,19 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.find(_.media_id == 3).get.byte_len == 0) // empty payload survives
   }
 
+  test("stub dimensions derive from the portable md5 hash family") {
+    // the mapPartitions stub's manual digest fold must equal the
+    // column-level portableHash64 (what the DuckDB oracle replays)
+    val feats = Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("width"), col("height"))
+    val expect = media.toDF().select(col("media_id"),
+      graft.operators.Dedup.portableHash64(col("payload")).as("h"))
+      .select(col("media_id"),
+        (lit(64L) + col("h") % 1024).as("width"),
+        (lit(64L) + shiftright(col("h"), 10) % 1024).as("height"))
+    assert(feats.exceptAll(expect).isEmpty && expect.exceptAll(feats).isEmpty)
+  }
+
   test("frame sampling includes frame 0 and respects stride") {
     val feats = Multimodal.extractFeatures(media).toDF()
     val sampled = Multimodal.sampleFrames(feats, everyN = 7)
@@ -32,8 +45,8 @@ class MultimodalSpec extends SparkSpec {
         max(col("n_frames")).as("nf"))
       .collect()
     sampled.foreach { r =>
-      assert(r.getAs[Int]("first") == 0)
-      val expected = (r.getAs[Int]("nf") + 6) / 7
+      assert(r.getAs[Long]("first") == 0L)
+      val expected = (r.getAs[Long]("nf") + 6) / 7
       assert(r.getAs[Long]("n") == expected)
     }
   }
@@ -41,8 +54,8 @@ class MultimodalSpec extends SparkSpec {
   test("resize plan preserves aspect and never upscales") {
     val feats = Multimodal.extractFeatures(media).toDF()
     Multimodal.resizePlan(feats, maxDim = 128).collect().foreach { r =>
-      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
-      val (rw, rh) = (r.getAs[Int]("resized_w"), r.getAs[Int]("resized_h"))
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      val (rw, rh) = (r.getAs[Long]("resized_w"), r.getAs[Long]("resized_h"))
       assert(r.getAs[Double]("scale") <= 1.0)
       assert(rw <= 128 && rh <= 128)
       assert(rw <= w && rh <= h)
