@@ -54,6 +54,10 @@ object Bench {
     val totalCold = results.values.map(_._1).filter(_ >= 0).sum
     val totalSteady = results.values.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$totalSteady,"unit":"sec","total_cold":$totalCold,"failed":${failed.mkString("[", ",", "]")},"queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"sf":"$sfDir"}""")
+    // the full per-query line above can exceed the driver's captured
+    // stdout tail (r2/r3 both recorded "parsed": null) — repeat the
+    // headline as a compact LAST line so tail-capture always parses it
+    println(s"""{"metric":"total","value":$totalSteady,"unit":"sec","total_cold":$totalCold,"n_queries":${results.size},"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,7 +76,17 @@ object GraftExtensions {
     * via the function registry, the optimizer rules via
     * experimental.extraOptimizations, and the TopKPerKey planner
     * strategy via experimental.extraStrategies (the post-build
-    * counterparts of injectOptimizerRule / injectPlannerStrategy). */
+    * counterparts of injectOptimizerRule / injectPlannerStrategy).
+    *
+    * Known limitation: extraOptimizations run in the optimizer's FINAL
+    * "User Provided Optimizers" batch — after every predicate-pushdown
+    * batch — so a filter PushFilterThroughTopKPerKey moves below the
+    * node stops there instead of descending to the scan (results
+    * identical, scan-level pushdown lost). Sessions built with
+    * `spark.sql.extensions=graft.GraftExtensions` get the rule inside
+    * the main operatorOptimization batch and full descent — prefer
+    * that path in production; registerOn is the test/REPL fallback for
+    * sessions that already exist. */
   def registerOn(spark: org.apache.spark.sql.SparkSession): Unit = {
     registrations.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)

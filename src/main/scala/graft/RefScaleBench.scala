@@ -42,6 +42,12 @@ object RefScaleBench {
         .groupBy(col("month"), col("item")).agg(count(lit(1)).as("cnt"))
       TopK.perGroup(counts, Seq(col("month")), col("cnt"), Seq(col("item")), 5).count()
     }
+    time2("q1-top5-native") {
+      val counts = baskets.select(date_format(col("date"), "yyyy-MM").as("month"),
+          explode(col("items")).as("item"))
+        .groupBy(col("month"), col("item")).agg(count(lit(1)).as("cnt"))
+      TopK.perGroupNative(counts, Seq("month"), "cnt", Seq("item"), 5).count()
+    }
     time2("q2-revenue-month") {
       BillingReader.dialectB(spark, s"$dir/b")
         .groupBy(col("item"), date_format(col("date"), "yyyy-MM").as("month"))

@@ -50,9 +50,18 @@ object AsOfJoin {
   private def orderUnit(df: DataFrame, ts: String): String =
     df.schema(ts).dataType match {
       case org.apache.spark.sql.types.TimestampType => "epoch-micros"
+      // NTZ maps to a unit here so BOTH sides being NTZ still reaches
+      // orderKey's specific, actionable rejection message
+      case org.apache.spark.sql.types.TimestampNTZType => "wallclock-ntz"
       case org.apache.spark.sql.types.DateType => "epoch-days"
       // all numerics go through the same cast("long") — one family
-      case _ => "numeric"
+      case _: org.apache.spark.sql.types.NumericType => "numeric"
+      // anything else (STRING, BINARY, ...) would cast("long") to NULL
+      // order keys and silently mis-merge — reject loudly instead
+      case other => throw new IllegalArgumentException(
+        s"AsOfJoin: column '$ts' has type ${other.sql}, which is not a " +
+          "temporal or numeric order key; cast it to a timestamp/date/" +
+          "numeric type explicitly before joining")
     }
 
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,

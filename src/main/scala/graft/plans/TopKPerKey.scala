@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNo
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator custom plan path — preference (c) of the
   * custom-operator ladder: a logical node, a planner [[SparkStrategy]],
@@ -29,10 +30,18 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * map-side combine. At 100 TB with small k that removes the dominant
   * sort cost from both sides of the exchange.
   *
-  * Memory: O(distinct keys in partition × k) rows per task — the same
-  * envelope as hash aggregation's in-memory map (pre-spill). Intended
-  * for small k (top-N-per-entity); for k approaching group size use
-  * the sort-based window path instead.
+  * Memory: the partial phase's per-partition heap map is BOUNDED at
+  * `spark.graft.topk.maxKeysInMemory` keys (default 262144 ≈ a few
+  * hundred MB worst case at small k): past the bound it flushes — emits
+  * every held heap and starts a fresh map — which is safe because the
+  * final phase re-reduces whatever reaches it (per-key top-k is an
+  * idempotent, associative reduction on row sets). Hostile key
+  * cardinality therefore degrades to a larger shuffle, never an OOM —
+  * the hash-aggregation spill posture, traded for extra shuffle rows
+  * instead of disk. The final phase holds (distinct keys in its
+  * clustered partition) × k rows — already reduced by the partial
+  * phase and divided by the shuffle fan-out; for k approaching group
+  * size use the sort-based window path instead.
   */
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
                           k: Int, child: LogicalPlan) extends UnaryNode {
@@ -46,21 +55,32 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
 /** Plans the logical node as partial → (exchange) → final: the final
   * phase declares a clustered-on-keys requirement, so EnsureRequirements
   * inserts the hash exchange (and AQE can still coalesce/replan it) —
-  * the operator never hand-schedules its own shuffle. */
+  * the operator never hand-schedules its own shuffle.
+  *
+  * Float/double group keys are wrapped in the optimizer's
+  * NormalizeNaNAndZero here (Spark's NormalizeFloatingNumbers rule only
+  * fires for Aggregate/Window/Join, not custom nodes): without it,
+  * -0.0 vs 0.0 and distinct NaN bit patterns would land in different
+  * UnsafeRow key bytes — splitting one logical group across heaps and
+  * hash partitions, diverging from the window formulation.
+  */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
-      val partial = TopKPerKeyExec(keys, order, k, planLater(child), partial = true)
-      TopKPerKeyExec(keys, order, k, partial, partial = false) :: Nil
+      val nkeys =
+        keys.map(org.apache.spark.sql.graftbridge.ExprBridge.normalizeFloats)
+      val partial = TopKPerKeyExec(nkeys, order, k, planLater(child), partial = true)
+      TopKPerKeyExec(nkeys, order, k, partial, partial = false) :: Nil
     case _ => Nil
   }
 }
 
 /** One phase of the bounded-heap top-k: `partial` runs on whatever
-  * partitioning the child has; the final phase requires co-location by
-  * key, after which the same per-partition pass is exact. Applying the
-  * identical operation twice is correct because per-key top-k is an
-  * idempotent, associative reduction on row sets. */
+  * partitioning the child has (flushing at the key bound — see node
+  * scaladoc); the final phase requires co-location by key, after which
+  * one per-partition pass is exact. Applying the identical operation
+  * twice is correct because per-key top-k is an idempotent, associative
+  * reduction on row sets. */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                           child: SparkPlan, partial: Boolean) extends UnaryExecNode {
 
@@ -72,6 +92,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "heapKeys" -> SQLMetrics.createMetric(sparkContext, "in-memory heap keys (summed over tasks and flushes)"),
+    "flushes" -> SQLMetrics.createMetric(sparkContext, "partial-phase bound-triggered flushes"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val childOutput = child.output
@@ -79,25 +104,63 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     // SortOrder seq — the TakeOrderedAndProject pattern
     val ordering = new LazilyGeneratedOrdering(order, childOutput)
     val limit = k
+    // the final phase may never flush (a key's rows would split across
+    // two emitted heaps and the exact-top-k contract would break); its
+    // input is already partial-reduced and hash-spread, so the map is
+    // bounded by (keys in this cluster) × k
+    val maxKeys =
+      if (partial) conf.getConfString("spark.graft.topk.maxKeysInMemory", "262144").toInt
+      else Int.MaxValue
+    require(maxKeys >= 1, s"spark.graft.topk.maxKeysInMemory must be >= 1, got $maxKeys")
+    val numOutputRows = longMetric("numOutputRows")
+    val heapKeys = longMetric("heapKeys")
+    val flushes = longMetric("flushes")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val worstFirst = ordering.reverse
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit, worstFirst)
-          heaps.put(key.copy(), heap)
+      import scala.jdk.CollectionConverters._
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        // the row that hit the key bound — first row of the next run
+        private var pending: InternalRow = null
+
+        private def refill(): Unit = {
+          while (!out.hasNext && (pending != null || iter.hasNext)) {
+            val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+            var full = false
+            while (!full && (pending != null || iter.hasNext)) {
+              val row =
+                if (pending != null) { val r = pending; pending = null; r }
+                else iter.next()
+              val key = keyProj(row)
+              var heap = heaps.get(key)
+              if (heap == null && heaps.size() >= maxKeys) {
+                pending = row.copy() // belongs to the next run
+                flushes += 1
+                full = true
+              } else {
+                if (heap == null) {
+                  heap = new java.util.PriorityQueue[InternalRow](limit, worstFirst)
+                  heaps.put(key.copy(), heap)
+                }
+                if (heap.size() < limit) heap.add(row.copy())
+                else if (ordering.compare(row, heap.peek()) < 0) {
+                  heap.poll(); heap.add(row.copy())
+                }
+              }
+            }
+            heapKeys += heaps.size()
+            out = heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+          }
         }
-        if (heap.size() < limit) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
+
+        override def hasNext: Boolean = { refill(); out.hasNext }
+        override def next(): InternalRow = {
+          refill()
+          numOutputRows += 1
+          out.next()
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
 
@@ -113,7 +176,16 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   * plain-attribute keys is constant within each group, so dropping whole
   * groups commutes with per-group top-k — push it below the node where
   * it can keep descending to the scan. Predicates touching non-key
-  * columns must stay above (they would change which rows compete). */
+  * columns must stay above (they would change which rows compete).
+  *
+  * Descent caveat: on the `spark.sql.extensions` path
+  * (injectOptimizerRule) this runs inside the main operatorOptimization
+  * batch, so the standard PushDownPredicates keeps moving the pushed
+  * filter toward the scan. On [[graft.GraftExtensions.registerOn]]'s
+  * `experimental.extraOptimizations` path it runs in the optimizer's
+  * final user-provided batch — the filter stops just below the node
+  * (results identical; scan-level pushdown only on the extensions
+  * path). */
 object PushFilterThroughTopKPerKey extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, t: TopKPerKeyNode) =>

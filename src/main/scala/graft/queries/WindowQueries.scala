@@ -271,6 +271,55 @@ object WindowQueries {
           count(lit(1)).as("n_lines")),
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_lines
-        |FROM lineitem GROUP BY l_returnflag""")
+        |FROM lineitem GROUP BY l_returnflag"""),
+
+    // Offset/navigation window functions (lead/lag/first_value/
+    // last_value/nth_value) — last_value and nth_value take an explicit
+    // unbounded ROWS frame on BOTH sides (the SQL-standard default frame
+    // stops at CURRENT ROW, which would make last_value ≡ current row).
+    // Values are carried doubles, no arithmetic — bit-exact across
+    // engines; the window order is total (date + key suffix).
+    "q_window_offsets" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          first(col("o_totalprice")).over(wFull).as("first_price"),
+          last(col("o_totalprice")).over(wFull).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"))
+      },
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       first_value(o_totalprice) OVER wf AS first_price,
+        |       last_value(o_totalprice) OVER wf AS last_price,
+        |       nth_value(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""),
+
+    // Wide→long unpivot (melt): the remaining everyday reshaping op —
+    // Catalyst plans Expand (one pass, no join/shuffle); the oracle
+    // re-derives it as a UNION ALL so no engine-specific UNPIVOT
+    // syntax is trusted on either side.
+    "q_unpivot" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "value"),
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, measure, value
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)""")
   )
 }

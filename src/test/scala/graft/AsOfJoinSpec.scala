@@ -48,4 +48,17 @@ class AsOfJoinSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("order units"))
   }
+
+  test("backward as-of rejects non-temporal, non-numeric order keys (string ts)") {
+    import spark.implicits._
+    // a STRING ts would cast("long") to NULL order keys on both sides
+    // and silently produce a wrong merge — the exact silent-mismatch
+    // class the unit check exists to prevent
+    val left = Seq((1L, "2023-11-14T00:00:00", "e")).toDF("k", "ts", "ev")
+    val right = Seq((1L, "2023-11-13T00:00:00", "v")).toDF("k", "ts", "v")
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, "k", "ts")
+    }
+    assert(ex.getMessage.contains("not a temporal or numeric"))
+  }
 }

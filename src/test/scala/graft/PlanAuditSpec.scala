@@ -16,10 +16,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("l_orderkey"), "scan reads columns the query never uses")
   }
 
-  test("q_top5_month: partial WindowGroupLimit below the exchange") {
+  test("q_top5_month: native two-phase heap top-k, no sorts after the agg") {
+    // adopted over window/WindowGroupLimit on measured wins (TopKBench
+    // sf0.1 steady 1.32→0.96 s; RefScaleBench 1M lines 1.10→0.82 s)
     val p = planOf("q_top5_month")
-    assert(p.contains("WindowGroupLimit"))
-    assert(p.contains("Partial"), "map-side top-k pre-filter missing")
+    assert(p.contains("TopKPerKeyExec(partial"), p)
+    assert(p.contains("TopKPerKeyExec(final"), p)
+    assert(!p.contains("Sort "), s"heap top-k must not sort:\n$p")
   }
 
   test("q_join_broadcast: both dims broadcast, no shuffle join") {

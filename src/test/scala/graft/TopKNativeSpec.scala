@@ -74,6 +74,48 @@ class TopKNativeSpec extends SparkSpec {
     assert(q.exceptAll(expected).isEmpty && expected.exceptAll(q).isEmpty)
   }
 
+  test("float group keys normalize -0.0/0.0 and NaN bit patterns like window grouping") {
+    import spark.implicits._
+    // raw UnsafeRow bytes differ for -0.0 vs 0.0 and NaN payloads; the
+    // strategy must collapse them (NormalizeNaNAndZero) or one logical
+    // group splits across heaps/partitions
+    val weirdNaN = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    val df = Seq(
+      (0.0, 1L, 10.0), (-0.0, 2L, 20.0), (-0.0, 3L, 5.0),
+      (Double.NaN, 4L, 1.0), (weirdNaN, 5L, 2.0)
+    ).toDF("k", "id", "score")
+    val native = TopK.perGroupNative(df, Seq("k"), "score", Seq("id"), 2)
+    val window = TopK.perGroup(df, Seq(col("k")), col("score"), Seq(col("id")), 2).drop("rn")
+    assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty)
+    // zero group keeps exactly 2 of its 3 rows → the groups really merged
+    assert(native.filter(col("k") === 0.0).count() == 2)
+  }
+
+  test("adversarial key cardinality: partial phase flushes at the bound instead of OOM") {
+    val big = spark.range(0, 1000000)
+      .select((col("id") % 900000).as("k"), col("id").as("id"),
+        (col("id") % 37).cast("double").as("score"))
+    spark.conf.set("spark.graft.topk.maxKeysInMemory", "1024")
+    // AQE buries the partial exec inside a materialized query stage
+    // (invisible to plan.collect) — turn it off so the metric is reachable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val native = TopK.perGroupNative(big, Seq("k"), "score", Seq("id"), 2)
+      native.collect() // materialize THIS query execution so metrics fill
+      // ~900k distinct keys against a 1024-key bound: the bound must
+      // actually have engaged (flush metric > 0 on the partial exec)
+      val flushes = native.queryExecution.executedPlan.collect {
+        case e: graft.plans.TopKPerKeyExec if e.partial => e.metrics("flushes").value
+      }
+      assert(flushes.nonEmpty && flushes.head > 0, s"expected bound-triggered flushes, got $flushes")
+      val window = TopK.perGroup(big, Seq(col("k")), col("score"), Seq(col("id")), 2).drop("rn")
+      assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.topk.maxKeysInMemory")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("NULL order values rank like the window formulation (nulls last on desc)") {
     import spark.implicits._
     val df = Seq[(Int, Long, java.lang.Double)](
