@@ -9,12 +9,16 @@ object PlanCheck {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val (plan, names0) = args.partition(_ == "--plan")
+    val (flags, names0) = args.partition(_.startsWith("--"))
+    val plan = flags.contains("--plan") || flags.contains("--plan-exec")
+    val exec = flags.contains("--plan-exec") // materialize first: AQE final plan incl. stage reuse
     val names = if (names0.nonEmpty) names0.toSeq else SparkEntry.queries.keys.toSeq.sorted
     for (n <- names) {
       val fn = SparkEntry.queries(n)
-      if (plan.nonEmpty) {
-        println(s"===== $n ====="); println(fn(spark, sfDir).queryExecution.executedPlan.toString.take(5000))
+      if (plan) {
+        val df = fn(spark, sfDir)
+        if (exec) df.count()
+        println(s"===== $n ====="); println(df.queryExecution.executedPlan.toString.take(8000))
       } else {
         fn(spark, sfDir).count()
         val t0 = System.nanoTime(); fn(spark, sfDir).count()

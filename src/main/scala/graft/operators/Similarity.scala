@@ -152,6 +152,26 @@ object Similarity {
       Seq(col("neighbor_id")), k, rankName = "rank")
   }
 
+  /** Scalar int8 quantization of an embedding column — the standard
+    * 4× storage/bandwidth cut before ANN serving: symmetric max-abs
+    * scaling, q = floor(x·127/maxabs + 0.5) ∈ [−127, 127]. Uses
+    * +0.5-floor instead of round() because it is pure IEEE arithmetic,
+    * identically defined on every engine (HALF-UP ties); all-zero
+    * vectors quantize to zeros. The dequant scale (`maxabs`/127) rides
+    * along for serving. Column math only — no UDF, no shuffle. */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // maxabs is projected to a plain attribute BEFORE the quantizing
+    // lambda references it (computed-expression-in-HOF re-evaluation
+    // hazard — see TextFns.wordShingles PERF CONTRACT)
+    val withMax = emb.select(col(idCol), col(vecCol).as("_v"),
+      array_max(transform(col(vecCol), x => abs(x.cast("double")))).as("maxabs"))
+    withMax.select(col(idCol), col("maxabs"),
+      transform(col("_v"), x =>
+        when(col("maxabs") === 0.0, lit(0L))
+          .otherwise(floor(x.cast("double") * lit(127.0) / col("maxabs") + lit(0.5))
+            .cast("long"))).as("q8"))
+  }
+
   /** ANN via multi-table SRP-LSH (OR-construction): a candidate is any
     * vector sharing the query's bucket in ≥1 of `tables` independent
     * codes; exact cosine + top-k over the deduplicated candidate set.

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * `rand()`-based sampling re-rolls on every retry/re-run and differs
+  * across engines — useless for a held-out set that must stay held out
+  * across months of pipeline runs. This assigns each row a bucket from
+  * the md5-based portable hash of (salt || id): stable under
+  * re-partitioning, task retries, engine swaps, and incremental
+  * re-ingestion (a row's split never changes when other rows arrive).
+  * Changing the salt re-rolls the whole split. Pure map-side
+  * projection — no shuffle, no RNG state, embarrassingly parallel at
+  * any scale.
+  */
+object Splits {
+
+  /** Bucket 0..99 for a row id (any type; cast to string). */
+  def bucket(id: Column, salt: String): Column =
+    Dedup.portableHash64(concat(lit(salt + ":"), id.cast("string"))) % 100
+
+  /** train/valid/test label: buckets [0,trainPct) → train,
+    * [trainPct, trainPct+validPct) → valid, rest → test. */
+  def assign(df: DataFrame, idCol: String, salt: String,
+             trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      s"split percentages must partition [0,100): train=$trainPct valid=$validPct")
+    val b = bucket(col(idCol), salt)
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + validPct, "valid")
+          .otherwise("test"))
+  }
+}

@@ -38,6 +38,25 @@ object SimilarityQueries {
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
+    // Symmetric int8 quantization (see Similarity.quantizeInt8) — the
+    // typed ARRAY<LONG> stays on the operator API; the registry projects
+    // a joined string (driver canonicalization cannot hash array cells).
+    "q_embed_quantize" -> QueryDef(
+      (s, dir) => {
+        val q = Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+        q.select(col("vec_id"), col("maxabs"),
+          array_join(transform(col("q8"), _.cast("string")), ",").as("q8"))
+      },
+      """WITH m AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+        |  FROM embeddings)
+        |SELECT vec_id, maxabs,
+        |       array_to_string(list_transform(v, x ->
+        |         CAST(CASE WHEN maxabs = 0 THEN 0
+        |              ELSE CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) END AS VARCHAR)), ',') AS q8
+        |FROM m"""),
+
     "q_ann_brute" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)

@@ -176,6 +176,57 @@ object TextQueries {
     "q_dedup_exact" -> QueryDef(
       (s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("text")),
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-        |FROM documents GROUP BY text""")
+        |FROM documents GROUP BY text"""),
+
+    // TF-IDF term weighting: tf = per-doc term frequency, df = document
+    // frequency, N enters as a 1-row broadcast. The idf factor is the
+    // BM25 rational form (N − df + 0.5)/(df + 0.5) rather than a
+    // logarithm: ln() is NOT bit-portable across libm implementations
+    // (same decision class as decimal money sums), while the rational
+    // form is pure IEEE +,−,/ — hash-exact on both engines and order-
+    // equivalent to log-idf for ranking.
+    "q_tfidf" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val n = docs.select(count(lit(1)).as("n_docs"))
+        // df via a window over the tf frame, NOT tf.groupBy(term)+join:
+        // Catalyst plans the join formulation as a second full
+        // scan+tokenize+agg of the corpus (no exchange reuse fires) —
+        // the window keeps ONE tokenize pass and one extra keyed shuffle
+        tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            (col("tf").cast("double") *
+              (((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+                (col("df").cast("double") + lit(0.5)))).as("tfidf"))
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |tfdf AS (SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tf),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |       CAST(tf AS DOUBLE) *
+        |         ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS tfidf
+        |FROM tfdf CROSS JOIN n"""),
+
+    // Deterministic train/valid/test split: portable-hash bucketing
+    // (never rand() — see operators/Splits scaladoc). Reproducible
+    // across engines, runs, retries, and partitionings; no shuffle.
+    "q_split_hash" -> QueryDef(
+      (s, dir) => graft.operators.Splits.assign(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", salt = "graft-v1"),
+      """SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |             CAST(concat('0x', substr(md5('graft-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |      FROM documents)""")
   )
 }

@@ -88,4 +88,30 @@ class SimilaritySpec extends SparkSpec {
     val b2 = Similarity.lshTopK(emb.repartition(5), queries, "vec_id", "embedding", 64, 5, 4)
     assert(b1.exceptAll(b2).isEmpty && b2.exceptAll(b1).isEmpty)
   }
+
+  test("int8 quantization: codes in [-127,127], dequant error within half a step") {
+    import org.apache.spark.sql.functions._
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val bad = q.select(
+      // worst per-element |x − q·maxabs/127| relative to the half-step maxabs/254
+      aggregate(
+        zip_with(col("embedding"), col("q8"), (x, c) =>
+          abs(x.cast("double") - c.cast("double") * col("maxabs") / lit(127.0))),
+        lit(0.0), (acc, e) => greatest(acc, e)).as("max_err"),
+      col("maxabs"),
+      array_max(transform(col("q8"), c => abs(c))).as("max_code"))
+      .filter(col("max_code") > 127 ||
+        col("max_err") > col("maxabs") / lit(254.0) + lit(1e-12))
+    assert(bad.isEmpty)
+  }
+
+  test("int8 quantization: all-zero vector quantizes to zeros, not NaN") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val z = Seq((1L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val row = Similarity.quantizeInt8(z, "vec_id", "embedding").collect().head
+    assert(row.getAs[Double]("maxabs") == 0.0)
+    assert(row.getAs[scala.collection.Seq[Long]]("q8").forall(_ == 0L))
+  }
 }
