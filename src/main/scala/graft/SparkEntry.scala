@@ -15,7 +15,8 @@ object SparkEntry {
     RelationalQueries.defs ++ BasketQueries.defs ++
       JoinQueries.defs ++ WindowQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      MediaQueries.defs ++ SqlQueries.defs ++ TpchQueries.defs
+      MediaQueries.defs ++ SqlQueries.defs ++ TpchQueries.defs ++
+      PipelineQueries.defs
 
   // a name collision between registry files would silently drop a query
   // (and its oracle) from the driver surface via toMap — fail loudly

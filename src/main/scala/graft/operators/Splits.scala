@@ -21,6 +21,27 @@ object Splits {
   def bucket(id: Column, salt: String): Column =
     Dedup.portableHash64(concat(lit(salt + ":"), id.cast("string"))) % 100
 
+  /** Deterministic stratified sampling: keep a row iff
+    * portableHash64(salt:id) % 10000 < the stratum's per-myriad rate
+    * (integer thresholds — no float compare can drift cross-engine).
+    * Same stability contract as [[assign]]: a row's fate depends only on
+    * (salt, id), never on partitioning, retries, or other rows — so
+    * up-sampling high-quality strata / down-sampling boilerplate sources
+    * is reproducible across pipeline runs and engines. Pure map-side
+    * filter — no shuffle, no RNG state.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       ratesPermyriad: Map[String, Int],
+                       defaultPermyriad: Int, salt: String): DataFrame = {
+    (ratesPermyriad.values ++ Seq(defaultPermyriad)).foreach(r =>
+      require(r >= 0 && r <= 10000, s"per-myriad rate out of [0,10000]: $r"))
+    val h = Dedup.portableHash64(concat(lit(salt + ":"), col(idCol).cast("string"))) % 10000
+    val rate = ratesPermyriad.foldLeft(lit(defaultPermyriad)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(h < rate)
+  }
+
   /** train/valid/test label: buckets [0,trainPct) → train,
     * [trainPct, trainPct+validPct) → valid, rest → test. */
   def assign(df: DataFrame, idCol: String, salt: String,

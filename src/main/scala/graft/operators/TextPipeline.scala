@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Corpus-curation operators for LLM training-data pipelines, beyond the
+  * near-dup family in [[Dedup]]: benchmark decontamination, passage-level
+  * boilerplate removal, repetition quality signals, and fixed-size
+  * sequence chunking. Everything is declarative DataFrame code — explode
+  * → keyed agg → join shapes with map-side combine, no UDFs, no collect —
+  * so each op is embarrassingly parallel and Catalyst/AQE-optimizable at
+  * any corpus size.
+  */
+object TextPipeline {
+
+  /** Non-overlapping `passageTokens`-token windows of a document, with a
+    * 0-based position. The last window keeps the remainder (may be
+    * shorter). Empty docs produce no passages.
+    *
+    * `sequence` end uses SQL `div` (true integer division — see
+    * CLAUDE.md: never `/` + cast for index math).
+    */
+  private[graft] def passages(docs: DataFrame, idCol: String, textCol: String,
+                              passageTokens: Int): DataFrame = {
+    require(passageTokens >= 1, s"passageTokens must be >= 1, got $passageTokens")
+    val toks = docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
+    val lastIdx = expr(s"(size(_toks) - 1) div $passageTokens")
+    toks.select(col("id"),
+      posexplode(when(size(col("_toks")) > 0,
+        transform(sequence(lit(0), lastIdx),
+          i => array_join(slice(col("_toks"), i * passageTokens + 1, lit(passageTokens)), " "))))
+        .as(Seq("pos", "passage")))
+  }
+
+  /** Corpus-level passage dedup (CCNet-style boilerplate removal): split
+    * every document into non-overlapping `passageTokens`-token passages,
+    * count each passage's occurrences across the WHOLE corpus, drop every
+    * copy of any passage occurring more than `maxOccur` times, and
+    * reassemble the surviving passages in document order.
+    *
+    * Scale shape: occurrence counts come from a keyed groupBy (map-side
+    * combine collapses a boilerplate passage's 10⁹ copies to one row per
+    * map partition BEFORE the shuffle) joined back one-row-per-key — NOT
+    * a window over partitionBy(passage), which would co-locate every copy
+    * of a hot passage in a single task. The reassembly groupBy(id) is
+    * bounded by document size.
+    *
+    * Output: (doc_id, n_passages, n_kept, clean_text) — docs whose every
+    * passage was dropped survive with n_kept = 0 and clean_text = "".
+    */
+  def passageDedup(docs: DataFrame, idCol: String, textCol: String,
+                   passageTokens: Int = 10, maxOccur: Int = 1): DataFrame = {
+    val p = passages(docs, idCol, textCol, passageTokens)
+    val occ = p.groupBy(col("passage")).agg(count(lit(1)).as("occ"))
+    p.join(occ, Seq("passage"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("occ") <= maxOccur, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulls `when` leaves for dropped
+        // passages; array_sort on (pos, passage) structs restores
+        // document order under any partitioning
+        array_join(transform(array_sort(collect_list(
+          when(col("occ") <= maxOccur, struct(col("pos"), col("passage"))))),
+          s => s.getField("passage")), " ").as("clean_text"))
+      .select(col("id").as("doc_id"), col("n_passages"), col("n_kept"), col("clean_text"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing at least
+    * one word `shingleN`-gram with an evaluation set (the GPT-3 13-gram
+    * overlap check). Returns one row per CONTAMINATED training doc:
+    * (doc_id, n_shared_ngrams = distinct overlapping shingles,
+    * n_eval_docs = distinct eval docs hit); anti-join the result against
+    * the corpus to get the clean training set.
+    *
+    * Scale shape: the eval side is a benchmark suite — tiny next to a
+    * 100 TB corpus — so its shingle set broadcasts and the training scan
+    * never shuffles; with a large eval set the same plan degrades to a
+    * shingle-keyed shuffle join (AQE decides). Per-doc shingles are
+    * deduplicated at generation ([[TextFns.wordShingles]]), bounding the
+    * join input at one row per distinct (doc, shingle).
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 13): DataFrame = {
+    def grams(df: DataFrame, outId: String) =
+      df.select(col(idCol).as(outId), TextFns.tokens(col(textCol)).as("_toks"))
+        .select(col(outId), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("shingle"))
+    grams(train, "doc_id")
+      .join(grams(eval, "eval_id").hint("broadcast"), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared_ngrams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** Per-document repetition quality signals (the Gopher-rules family):
+    * distinct-token ratio, most-frequent-token fraction, and duplicate
+    * bigram fraction. All counts are exact integers and every ratio is a
+    * single IEEE division — fully oracle-checkable.
+    *
+    * Scale shape: explode → per-(doc,token) count → per-doc agg, twice
+    * (tokens, bigrams), joined on doc id. Map-side combine keeps the
+    * shuffles proportional to distinct terms per doc, so a 10⁶-token
+    * document never ships 10⁶ rows — the per-row HOF formulation
+    * (nested filter-count) would be O(len²) per doc instead.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
+    val tokCnt = base.select(col("id"), explode(col("_toks")).as("token"))
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("c"))
+    val tokSig = tokCnt.groupBy(col("id")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_token_cnt"))
+    val bgCnt = base.select(col("id"),
+        explode(when(size(col("_toks")) >= 2,
+          transform(sequence(lit(1), size(col("_toks")) - 1),
+            i => concat(element_at(col("_toks"), i), lit(" "),
+              element_at(col("_toks"), i + 1))))).as("bigram"))
+      .groupBy(col("id"), col("bigram")).agg(count(lit(1)).as("c"))
+    val bgSig = bgCnt.groupBy(col("id")).agg(
+      sum(col("c")).as("n_bigrams"),
+      count(lit(1)).as("n_distinct_bigrams"))
+    // left join: single-token docs have no bigrams; their repetition
+    // fraction is 0 by definition
+    tokSig.join(bgSig, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+        col("top_token_cnt"),
+        (col("top_token_cnt").cast("double") / col("n_tokens")).as("top_token_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        when(col("n_bigrams").isNotNull,
+          lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+  }
+
+  /** Fixed-size sequence chunking — the pre-packing step of an LLM data
+    * loader: split each document's token stream into consecutive
+    * `chunkTokens`-token windows (last window keeps the remainder).
+    * Output: (doc_id, chunk_idx, n_tokens, chunk_text). Pure per-row
+    * generation — one narrow stage, no shuffle.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int = 32): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val toks = docs.select(col(idCol).as("doc_id"), TextFns.tokens(col(textCol)).as("_toks"))
+    val lastIdx = expr(s"(size(_toks) - 1) div $chunkTokens")
+    toks.select(col("doc_id"),
+        posexplode(when(size(col("_toks")) > 0,
+          transform(sequence(lit(0), lastIdx),
+            i => struct(
+              least(lit(chunkTokens), size(col("_toks")) - i * chunkTokens)
+                .cast("long").as("n_tokens"),
+              array_join(slice(col("_toks"), i * chunkTokens + 1, lit(chunkTokens)), " ")
+                .as("chunk_text")))))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.n_tokens"), col("c.chunk_text"))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.operators.{Splits, TextPipeline}
+
+/** Training-data curation surface over `documents`: benchmark
+  * decontamination, passage-level boilerplate dedup, repetition quality
+  * signals, sequence chunking, and stratified deterministic sampling.
+  * Every query is DuckDB-oracle-verified — all counts are exact
+  * integers (BIGINT both sides), every ratio one IEEE division, and the
+  * sampler rides the md5 portable hash family.
+  */
+object PipelineQueries {
+
+  // SQL-fragment vals are declared BEFORE `defs` (object init order —
+  // see CLAUDE.md: a val referenced before initialization interpolates
+  // null into the SQL).
+
+  /** tokens CTE — identical to the TextQueries/DedupQueries tokenizer. */
+  private val ToksCte =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+      |  FROM documents
+      |)""".stripMargin
+
+  /** 3-gram shingle CTEs (shared shape with DedupQueries.ShingleCtes). */
+  private val Shingle3Ctes =
+    s"""$ToksCte, sh0 AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 3
+      |    THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)])
+      |    ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM toks
+      |), sh AS (SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh0)""".stripMargin
+
+  /** Positional passage/chunk CTE: non-overlapping `n`-token windows
+    * with a 1-based pos (Spark's posexplode is 0-based; pos is only an
+    * ordering key, never an output, except where re-based explicitly). */
+  private def passageCtes(n: Int) =
+    s"""$ToksCte, p0 AS (
+      |  SELECT doc_id, [{'pos': i, 'passage': array_to_string(t[(i-1)*$n+1:(i-1)*$n+$n], ' ')}
+      |                  for i in generate_series(1, (len(t)+${n - 1})//$n)] AS ps
+      |  FROM toks
+      |), p AS (SELECT doc_id, unnest(ps, recursive := true) FROM p0)""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Benchmark decontamination: training docs (doc_id % 97 <> 0)
+    // sharing >= 1 word 3-gram with the eval slice (doc_id % 97 = 0).
+    // Production default is 13-grams (GPT-3 rule); 3 here because the
+    // synthetic corpus's vocabulary makes longer shingles collision-free.
+    "q_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextPipeline.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", shingleN = 3)
+      },
+      s"""WITH $Shingle3Ctes
+        |SELECT a.doc_id,
+        |       count(DISTINCT a.shingle) AS n_shared_ngrams,
+        |       count(DISTINCT e.doc_id) AS n_eval_docs
+        |FROM sh a JOIN sh e ON a.shingle = e.shingle
+        |WHERE a.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+        |GROUP BY a.doc_id"""),
+
+    // Passage-level corpus dedup: every copy of any 10-token passage
+    // occurring more than once corpus-wide is dropped; survivors are
+    // reassembled in document order.
+    "q_passage_dedup" -> QueryDef(
+      (s, dir) => TextPipeline.passageDedup(
+        Tables.documents(s, dir), "doc_id", "text",
+        passageTokens = 10, maxOccur = 1),
+      s"""WITH ${passageCtes(10)},
+        |occ AS (SELECT passage, count(*) AS occ FROM p GROUP BY 1)
+        |SELECT p.doc_id,
+        |       count(*) AS n_passages,
+        |       CAST(sum(CASE WHEN occ <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN occ <= 1 THEN p.passage END, ' ' ORDER BY p.pos), '') AS clean_text
+        |FROM p JOIN occ ON p.passage = occ.passage
+        |GROUP BY p.doc_id"""),
+
+    // Gopher-family repetition signals: exact counts + IEEE ratios.
+    "q_repetition_score" -> QueryDef(
+      (s, dir) => TextPipeline.repetitionSignals(
+        Tables.documents(s, dir), "doc_id", "text"),
+      s"""WITH $ToksCte,
+        |tc AS (SELECT doc_id, token, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(t) AS token FROM toks) GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_token_cnt
+        |       FROM tc GROUP BY 1),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c
+        |       FROM (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) AS bigram
+        |             FROM toks WHERE len(t) >= 2) GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |              count(*) AS n_distinct_bigrams
+        |       FROM bc GROUP BY 1)
+        |SELECT ts.doc_id, n_tokens, n_distinct,
+        |       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+        |       top_token_cnt,
+        |       CAST(top_token_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+        |       coalesce(n_bigrams, 0) AS n_bigrams,
+        |       coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+        |       CASE WHEN n_bigrams IS NOT NULL
+        |            THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+        |            ELSE 0.0 END AS dup_bigram_frac
+        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id"""),
+
+    // Fixed-size sequence chunking (LLM data-loader pre-packing).
+    "q_seq_chunks" -> QueryDef(
+      (s, dir) => TextPipeline.chunk(
+        Tables.documents(s, dir), "doc_id", "text", chunkTokens = 32),
+      s"""WITH ${passageCtes(32)}
+        |SELECT doc_id,
+        |       CAST(pos - 1 AS BIGINT) AS chunk_idx,
+        |       CAST(least(32, len(t) - (pos-1)*32) AS BIGINT) AS n_tokens,
+        |       passage AS chunk_text
+        |FROM p JOIN toks USING (doc_id)"""),
+
+    // Stratified deterministic sampling: down-sample the dominant 'en'
+    // stratum to 20%, keep 'zh' at 50%, everything else at 80% — all by
+    // portable-hash threshold, reproducible across engines and runs.
+    "q_sample_stratified" -> QueryDef(
+      (s, dir) => Splits.stratifiedSample(
+          Tables.documents(s, dir), "doc_id", "lang",
+          ratesPermyriad = Map("en" -> 2000, "zh" -> 5000),
+          defaultPermyriad = 8000, salt = "graft-v1")
+        .select(col("doc_id"), col("lang")),
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(concat('0x', substr(md5('graft-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS h
+        |  FROM documents)
+        |WHERE h < CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000 ELSE 8000 END""")
+  )
+}

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Splits, TextPipeline}
+
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // ---- passageDedup ----------------------------------------------------
+
+  test("passageDedup drops every copy of a repeated passage and reassembles in order") {
+    val boiler = "b1 b2 b3" // 3-token boilerplate passage
+    val d = docs(
+      1L -> s"$boiler u1 u2 u3",
+      2L -> s"$boiler v1 v2 v3",
+      3L -> "w1 w2 w3 w4 w5 w6")
+    val out = TextPipeline.passageDedup(d, "doc_id", "text",
+        passageTokens = 3, maxOccur = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // the boilerplate passage occurs twice corpus-wide → both copies drop
+    assert(out(1L) == ((2L, 1L, "u1 u2 u3")))
+    assert(out(2L) == ((2L, 1L, "v1 v2 v3")))
+    assert(out(3L) == ((2L, 2L, "w1 w2 w3 w4 w5 w6")))
+  }
+
+  test("passageDedup keeps a doc whose every passage was dropped (empty clean_text)") {
+    val d = docs(1L -> "x1 x2 x3", 2L -> "x1 x2 x3")
+    val out = TextPipeline.passageDedup(d, "doc_id", "text", 3, maxOccur = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((0L, "")))
+    assert(out(2L) == ((0L, "")))
+  }
+
+  test("passageDedup reassembly preserves document order across many passages") {
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> words)
+    val out = TextPipeline.passageDedup(d, "doc_id", "text", 4, maxOccur = 1).collect()(0)
+    assert(out.getString(3) == words) // nothing repeated → identity, in order
+    assert(out.getLong(1) == 8L)      // ceil(30/4)
+  }
+
+  // ---- decontaminate ---------------------------------------------------
+
+  test("decontaminate flags exactly the training docs sharing an n-gram with eval") {
+    val train = docs(
+      10L -> "a b c d e",     // shares 3-gram "a b c" with eval doc 1
+      11L -> "p q r s t",     // clean
+      12L -> "x y z a b c")   // shares "a b c" too
+    val eval = docs(1L -> "a b c q q")
+    val out = TextPipeline.decontaminate(train, eval, "doc_id", "text", shingleN = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(10L, 12L))
+    assert(out(10L) == ((1L, 1L)))
+    assert(out(12L) == ((1L, 1L)))
+  }
+
+  test("decontaminate counts distinct shared shingles and distinct eval docs") {
+    val train = docs(10L -> "a b c d e f") // 3-grams: abc bcd cde def
+    val eval = docs(1L -> "a b c d", 2L -> "c d e f")
+    // shared: abc, bcd (eval1), cde, def (eval2) → 4 shingles, 2 eval docs
+    val out = TextPipeline.decontaminate(train, eval, "doc_id", "text", 3).collect()(0)
+    assert((out.getLong(1), out.getLong(2)) == ((4L, 2L)))
+  }
+
+  // ---- repetitionSignals ----------------------------------------------
+
+  test("repetitionSignals computes exact counts and ratios") {
+    val d = docs(1L -> "a a a b", 2L -> "solo")
+    val out = TextPipeline.repetitionSignals(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 4L)             // n_tokens
+    assert(r1.getLong(2) == 2L)             // n_distinct
+    assert(r1.getDouble(3) == 0.5)          // distinct_ratio
+    assert(r1.getLong(4) == 3L)             // top_token_cnt ("a")
+    assert(r1.getDouble(5) == 0.75)         // top_token_frac
+    assert(r1.getLong(6) == 3L)             // bigrams: "a a","a a","a b"
+    assert(r1.getLong(7) == 2L)             // distinct bigrams
+    assert(r1.getDouble(8) == 1.0 - 2.0 / 3.0)
+    val r2 = out(2L)                        // single token: no bigrams
+    assert(r2.getLong(6) == 0L && r2.getLong(7) == 0L && r2.getDouble(8) == 0.0)
+  }
+
+  // ---- chunk -----------------------------------------------------------
+
+  test("chunk splits into fixed windows with a short remainder") {
+    val d = docs(1L -> (1 to 7).map(i => s"t$i").mkString(" "))
+    val out = TextPipeline.chunk(d, "doc_id", "text", chunkTokens = 3)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq == Seq(
+      (0L, 3L, "t1 t2 t3"), (1L, 3L, "t4 t5 t6"), (2L, 1L, "t7")))
+  }
+
+  test("chunk boundary: doc length an exact multiple of the window") {
+    val d = docs(1L -> "a b c d")
+    val out = TextPipeline.chunk(d, "doc_id", "text", 2).orderBy("chunk_idx").collect()
+    assert(out.length == 2 && out.forall(_.getLong(2) == 2L))
+  }
+
+  test("chunk concatenation round-trips the token stream") {
+    val text = (1 to 23).map(i => s"w$i").mkString(" ")
+    val out = TextPipeline.chunk(docs(1L -> text), "doc_id", "text", 5)
+      .orderBy("chunk_idx").collect().map(_.getString(3)).mkString(" ")
+    assert(out == text)
+  }
+
+  // ---- stratifiedSample ------------------------------------------------
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    val d = Tables.documents(spark, sf001).select(col("doc_id"), col("lang"))
+    val s1 = Splits.stratifiedSample(d, "doc_id", "lang",
+      Map("en" -> 2000), defaultPermyriad = 8000, salt = "s")
+    val s2 = Splits.stratifiedSample(d.repartition(5), "doc_id", "lang",
+      Map("en" -> 2000), defaultPermyriad = 8000, salt = "s")
+    assert(s1.orderBy("doc_id").collect().toSeq == s2.orderBy("doc_id").collect().toSeq)
+    // a kept row's fate never depends on other rows: sampling a subset
+    // keeps exactly the intersection
+    val subset = Splits.stratifiedSample(d.filter(col("doc_id") < 25), "doc_id", "lang",
+      Map("en" -> 2000), defaultPermyriad = 8000, salt = "s")
+    assert(subset.collect().map(_.getLong(0)).toSet ==
+      s1.filter(col("doc_id") < 25).collect().map(_.getLong(0)).toSet)
+  }
+
+  test("stratifiedSample rate 0 drops the stratum; rate 10000 keeps it whole") {
+    val d = Tables.documents(spark, sf001).select(col("doc_id"), col("lang"))
+    val out = Splits.stratifiedSample(d, "doc_id", "lang",
+      Map("en" -> 0), defaultPermyriad = 10000, salt = "s")
+    assert(out.filter(col("lang") === "en").count() == 0)
+    assert(out.count() == d.filter(col("lang") =!= "en").count())
+  }
+
+  test("stratifiedSample rejects out-of-range rates") {
+    val d = Tables.documents(spark, sf001)
+    intercept[IllegalArgumentException] {
+      Splits.stratifiedSample(d, "doc_id", "lang", Map("en" -> 10001), 100, "s")
+    }
+  }
+}
