@@ -244,4 +244,55 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), col("common"), col("sz1"), col("sz2"), col("jaccard"))
   }
+
+  // ------------------------------------------------------ dedup clusters
+
+  /** Connected components over an undirected near-dup pair graph: every
+    * node gets `cluster_id` = the minimum id reachable from it, so a
+    * chain a–b, b–c, c–d collapses into ONE cluster even though (a,d)
+    * was never emitted as a pair — the transitive step pairwise dedup
+    * output alone cannot give you. Keep `doc_id == cluster_id` rows (one
+    * canonical representative per cluster) to materialize the deduped
+    * corpus.
+    *
+    * Algorithm: min-label propagation to a fixpoint — per round, each
+    * node takes the min of its own label and its neighbors' labels (one
+    * keyed join + one keyed min-agg per round, all map-side-combinable).
+    * Rounds = the graph diameter, and near-dup graphs are shallow (a
+    * duplicate cluster's diameter is tiny); for adversarially deep
+    * graphs (a 10⁶-link chain) swap in the two-phase large-star/
+    * small-star formulation — same join primitives, O(log n) rounds.
+    * The per-round driver action is a 0/1 convergence probe (does ANY
+    * label still change), never data; `localCheckpoint` truncates the
+    * iterative lineage (a cluster job would checkpoint to durable
+    * storage instead).
+    *
+    * @param edges undirected pair list (edge columns `id1`, `id2`)
+    * @param nodes one row per node id (singletons become their own
+    *              cluster); pass the full corpus ids
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame, idCol: String,
+                          maxRounds: Int = 50): DataFrame = {
+    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col(idCol).as("nid"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("nid"))
+        .select(col("src").as("nid"), col("label"))
+      val next = labels.union(nbrMin)
+        .groupBy(col("nid")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "_old"), Seq("nid"))
+        .filter(col("label") =!= col("_old")).isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds " +
+      "(graph deeper than expected — use a star-contraction formulation)")
+    labels.select(col("nid").as(idCol), col("label").as("cluster_id"))
+  }
 }

@@ -136,6 +136,29 @@ object TextPipeline {
           .otherwise(lit(0.0)).as("dup_bigram_frac"))
   }
 
+  /** Deterministic per-group token-budget capping — the data-mixing
+    * primitive: each group (source / domain / language) contributes docs
+    * in portable-hash order (a stable pseudo-random shuffle, never
+    * rand()) until its running token total exceeds `budget`; the rest
+    * are dropped. Re-running, re-partitioning, or swapping engines
+    * reproduces the same mixture exactly.
+    *
+    * Scale shape: one window over partitionBy(group) — per-group state
+    * is a running sum, skew is bounded by the largest single group
+    * (salt the group key upstream if one source dominates the corpus).
+    * Output: input columns + n_tokens + cum_tokens.
+    */
+  def capTokenBudget(docs: DataFrame, idCol: String, groupCol: String,
+                     textCol: String, budget: Long, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val h = Dedup.portableHash64(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    docs.withColumn("n_tokens", size(TextFns.tokens(col(textCol))).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Fixed-size sequence chunking — the pre-packing step of an LLM data
     * loader: split each document's token stream into consecutive
     * `chunkTokens`-token windows (last window keeps the remainder).

@@ -119,6 +119,77 @@ object PipelineQueries {
         |       passage AS chunk_text
         |FROM p JOIN toks USING (doc_id)"""),
 
+    // Dedup clusters: connected components over the exact 3-gram
+    // Jaccard >= 0.5 pair graph — the transitive closure pairwise dedup
+    // alone cannot give (a–b, b–c collapse into one cluster without an
+    // a–c pair). Min-label propagation to a fixpoint; the oracle replays
+    // it as a recursive transitive-closure CTE.
+    "q_dedup_clusters" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = graft.operators.Dedup
+          .ngramJaccardPairs(docs, "doc_id", "text", shingleN = 3, minJaccard = 0.5)
+          .select(col("id1"), col("id2"))
+        graft.operators.Dedup.connectedComponents(
+          pairs, docs.select(col("doc_id")), "doc_id")
+      },
+      s"""WITH RECURSIVE $Shingle3Ctes,
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |co AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2 FROM co
+        |  JOIN sizes s1 ON s1.doc_id = co.id1 JOIN sizes s2 ON s2.doc_id = co.id2
+        |  WHERE common / (s1.sz + s2.sz - common) >= 0.5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id"""),
+
+    // Corpus-relative quality gate: keep docs at or above the corpus
+    // 25th percentile of token count. The exact-percentile threshold is
+    // a 1-row broadcast (quantile_cont ≡ Spark percentile — proven by
+    // q_percentile), never a collect.
+    "q_quality_filter" -> QueryDef(
+      (s, dir) => {
+        val withN = Tables.documents(s, dir).select(col("doc_id"),
+          size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+        val thresh = withN.select(expr("percentile(n_tokens, 0.25)").as("p25"))
+        withN.crossJoin(broadcast(thresh))
+          .filter(col("n_tokens") >= col("p25"))
+          .select(col("doc_id"), col("n_tokens"), col("p25"))
+      },
+      s"""WITH $ToksCte,
+        |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+        |th AS (SELECT quantile_cont(n_tokens, 0.25) AS p25 FROM n)
+        |SELECT doc_id, n_tokens, p25 FROM n CROSS JOIN th
+        |WHERE n_tokens >= p25"""),
+
+    // Per-source token-budget capping (the data-mixing primitive):
+    // every source contributes docs in portable-hash order until 800
+    // tokens, reproducibly across engines and runs.
+    "q_token_budget" -> QueryDef(
+      (s, dir) => TextPipeline.capTokenBudget(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "source", "text", budget = 800L, salt = "graft-v1")
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens")),
+      s"""WITH $ToksCte,
+        |n AS (
+        |  SELECT d.doc_id, d.source, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |         CAST(concat('0x', substr(md5('graft-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM n)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800"""),
+
     // Stratified deterministic sampling: down-sample the dominant 'en'
     // stratum to 20%, keep 'zh' at 50%, everything else at 80% — all by
     // portable-hash threshold, reproducible across engines and runs.

@@ -134,4 +134,39 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
+
+  // ---- connectedComponents --------------------------------------------
+
+  private def cc(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponents(
+        edges.toDF("id1", "id2"), nodes.toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connectedComponents collapses a transitive chain into one cluster") {
+    // path 1-2, 2-3, 3-4: diameter 3, no direct (1,4) pair
+    val out = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L, 2L, 3L, 4L, 9L))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
+  }
+
+  test("connectedComponents keeps independent components separate") {
+    val out = cc(Seq((5L, 3L), (10L, 12L)), Seq(3L, 5L, 10L, 12L, 7L))
+    assert(out == Map(3L -> 3L, 5L -> 3L, 10L -> 10L, 12L -> 10L, 7L -> 7L))
+  }
+
+  test("connectedComponents min label wins regardless of edge direction") {
+    // edges listed high->low; label must still be the component min
+    val out = cc(Seq((12L, 2L), (2L, 8L)), Seq(2L, 8L, 12L))
+    assert(out.values.toSet == Set(2L))
+  }
+
+  test("connectedComponents fails loudly when rounds are exhausted") {
+    import spark.implicits._
+    val chain = (1L until 8L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain.toDF("id1", "id2"),
+        (1L to 8L).toDF("doc_id"), "doc_id", maxRounds = 2)
+    }
+  }
 }

@@ -132,6 +132,38 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.count() == d.filter(col("lang") =!= "en").count())
   }
 
+  // ---- capTokenBudget --------------------------------------------------
+
+  test("capTokenBudget keeps a stable hash-ordered prefix per group") {
+    val d = Seq(
+      (1L, "s1", "a b c"),        // 3 tokens
+      (2L, "s1", "d e f g"),      // 4
+      (3L, "s1", "h i"),          // 2
+      (4L, "s2", "x y z w v"))    // 5
+      .toDF("doc_id", "source", "text")
+    val out = TextPipeline.capTokenBudget(d, "doc_id", "source", "text",
+      budget = 5L, salt = "s")
+    // per group: docs admitted in hash order while cum <= 5; determinism
+    // under repartitioning
+    val a = out.orderBy("doc_id").collect().toSeq
+    val b = TextPipeline.capTokenBudget(d.repartition(3), "doc_id", "source",
+      "text", budget = 5L, salt = "s").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // s2's single 5-token doc fits exactly
+    assert(out.filter(col("source") === "s2").count() == 1)
+    // every kept row satisfies the cap and cum_tokens is consistent
+    out.collect().foreach { r =>
+      assert(r.getAs[Long]("cum_tokens") <= 5L)
+      assert(r.getAs[Long]("n_tokens") <= r.getAs[Long]("cum_tokens"))
+    }
+  }
+
+  test("capTokenBudget budget 0 drops everything; huge budget keeps everything") {
+    val d = Seq((1L, "s", "a b"), (2L, "s", "c")).toDF("doc_id", "source", "text")
+    assert(TextPipeline.capTokenBudget(d, "doc_id", "source", "text", 0L, "s").count() == 0)
+    assert(TextPipeline.capTokenBudget(d, "doc_id", "source", "text", 1000L, "s").count() == 2)
+  }
+
   test("stratifiedSample rejects out-of-range rates") {
     val d = Tables.documents(spark, sf001)
     intercept[IllegalArgumentException] {
