@@ -47,8 +47,8 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("qvec"), col("cvec")))
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
-    TopK.perGroup(scored, Seq(col("query_id")), col("cos_sim"),
-      Seq(col("neighbor_id")), k, rankName = "rank")
+    TopK.perGroupNativeRanked(scored, Seq("query_id"), "cos_sim",
+      Seq("neighbor_id"), k, rankName = "rank")
   }
 
   /** Fixed-seed random hyperplanes for signed-random-projection LSH
@@ -137,7 +137,7 @@ object Similarity {
       val scored = df.select(col(idCol).as(id), col(vecCol).as(vec))
         .crossJoin(cdf)
         .withColumn("csim", cosine(col(vec), col("center")))
-      TopK.perGroup(scored, Seq(col(id)), col("csim"), Seq(col("cell")), probes, "crank")
+      TopK.perGroupNative(scored, Seq(id), "csim", Seq("cell"), probes)
         .select(col(id), col(vec), col("cell"))
     }
 
@@ -148,8 +148,8 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos_sim", cosine(col("qvec"), col("cvec")))
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
-    TopK.perGroup(scored, Seq(col("query_id")), col("cos_sim"),
-      Seq(col("neighbor_id")), k, rankName = "rank")
+    TopK.perGroupNativeRanked(scored, Seq("query_id"), "cos_sim",
+      Seq("neighbor_id"), k, rankName = "rank")
   }
 
   /** Scalar int8 quantization of an embedding column — the standard
@@ -199,7 +199,7 @@ object Similarity {
     val scored = candidates
       .withColumn("cos_sim", cosine(col("qvec"), col("cvec")))
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
-    TopK.perGroup(scored, Seq(col("query_id")), col("cos_sim"),
-      Seq(col("neighbor_id")), k, rankName = "rank")
+    TopK.perGroupNativeRanked(scored, Seq("query_id"), "cos_sim",
+      Seq("neighbor_id"), k, rankName = "rank")
   }
 }

@@ -50,4 +50,19 @@ object TopK {
       tieBreak.map(c => SortOrder(UnresolvedAttribute.quoted(c), Ascending))
     PlanBridge.wrapUnary(df, child => graft.plans.TopKPerKeyNode(keys, order, k, child))
   }
+
+  /** Native top-k plus the rank column [[perGroup]] emits: the heap
+    * operator prunes to ≤ k rows per group first, then a window ranks
+    * only the survivors — it reuses the final phase's hash partitioning
+    * (no extra exchange) and sorts k rows per group instead of every
+    * candidate. Same total order, so ranks match the window formulation
+    * row for row. */
+  def perGroupNativeRanked(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                           tieBreak: Seq[String], k: Int,
+                           rankName: String = "rn"): DataFrame = {
+    val top = perGroupNative(df, groupCols, orderCol, tieBreak, k)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol).desc +: tieBreak.map(col(_).asc): _*)
+    top.withColumn(rankName, row_number().over(w).cast("long"))
+  }
 }
