@@ -245,6 +245,45 @@ object Dedup {
       .select(col("id1"), col("id2"), col("common"), col("sz1"), col("sz2"), col("jaccard"))
   }
 
+  /** Incremental near-dup check: score each NEW document against the
+    * EXISTING corpus only — the daily-ingest posture, where re-running
+    * the full all-pairs pass over 100 TB for a 0.1 TB increment would be
+    * absurd. Same inverted-index shape as [[ngramJaccardPairs]], but the
+    * shingle join is corpus-side × new-side (never corpus × corpus), so
+    * cost scales with the increment. Returns (corpus_id, new_id, common,
+    * sz1, sz2, jaccard) for cross pairs at or above `minJaccard`; anti-
+    * join the new batch against `new_id` to admit only novel docs.
+    * `maxShingleDf` caps stop-shingle posting lists as in the full pass.
+    */
+  def ngramJaccardAgainst(corpus: DataFrame, newDocs: DataFrame, idCol: String,
+                          textCol: String, shingleN: Int = 3,
+                          minJaccard: Double = 0.0,
+                          maxShingleDf: Option[Int] = None): DataFrame = {
+    def shingles(df: DataFrame, outId: String) =
+      df.select(col(idCol).as(outId), TextFns.tokens(col(textCol)).as("_toks"))
+        .select(col(outId), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("shingle"))
+        .distinct()
+    val corpusSh0 = shingles(corpus, "corpus_id")
+    val corpusSh = maxShingleDf match {
+      case Some(cap) =>
+        val dfreq = corpusSh0.groupBy("shingle")
+          .agg(count(lit(1)).as("_df")).filter(col("_df") <= cap)
+        corpusSh0.join(dfreq.select("shingle"), Seq("shingle"))
+      case None => corpusSh0
+    }
+    val newSh = shingles(newDocs, "new_id")
+    val sz1 = corpusSh.groupBy(col("corpus_id")).agg(count(lit(1)).as("sz1"))
+    val sz2 = newSh.groupBy(col("new_id")).agg(count(lit(1)).as("sz2"))
+    corpusSh.join(newSh, Seq("shingle"))
+      .groupBy(col("corpus_id"), col("new_id")).agg(count(lit(1)).as("common"))
+      .join(sz1, Seq("corpus_id")).join(sz2, Seq("new_id"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("corpus_id"), col("new_id"), col("common"),
+        col("sz1"), col("sz2"), col("jaccard"))
+  }
+
   // ------------------------------------------------------ dedup clusters
 
   /** Connected components over an undirected near-dup pair graph: every

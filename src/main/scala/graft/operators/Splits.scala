@@ -42,6 +42,39 @@ object Splits {
     df.filter(h < rate)
   }
 
+  /** Deterministic mixture resampling — the epoch-weights primitive: a
+    * stratum with weight w (per-myriad, 10000 = 1×) emits each of its
+    * rows floor(w/10000) times, plus one extra copy iff
+    * portableHash64(salt:id) % 10000 < w % 10000 — so a 2.5× source
+    * duplicates every doc and triples a reproducible half of them, and
+    * an 0.5× source keeps a reproducible half. Same stability contract
+    * as [[stratifiedSample]] (a row's fate depends only on salt and id).
+    * `copy_idx` (1-based) distinguishes replicas for downstream epoch
+    * shuffling. Narrow explode — no shuffle; output size scales by the
+    * mixture weight exactly.
+    */
+  def resampleByWeight(df: DataFrame, idCol: String, strataCol: String,
+                       weightsPermyriad: Map[String, Int],
+                       defaultPermyriad: Int, salt: String): DataFrame = {
+    (weightsPermyriad.values ++ Seq(defaultPermyriad)).foreach(w =>
+      require(w >= 0, s"negative mixture weight: $w"))
+    val h = Dedup.portableHash64(concat(lit(salt + ":"), col(idCol).cast("string"))) % 10000
+    // integer base/frac split per stratum happens in Scala (no column
+    // division drift possible)
+    def perStratum(f: Int => Long): Column =
+      weightsPermyriad.foldLeft(lit(f(defaultPermyriad))) { case (acc, (k, v)) =>
+        when(col(strataCol) === k, lit(f(v))).otherwise(acc)
+      }
+    val base = perStratum(v => (v / 10000).toLong)
+    val frac = perStratum(v => (v % 10000).toLong)
+    // copies >= 1 before the sequence: sequence(1, 0) would flip to a
+    // DESCENDING default step and emit [1, 0] instead of nothing
+    df.withColumn("_copies", base + when(h < frac, 1L).otherwise(0L))
+      .filter(col("_copies") >= 1)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(1L), col("_copies"))).as("copy_idx"): _*)
+  }
+
   /** train/valid/test label: buckets [0,trainPct) → train,
     * [trainPct, trainPct+validPct) → valid, rest → test. */
   def assign(df: DataFrame, idCol: String, salt: String,

@@ -190,6 +190,48 @@ object PipelineQueries {
         |  FROM n)
         |SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800"""),
 
+    // Incremental near-dup ingest check: the "new batch" (doc_id % 10 >=
+    // 8) is scored against the existing corpus only — cost scales with
+    // the increment, never corpus².
+    "q_incremental_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Dedup.ngramJaccardAgainst(
+          docs.filter(col("doc_id") % 10 < 8),
+          docs.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "text", shingleN = 3, minJaccard = 0.5)
+      },
+      s"""WITH $Shingle3Ctes,
+        |c AS (SELECT doc_id AS corpus_id, shingle FROM sh WHERE doc_id % 10 < 8),
+        |nn AS (SELECT doc_id AS new_id, shingle FROM sh WHERE doc_id % 10 >= 8),
+        |s1 AS (SELECT corpus_id, count(*) AS sz1 FROM c GROUP BY 1),
+        |s2 AS (SELECT new_id, count(*) AS sz2 FROM nn GROUP BY 1),
+        |co AS (SELECT corpus_id, new_id, count(*) AS common
+        |       FROM c JOIN nn USING (shingle) GROUP BY 1, 2)
+        |SELECT corpus_id, new_id, common, sz1, sz2,
+        |       common / (sz1 + sz2 - common) AS jaccard
+        |FROM co JOIN s1 USING (corpus_id) JOIN s2 USING (new_id)
+        |WHERE common / (sz1 + sz2 - common) >= 0.5"""),
+
+    // Deterministic mixture resampling: src0 at 2.5x (every doc twice, a
+    // hash-chosen half a third time), src1 at 0.5x, everything else 1x.
+    "q_resample_mix" -> QueryDef(
+      (s, dir) => Splits.resampleByWeight(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", "source",
+          weightsPermyriad = Map("src0" -> 25000, "src1" -> 5000),
+          defaultPermyriad = 10000, salt = "graft-v1")
+        .select(col("doc_id"), col("source"), col("copy_idx")),
+      """SELECT doc_id, source, unnest(generate_series(1, copies)) AS copy_idx
+        |FROM (
+        |  SELECT doc_id, source,
+        |         w // 10000 + CASE WHEN h < w % 10000 THEN 1 ELSE 0 END AS copies
+        |  FROM (
+        |    SELECT doc_id, source,
+        |           CAST(concat('0x', substr(md5('graft-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS h,
+        |           CASE source WHEN 'src0' THEN 25000 WHEN 'src1' THEN 5000 ELSE 10000 END AS w
+        |    FROM documents))"""),
+
     // Stratified deterministic sampling: down-sample the dominant 'en'
     // stratum to 20%, keep 'zh' at 50%, everything else at 80% — all by
     // portable-hash threshold, reproducible across engines and runs.

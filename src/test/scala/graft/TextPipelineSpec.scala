@@ -164,6 +164,56 @@ class TextPipelineSpec extends SparkSpec {
     assert(TextPipeline.capTokenBudget(d, "doc_id", "source", "text", 1000L, "s").count() == 2)
   }
 
+  // ---- resampleByWeight ------------------------------------------------
+
+  test("resampleByWeight replicates by integer weight exactly") {
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    val out = Splits.resampleByWeight(d, "doc_id", "source",
+      Map("a" -> 30000), defaultPermyriad = 10000, salt = "s")
+    // 3x: every 'a' doc exactly 3 copies with copy_idx 1..3
+    val a = out.filter(col("source") === "a").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap ==
+      Map(1L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 2L, 3L)))
+    assert(out.filter(col("source") === "b").count() == 1)
+  }
+
+  test("resampleByWeight fractional weight keeps a stable hash-chosen subset") {
+    val d = (1L to 200L).map(i => (i, "x")).toDF("doc_id", "source")
+    val out = Splits.resampleByWeight(d, "doc_id", "source",
+      Map("x" -> 5000), defaultPermyriad = 10000, salt = "s")
+    val n = out.count()
+    assert(n > 60 && n < 140) // ~100 of 200 at 0.5x
+    // deterministic under re-run and repartition
+    val n2 = Splits.resampleByWeight(d.repartition(7), "doc_id", "source",
+      Map("x" -> 5000), 10000, "s").count()
+    assert(n == n2)
+    // weight 0 drops the stratum entirely
+    assert(Splits.resampleByWeight(d, "doc_id", "source",
+      Map("x" -> 0), 10000, "s").count() == 0)
+  }
+
+  // ---- ngramJaccardAgainst ---------------------------------------------
+
+  test("ngramJaccardAgainst scores new docs against the corpus only") {
+    val corpus = docs(1L -> "a b c d e", 2L -> "p q r s t")
+    val nw = docs(
+      10L -> "a b c d e",  // exact dup of corpus doc 1
+      11L -> "zz yy xx ww vv") // novel
+    val out = graft.operators.Dedup.ngramJaccardAgainst(
+        corpus, nw, "doc_id", "text", shingleN = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(5)))
+    assert(out.toSeq == Seq((10L, 1L, 1.0)))
+  }
+
+  test("ngramJaccardAgainst never pairs new docs with each other") {
+    val corpus = docs(1L -> "completely different words here now")
+    val nw = docs(10L -> "a b c d e", 11L -> "a b c d e") // dups of each other
+    val out = graft.operators.Dedup.ngramJaccardAgainst(
+      corpus, nw, "doc_id", "text", 3, minJaccard = 0.1)
+    assert(out.count() == 0) // new-new duplication is the FULL pass's job
+  }
+
   test("stratifiedSample rejects out-of-range rates") {
     val d = Tables.documents(spark, sf001)
     intercept[IllegalArgumentException] {
