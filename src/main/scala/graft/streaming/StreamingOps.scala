@@ -119,6 +119,28 @@ object StreamingOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming ingest dedup against a STATIC historical corpus — the
+    * streaming twin of `Dedup.ngramJaccardAgainst`'s posture: incoming
+    * documents are admitted only if their content fingerprint matches
+    * nothing in the historical index (stream-static left-anti join; the
+    * static side is planned per micro-batch, broadcast when small) AND
+    * nothing already admitted this stream within the watermark horizon
+    * (keyed state, watermark-evicted). Exactly the two dup classes a
+    * continuous crawl ingest faces: re-crawls of historical pages and
+    * repeats inside the firehose.
+    *
+    * @param docs   streaming (id, text, ts) frame
+    * @param corpusFingerprints static frame with a `fingerprint` column
+    *                           (build with md5(text) — `q_fingerprint`)
+    */
+  def dedupAgainstCorpus(docs: DataFrame, corpusFingerprints: DataFrame,
+                         textCol: String = "text", tsCol: String = "ts",
+                         watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("fingerprint", md5(col(textCol)))
+      .join(corpusFingerprints.select("fingerprint"), Seq("fingerprint"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("fingerprint"))
+
   final case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** Per-key running totals on the modern `transformWithState` API

@@ -23,4 +23,38 @@ class SinksSpec extends SparkSpec {
     // collect-to-driver parity (the reference returns collected lists)
     assert(out.collect().length == out.count())
   }
+
+  test("hive-partitioned layout prunes non-matching partitions at the scan") {
+    // the 100 TB ingest posture: partition the lake by a low-cardinality
+    // routing column so per-stratum queries touch only their directories
+    val docs = Tables.documents(spark, sf001)
+    val base = java.nio.file.Files.createTempDirectory("graft-part").toString
+    docs.write.partitionBy("lang").parquet(s"$base/docs")
+    val back = spark.read.parquet(s"$base/docs")
+    val en = back.filter(col("lang") === "en")
+    // partition filter must reach the scan (pruning, not a post-filter)
+    val scan = en.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+      s"partition filter not pushed:\n$scan")
+    assert(en.count() == docs.filter(col("lang") === "en").count())
+    // non-matching partition directories are dropped before file listing
+    // (inputFiles reports the PRE-pruning relation — ask the exec scan)
+    val dirs = new java.io.File(s"$base/docs").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("lang=")) && dirs.size > 1)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      // materialize THIS queryExecution (count() would plan a fresh one
+      // whose metrics this plan instance never sees)
+      val plan = df.queryExecution.executedPlan
+      plan.execute().count()
+      plan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.get
+    }
+    val allFiles = scannedFiles(back)
+    val enFiles = scannedFiles(back.filter(col("lang") === "en"))
+    assert(enFiles > 0 && enFiles < allFiles,
+      s"pruning did not reduce scanned files: $enFiles of $allFiles")
+  }
 }

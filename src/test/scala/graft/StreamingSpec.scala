@@ -226,6 +226,30 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "click", 1.0), (1L, "view", 4.0)))
   }
 
+  test("stream-static ingest dedup admits only docs novel to corpus AND stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("old doc one", "old doc two").toDF("text")
+      .select(md5(col("text")).as("fingerprint"))
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingOps.dedupAgainstCorpus(
+        ms.toDF().toDF("doc_id", "text", "ts"), corpus, watermark = "60 minutes")
+      .writeStream.format("memory").queryName("ingest").outputMode("append").start()
+    ms.addData(
+      (10L, "old doc one", ts(0)),   // re-crawl of historical page → dropped
+      (11L, "fresh doc a", ts(1)),   // novel → admitted
+      (12L, "fresh doc a", ts(2)))   // in-batch repeat → dropped
+    q.processAllAvailable()
+    ms.addData(
+      (13L, "fresh doc a", ts(10)),  // cross-batch repeat → dropped
+      (14L, "fresh doc b", ts(11)),  // novel → admitted
+      (15L, "old doc two", ts(12)))  // historical → dropped
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ingest").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L, 14L))
+  }
+
   test("session boundary: exactly-gap-apart events share a session; gap+1us splits") {
     import java.sql.Timestamp
     import spark.implicits._
