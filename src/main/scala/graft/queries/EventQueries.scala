@@ -17,6 +17,29 @@ object EventQueries {
 
   private val SessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min
 
+  /** Ordered 3-step funnel over (user_id, event_type, ts_us) rows: each
+    * stage's timestamp is the min STRICTLY AFTER the previous stage's —
+    * shared by q_funnel and FunnelSpec's crafted-ordering pins. */
+  private[graft] def funnel(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val users = ev.select(col("user_id")).distinct()
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts_us") > col("view_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("click_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts_us") > col("click_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("purchase_us"))
+    users.join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
+        when(col("purchase_us").isNotNull, 3L)
+          .when(col("click_us").isNotNull, 2L)
+          .when(col("view_us").isNotNull, 1L)
+          .otherwise(0L).as("stage"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Tumbling 1-hour buckets per event type.
@@ -189,6 +212,50 @@ object EventQueries {
         |)
         |SELECT user_id, count(*) AS n_events,
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
-        |FROM sessions GROUP BY user_id, session_idx""")
+        |FROM sessions GROUP BY user_id, session_idx"""),
+
+    // Ordered 3-step funnel (view → click → purchase): each stage's
+    // timestamp is the min STRICTLY AFTER the previous stage — the
+    // sequence constraint product funnels mean, not three independent
+    // mins. Three keyed aggs + joins, all on user_id (one partitioning
+    // reused); per-user state is O(1).
+    "q_funnel" -> QueryDef(
+      (s, dir) => funnel(Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))),
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |v AS (SELECT user_id, min(ts_us) AS view_us FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT ev.user_id, min(ts_us) AS click_us FROM ev JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_us > view_us GROUP BY 1),
+        |p AS (SELECT ev.user_id, min(ts_us) AS purchase_us FROM ev JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_us > click_us GROUP BY 1)
+        |SELECT u.user_id, view_us, click_us, purchase_us,
+        |       CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
+        |                 WHEN click_us IS NOT NULL THEN 2
+        |                 WHEN view_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |       LEFT JOIN p USING (user_id)"""),
+
+    // Daily cohort retention: users grouped by first-activity day;
+    // n_users = distinct users from that cohort active again
+    // day_offset days later. Two keyed aggs on user_id + one on
+    // (cohort_day, offset) — the classic retention triangle.
+    "q_cohort_retention" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val coh = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        ev.join(coh, Seq("user_id"))
+          .groupBy(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |coh AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |       count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN coh USING (user_id)
+        |GROUP BY 1, 2""")
   )
 }
