@@ -59,6 +59,35 @@ object SqlQueries {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
-        |GROUP BY n_name""")
+        |GROUP BY n_name"""),
+
+    // ANSI three-valued-logic pin: IN / NOT IN against a subquery list
+    // CONTAINING a NULL. The classic production trap is the third row:
+    // `NOT IN (list with NULL)` is never TRUE (x <> NULL is UNKNOWN), so
+    // n_notin_withnull must be 0 — both engines must agree on all four
+    // counts, not just the intuitive two. NOT EXISTS is the
+    // NULL-immune formulation (= anti join), pinned alongside.
+    "q_not_in_nulls" -> QueryDef(
+      (s, dir) => {
+        views(s, dir, "customer", "nation")
+        s.sql(NotInNullsSql)
+      },
+      NotInNullsSql)
   )
+
+  // nullif(n_nationkey, 3) plants exactly one NULL in the subquery list
+  private lazy val NotInNullsSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey < 5)) AS n_in,
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey < 5)) AS n_notin,
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_nationkey IN (SELECT nullif(n_nationkey, 3) FROM nation WHERE n_nationkey < 5)) AS n_in_withnull,
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_nationkey NOT IN (SELECT nullif(n_nationkey, 3) FROM nation WHERE n_nationkey < 5)) AS n_notin_withnull,
+      |  (SELECT count(*) FROM customer c
+      |   WHERE NOT EXISTS (SELECT 1 FROM nation
+      |                     WHERE nullif(n_nationkey, 3) = c.c_nationkey
+      |                       AND n_nationkey < 5)) AS n_notexists""".stripMargin
 }

@@ -320,6 +320,31 @@ object WindowQueries {
         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
-        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)""")
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)"""),
+
+    // RANGE-frame rolling aggregates: per event, count and decimal-exact
+    // value sum over the PRECEDING HOUR of the same user (range frame on
+    // integer epoch-micros — value-based bounds, peers included, unlike
+    // every ROWS frame above). The 100 TB shape is one shuffle on
+    // user_id + an in-partition sort; per-row frame lookup is the
+    // engine's segment tree, never a self-join.
+    "q_rolling_1h" -> QueryDef(
+      (s, dir) => {
+        val hourUs = 3600L * 1000 * 1000
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+          .rangeBetween(-hourUs, 0)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_1h",
+            sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+      },
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""")
   )
 }
