@@ -80,4 +80,42 @@ class PlanAuditSpec extends SparkSpec {
       "phases not split across the exchange")
     assert(!p.contains("Sort "), s"native top-k must not sort:\n$p")
   }
+
+  test("q_decontaminate: eval shingle set broadcasts; training side never shuffles pre-join") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the first (bottom-up: only) exchange must be ABOVE the join —
+    // plan strings print parents first, so the join must appear after
+    // every Exchange line
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val lastExchange = p.lastIndexOf("Exchange hashpartitioning")
+    assert(lastExchange < joinIdx,
+      s"training side shuffled before the contamination join:\n$p")
+  }
+
+  test("q_passage_dedup: occurrence counts via partial agg, never a window on the passage key") {
+    val p = planOf("q_passage_dedup")
+    assert(p.contains("partial_count"), "occurrence count lost its map-side combine")
+    assert(!p.contains("Window "), s"hot passage key planned as a window:\n$p")
+  }
+
+  test("q_sample_stratified and q_resample_mix stay single narrow stages") {
+    for (q <- Seq("q_sample_stratified", "q_resample_mix")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q acquired a shuffle:\n$p")
+      // the "*(n)" operator prefix marks whole-stage-codegen membership
+      assert(p.contains("*(1)"), s"$q fell out of codegen:\n$p")
+    }
+  }
+
+  test("q_ann_brute: native heap top-k; rank window sorts only the survivors above the final phase") {
+    val p = planOf("q_ann_brute")
+    assert(p.contains("TopKPerKeyExec(partial"), p)
+    assert(p.contains("TopKPerKeyExec(final"), p)
+    assert(p.contains("Window "), "rank column lost")
+    // exactly one hash exchange: the window must reuse the final
+    // phase's partitioning, not add its own
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"rank window added a second exchange:\n$p")
+  }
 }
