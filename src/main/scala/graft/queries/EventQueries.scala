@@ -214,6 +214,23 @@ object EventQueries {
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
         |FROM sessions GROUP BY user_id, session_idx"""),
 
+    // Sliding 1-hour windows every 15 minutes: Spark's window() Expand
+    // replicates each event into width/slide = 4 overlapping buckets
+    // before ONE keyed agg — the standard sliding-aggregate plan (state
+    // ∝ open windows, not events). The oracle expands the same 4 slide
+    // offsets explicitly. Distinct from q_events_hourly's tumbling
+    // buckets (slide = width).
+    "q_sliding_1h_15m" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n_events")),
+      """SELECT ((epoch_us(ts) // 900000000) - i) * 900000000 AS window_start_us,
+        |       event_type, count(*) AS n_events
+        |FROM events CROSS JOIN generate_series(0, 3) AS g(i)
+        |GROUP BY 1, 2"""),
+
     // Ordered 3-step funnel (view → click → purchase): each stage's
     // timestamp is the min STRICTLY AFTER the previous stage — the
     // sequence constraint product funnels mean, not three independent
