@@ -31,6 +31,17 @@ object TextFns {
         i => array_join(slice(toks, i, lit(n)), " "))))
       .otherwise(array(array_join(toks, " ")))
 
+  /** GPT-2-style "BPE-ish" regex pre-tokenization: letter runs, digit
+    * runs, and punctuation runs, each absorbing one optional leading
+    * space — the split a byte-pair tokenizer applies BEFORE merges. A
+    * deliberately lookahead-free subset of the GPT-2 pattern so Java
+    * regex (Spark) and RE2-family engines (DuckDB) agree match for
+    * match. */
+  val BpePattern: String = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** Count of tokens that appear in a fixed vocabulary. */
   def vocabHits(toks: Column, vocab: Seq[String]): Column =
     size(filter(toks, t => t.isin(vocab.map(x => x: Any): _*)))

@@ -65,7 +65,21 @@ object AsOfJoin {
     }
 
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
-               rightPrefix: String = "r_"): DataFrame = {
+               rightPrefix: String = "r_"): DataFrame =
+    merge(left, right, key, ts, rightPrefix, fwd = false)
+
+  /** Forward as-of join — for each left row, the single right row with
+    * the SMALLEST `ts` ≥ the left row's `ts`, per key (the "next quote
+    * after the trade" direction). Same one-shuffle merge as [[backward]]
+    * with the carry reversed: lefts sort BEFORE rights at equal ts, so a
+    * ts-equal right row still matches, and `first(_, ignoreNulls)` over
+    * [current, ∞) picks the earliest following right row. */
+  def forward(left: DataFrame, right: DataFrame, key: String, ts: String,
+              rightPrefix: String = "r_"): DataFrame =
+    merge(left, right, key, ts, rightPrefix, fwd = true)
+
+  private def merge(left: DataFrame, right: DataFrame, key: String, ts: String,
+                    rightPrefix: String, fwd: Boolean): DataFrame = {
     val (lu, ru) = (orderUnit(left, ts), orderUnit(right, ts))
     require(lu == ru,
       s"AsOfJoin: '$ts' resolves to different order units on the two sides " +
@@ -74,22 +88,32 @@ object AsOfJoin {
     val rStructCols = right.columns.filterNot(_ == key).map(col)
     val rStructType = right.select(struct(rStructCols: _*).as("_r")).schema("_r").dataType
 
+    // tie order puts the right side INSIDE the frame at equal ts for
+    // both directions: backward frame ends at current row → rights
+    // first; forward frame starts at current row → lefts first
+    val (leftSide, rightSide) = if (fwd) (0, 1) else (1, 0)
     val l = left.select(
-      col(key).as("_k"), orderKey(left, ts).as("_ts"), lit(1).as("_side"),
+      col(key).as("_k"), orderKey(left, ts).as("_ts"), lit(leftSide).as("_side"),
       struct(left.columns.map(col): _*).as("_lrow"),
       lit(null).cast(rStructType).as("_rrow"))
     val r = right.select(
-      col(key).as("_k"), orderKey(right, ts).as("_ts"), lit(0).as("_side"),
+      col(key).as("_k"), orderKey(right, ts).as("_ts"), lit(rightSide).as("_side"),
       lit(null).cast(l.schema("_lrow").dataType).as("_lrow"),
       struct(rStructCols: _*).as("_rrow"))
 
-    val w = Window.partitionBy(col("_k"))
+    val ordered = Window.partitionBy(col("_k"))
       .orderBy(col("_ts").asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (w, pick) =
+      if (fwd)
+        (ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("_rrow"), ignoreNulls = true))
+      else
+        (ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("_rrow"), ignoreNulls = true))
 
     val carried = l.unionByName(r)
-      .withColumn("_match", last(col("_rrow"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+      .withColumn("_match", pick.over(w))
+      .filter(col("_side") === leftSide)
 
     val leftOut = left.columns.map(c => col(s"_lrow.$c").as(c))
     val rightOut = right.columns.filterNot(_ == key)

@@ -126,6 +126,29 @@ object EventQueries {
         |       o.ots_us AS r_ts_us, o.last_orderkey AS r_last_orderkey
         |FROM ev e ASOF LEFT JOIN ords o ON e.user_id = o.user_id AND e.ts_us >= o.ots_us"""),
 
+    // Forward as-of: each event matched to the user's NEXT order at or
+    // after it (the "first following quote" direction; DuckDB's native
+    // ASOF with the inequality flipped is the oracle).
+    "q_asof_forward" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        val ords = Tables.orders(s, dir)
+          .select(col("o_custkey").as("user_id"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
+            col("o_orderkey"))
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(max(col("o_orderkey")).as("last_orderkey"))
+        graft.operators.AsOfJoin.forward(ev, ords, key = "user_id", ts = "ts_us")
+      },
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |ords AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS ots_us,
+        |                max(o_orderkey) AS last_orderkey
+        |         FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts_us,
+        |       o.ots_us AS r_ts_us, o.last_orderkey AS r_last_orderkey
+        |FROM ev e ASOF LEFT JOIN ords o ON e.user_id = o.user_id AND e.ts_us <= o.ots_us"""),
+
     // Semi-structured payloads: JSON string column → typed extraction →
     // aggregate (the schema-on-read path for event property bags).
     "q_json_extract" -> QueryDef(

@@ -43,6 +43,21 @@ object TextQueries {
         |       CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
         |FROM documents"""),
 
+    // BPE-style regex pre-tokenization (the split a byte-pair tokenizer
+    // applies before merges) — over the JSON props strings, whose
+    // punctuation actually exercises the run-splitting; the joined
+    // token string makes any match divergence visible to the hash.
+    "q_token_bpe" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"), TextFns.bpeTokens(col("props")).as("_t"))
+        .select(col("event_id"),
+          size(col("_t")).cast("long").as("n_bpe_tokens"),
+          array_join(col("_t"), "|").as("bpe_tokens")),
+      s"""SELECT event_id,
+         |       CAST(len(regexp_extract_all(props, '${TextFns.BpePattern}')) AS BIGINT) AS n_bpe_tokens,
+         |       array_to_string(regexp_extract_all(props, '${TextFns.BpePattern}'), '|') AS bpe_tokens
+         |FROM events"""),
+
     // Quality heuristics: exact integer counts + deterministic ratios.
     "q_quality_score" -> QueryDef(
       (s, dir) => {

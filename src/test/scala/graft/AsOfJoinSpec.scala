@@ -23,6 +23,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.size == 4)                         // left-join: all left rows kept
   }
 
+  test("forward as-of: earliest right >= left ts, ties included, NULL when none after") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "e1"), (1L, 200L, "e2"), (1L, 300L, "e5"),
+      (2L, 50L, "e3"), (3L, 10L, "e4")).toDF("k", "ts", "ev")
+    val right = Seq((1L, 90L, "a"), (1L, 150L, "b"), (1L, 200L, "t"), (9L, 5L, "z"))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.forward(left, right, "k", "ts")
+      .select("ev", "r_ts", "r_v").collect()
+      .map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+
+    assert(out("e1") == (Some(150L), Some("b")))  // earliest following, not latest prior
+    assert(out("e2") == (Some(200L), Some("t")))  // tie at equal ts IS matched
+    assert(out("e5") == (None, None))             // nothing after → NULL extension
+    assert(out("e3") == (None, None))             // key absent on right
+    assert(out("e4") == (None, None))
+    assert(out.size == 5)
+  }
+
+  test("forward and backward agree on exact-ts matches and partition the rest") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "x")).toDF("k", "ts", "ev")
+    val right = Seq((1L, 100L, "same")).toDF("k", "ts", "v")
+    val b = AsOfJoin.backward(left, right, "k", "ts").select("r_v").collect()(0).getString(0)
+    val f = AsOfJoin.forward(left, right, "k", "ts").select("r_v").collect()(0).getString(0)
+    assert(b == "same" && f == "same")
+  }
+
   test("backward as-of on TimestampType keeps sub-second precision") {
     import java.sql.Timestamp
     import spark.implicits._
