@@ -237,6 +237,35 @@ object EventQueries {
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
         |FROM sessions GROUP BY user_id, session_idx"""),
 
+    // Per-user dense daily series (time-series gap filling / resample):
+    // missing days between a user's first and last activity materialize
+    // with n_events = 0 — the step every downstream rolling/retention
+    // computation silently assumes. Axis generation is a per-key
+    // sequence explode (rows ∝ span days), joined back keyed — no
+    // calendar dimension scan, no cross join.
+    "q_gap_fill" -> QueryDef(
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"))
+        val axis = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+          .select(col("user_id"), explode(sequence(col("_d0"), col("_d1"))).as("day"))
+        axis.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"))
+      },
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |axis AS (
+        |  SELECT user_id, unnest([CAST(x AS DATE)
+        |           for x in generate_series(CAST(min(day) AS TIMESTAMP),
+        |                                    CAST(max(day) AS TIMESTAMP), INTERVAL 1 DAY)]) AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT axis.user_id, axis.day, coalesce(n_events, 0) AS n_events
+        |FROM axis LEFT JOIN daily ON axis.user_id = daily.user_id AND axis.day = daily.day"""),
+
     // Sliding 1-hour windows every 15 minutes: Spark's window() Expand
     // replicates each event into width/slide = 4 overlapping buckets
     // before ONE keyed agg — the standard sliding-aggregate plan (state
