@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver tail-parses the LAST stdout line of `runMain
+// graft.Bench` as JSON. With the default LoggedOutput strategy sbt
+// prefixes every forked line with "[info] " and appends a
+// "[success] Total time ..." trailer, so the parse always failed
+// (BENCH_r2..r5 all recorded parsed: null). StdoutOutput passes the
+// forked JVM's stdout through verbatim and showSuccess drops the
+// trailer, making Bench's compact JSON the genuine last line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
