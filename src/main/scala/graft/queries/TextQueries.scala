@@ -202,17 +202,24 @@ object TextQueries {
     // equivalent to log-idf for ranking.
     "q_tfidf" -> QueryDef(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
         val toks = docs.select(col("doc_id"),
           explode(TextFns.tokens(col("text"))).as("term"))
+        // tf is persisted so the corpus is scanned+tokenized ONCE (the
+        // naive groupBy+join formulation re-plans the whole tokenize
+        // pipeline on both sides — no exchange reuse fires). df then
+        // comes from a map-side-combinable groupBy(term).count() over
+        // the cached tf, NOT count().over(Window.partitionBy(term)):
+        // a window partitions ALL postings of a term into one task, so
+        // a stopword key at corpus scale pins ~N rows on one executor,
+        // while the hash aggregate reduces every hot key to one row per
+        // map task before the shuffle. MEMORY_AND_DISK: tf spills
+        // instead of OOMing when the term frame outgrows the cache.
         val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs.select(count(lit(1)).as("n_docs"))
-        // df via a window over the tf frame, NOT tf.groupBy(term)+join:
-        // Catalyst plans the join formulation as a second full
-        // scan+tokenize+agg of the corpus (no exchange reuse fires) —
-        // the window keeps ONE tokenize pass and one extra keyed shuffle
-        tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        tf.join(df, Seq("term"))
           .crossJoin(broadcast(n))
           .select(col("doc_id"), col("term"), col("tf"), col("df"),
             (col("tf").cast("double") *

@@ -99,6 +99,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window "), s"hot passage key planned as a window:\n$p")
   }
 
+  test("q_tfidf: df from cached tf via map-side combine, never a window on the term key") {
+    val p = planOf("q_tfidf")
+    // a window's partitioner pins every posting of a stopword term on
+    // one task; the hash aggregate reduces hot keys map-side instead
+    assert(!p.contains("Window "), s"df planned as a window over the raw term key:\n$p")
+    // tf must be read from cache on BOTH sides of the df join — two
+    // InMemoryTableScans prove the corpus was scanned+tokenized once
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"tf not reused from cache — corpus tokenized twice:\n$p")
+  }
+
   test("q_sample_stratified and q_resample_mix stay single narrow stages") {
     for (q <- Seq("q_sample_stratified", "q_resample_mix")) {
       val p = planOf(q)
