@@ -75,15 +75,25 @@ object Dedup {
     *
     * bands × rowsPerBand must equal the signature length; the implied
     * match threshold is roughly (1/bands)^(1/rowsPerBand) — 16×4 ≈ 0.5.
-    * Self-join is keyed on (band, band_hash): at scale each bucket is a
-    * small co-partitioned group, never a global cross product. Skew note:
-    * a degenerate bucket (e.g. empty-text docs sharing a signature) would
-    * square — `maxBucketSize` drops buckets above the cap BEFORE the
-    * self-join (a bucket of d docs yields d² pair rows; members of a
-    * dropped bucket still pair through their other bands/buckets, so for
-    * genuinely-similar non-degenerate pairs recall is barely affected —
-    * same contract as `ngramJaccardPairs.maxShingleDf`). Opt-in to keep
-    * exact banded semantics by default.
+    * Candidate generation carries ONLY ids (the `embeddingNearDups`
+    * pattern): the banded frame is (id, band, band_hash), pairs come
+    * from one groupBy + PairsGenerator over each bucket's id list, and
+    * the 64-long signature payloads re-attach via keyed joins over the
+    * DEDUPED candidate set — a band self-join would ship every
+    * signature once per band (bands× the bytes) and square payloads
+    * inside each bucket. The checked signature frame is persisted
+    * (MEMORY_AND_DISK) so the upstream signature computation — a full
+    * tokenize+minhash pass when fed from `minhashSignatures` — runs
+    * once, not once per re-attach join.
+    *
+    * Skew note: a degenerate bucket (e.g. empty-text docs sharing a
+    * signature) would square — `maxBucketSize` drops buckets above the
+    * cap BEFORE the per-bucket id list is collected (a bucket of d docs
+    * yields d² pair rows; members of a dropped bucket still pair
+    * through their other bands/buckets, so for genuinely-similar
+    * non-degenerate pairs recall is barely affected — same contract as
+    * `ngramJaccardPairs.maxShingleDf`). Opt-in to keep exact banded
+    * semantics by default.
     *
     * Signatures whose length differs from bands × rowsPerBand fail at
     * runtime (raise_error) instead of silently slicing short bands and
@@ -92,15 +102,16 @@ object Dedup {
   def lshCandidates(sigs: DataFrame, idCol: String,
                     bands: Int = 16, rowsPerBand: Int = 4,
                     maxBucketSize: Option[Int] = None): DataFrame = {
+    import graft.functions.PairsGenerator.pairs
     val expected = bands * rowsPerBand
     val checked = sigs.filter(
       when(size(col("sig")) === lit(expected), lit(true))
         .otherwise(raise_error(concat(
           lit("lshCandidates: signature length "), size(col("sig")).cast("string"),
           lit(s" != bands*rowsPerBand = $expected")))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = checked.select(
       col(idCol),
-      col("sig"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         // xxhash64 hashes the band's slice of the signature (array-typed
@@ -108,18 +119,22 @@ object Dedup {
         b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b)))
         .as(Seq("band", "band_hash")))
     val pruned = capBuckets(banded, Seq("band", "band_hash"), maxBucketSize)
-    val l = pruned.select(col(idCol).as("id1"), col("sig").as("sig1"), col("band"), col("band_hash"))
-    val r = pruned.select(col(idCol).as("id2"), col("sig").as("sig2"), col("band"), col("band_hash"))
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+    // pairs() canonicalizes (id1 < id2) and dedupes bucket members, so
+    // the output pair set matches the old self-join + filter formulation
+    val candidates = pruned
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .select(pairs(col("ids")).as(Seq("id1", "id2")))
       .dropDuplicates("id1", "id2")
+    candidates
+      .join(checked.select(col(idCol).as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(checked.select(col(idCol).as("id2"), col("sig").as("sig2")), Seq("id2"))
       .withColumn("est_jaccard",
         aggregate(
           zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") /
           lit((bands * rowsPerBand).toDouble))
-      .drop("sig1", "sig2")
+      .select(col("id1"), col("id2"), col("est_jaccard"))
   }
 
   // ---------------------------------------------------------------- SimHash
