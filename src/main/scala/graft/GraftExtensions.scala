@@ -78,15 +78,16 @@ object GraftExtensions {
     * strategy via experimental.extraStrategies (the post-build
     * counterparts of injectOptimizerRule / injectPlannerStrategy).
     *
-    * Known limitation: extraOptimizations run in the optimizer's FINAL
-    * "User Provided Optimizers" batch — after every predicate-pushdown
-    * batch — so a filter PushFilterThroughTopKPerKey moves below the
-    * node stops there instead of descending to the scan (results
-    * identical, scan-level pushdown lost). Sessions built with
+    * extraOptimizations run in the optimizer's FINAL "User Provided
+    * Optimizers" batch — after every built-in predicate-pushdown
+    * batch — so PushFilterThroughTopKPerKey re-applies Catalyst's
+    * PushDownPredicates to fixpoint on the subtree it rewrites: a key
+    * filter pushed below the node keeps descending to the scan on this
+    * path too (pinned in ExtensionsSpec). Sessions built with
     * `spark.sql.extensions=graft.GraftExtensions` get the rule inside
-    * the main operatorOptimization batch and full descent — prefer
-    * that path in production; registerOn is the test/REPL fallback for
-    * sessions that already exist. */
+    * the main operatorOptimization batch where descent is free;
+    * registerOn is the test/REPL fallback for sessions that already
+    * exist. */
   def registerOn(spark: org.apache.spark.sql.SparkSession): Unit = {
     registrations.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)

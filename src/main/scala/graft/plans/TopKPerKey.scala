@@ -178,15 +178,31 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   * it can keep descending to the scan. Predicates touching non-key
   * columns must stay above (they would change which rows compete).
   *
-  * Descent caveat: on the `spark.sql.extensions` path
-  * (injectOptimizerRule) this runs inside the main operatorOptimization
-  * batch, so the standard PushDownPredicates keeps moving the pushed
-  * filter toward the scan. On [[graft.GraftExtensions.registerOn]]'s
+  * Descent: on the `spark.sql.extensions` path (injectOptimizerRule)
+  * this runs inside the main operatorOptimization batch, so the
+  * standard pushdown rules keep moving the pushed filter toward the
+  * scan for free. On [[graft.GraftExtensions.registerOn]]'s
   * `experimental.extraOptimizations` path it runs in the optimizer's
-  * final user-provided batch — the filter stops just below the node
-  * (results identical; scan-level pushdown only on the extensions
-  * path). */
+  * FINAL user-provided batch — after every built-in pushdown batch —
+  * so the rule itself re-applies Catalyst's PushDownPredicates to
+  * fixpoint on the rewritten subtree; both paths end with the filter
+  * at the scan. */
 object PushFilterThroughTopKPerKey extends Rule[LogicalPlan] with PredicateHelper {
+  // bounded fixpoint: each application can descend the filter one or
+  // more operators; plans are finite so this converges fast — the cap
+  // only guards against a pathological rewrite cycle
+  private def descend(plan: LogicalPlan): LogicalPlan = {
+    var cur = plan
+    var i = 0
+    while (i < 20) {
+      val next = org.apache.spark.sql.catalyst.optimizer.PushDownPredicates(cur)
+      if (next.fastEquals(cur)) return cur
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, t: TopKPerKeyNode) =>
       val keyAttrs = AttributeSet(t.keys.collect { case a: Attribute => a })
@@ -194,7 +210,7 @@ object PushFilterThroughTopKPerKey extends Rule[LogicalPlan] with PredicateHelpe
         .partition(p => p.deterministic && p.references.subsetOf(keyAttrs))
       if (push.isEmpty) f
       else {
-        val pushed = t.copy(child = Filter(push.reduce(And), t.child))
+        val pushed = t.copy(child = descend(Filter(push.reduce(And), t.child)))
         keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
       }
   }

@@ -18,6 +18,23 @@ class ExtensionsSpec extends SparkSpec {
     s
   }
 
+  test("registerOn path: key filter above native top-k reaches the parquet scan") {
+    // extraOptimizations run AFTER the built-in pushdown batches, so
+    // PushFilterThroughTopKPerKey must descend the pushed key filter
+    // itself (it re-applies PushDownPredicates to the subtree) — pin
+    // that the predicate lands in the scan's PushedFilters, not just
+    // below the node
+    val s = extSpark
+    val o = Tables.orders(s, sf001)
+    val q = graft.operators.TopK.perGroupNative(
+        o, Seq("o_custkey"), "o_totalprice", Seq("o_orderkey"), 3)
+      .filter(org.apache.spark.sql.functions.col("o_custkey") === 7L)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)]"),
+      s"key filter did not reach the scan:\n$p")
+    assert(q.count() > 0)
+  }
+
   test("custom functions callable from pure SQL") {
     val s = extSpark
     val cos = s.sql(
