@@ -346,7 +346,70 @@ object Dedup {
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds " +
-      "(graph deeper than expected — use a star-contraction formulation)")
+      "(graph deeper than expected — use connectedComponentsStar)")
     labels.select(col("nid").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction — the deep-graph path [[connectedComponents]]'s
+    * scaladoc promises: min-label propagation needs diameter-many
+    * rounds (a million-link chain is a million joins), star contraction
+    * converges in O(log n) rounds on any graph (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Same
+    * output contract as [[connectedComponents]]: (idCol, cluster_id =
+    * min reachable id), singletons included.
+    *
+    * Both operations are expressed per-EDGE, never per-node-with-
+    * neighbor-list (no collect_list — a hub node's adjacency never
+    * materializes on one task):
+    *   - large-star: for every directed (u,v), emit (v, m(u)) where
+    *     m(u) = min(u, min N(u)) and v > u — a min-agg on u plus a
+    *     keyed join back on u, both map-side-combinable/keyed.
+    *   - small-star: key every canonical (v,u), v<u, on the LARGER
+    *     endpoint u; emit (v, m⁻(u)) for v ≠ m⁻(u) plus (u, m⁻(u)),
+    *     where m⁻(u) = min of u's smaller neighbors.
+    * At the fixpoint every component is a star rooted at its minimum
+    * id. The per-round driver action is the convergence probe
+    * (edge-set unchanged: same count and no new edges); localCheckpoint
+    * truncates the iterative lineage exactly as in min-label.
+    */
+  def connectedComponentsStar(edges: DataFrame, nodes: DataFrame, idCol: String,
+                              maxRounds: Int = 30): DataFrame = {
+    var e = edges.select(
+        least(col("id1"), col("id2")).as("u"), greatest(col("id1"), col("id2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var converged = e.isEmpty
+    while (!converged && round < maxRounds) {
+      // large-star over both edge directions
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mnv"))
+        .select(col("u"), least(col("u"), col("mnv")).as("m"))
+      val large = nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v")) // m < u < v: already canonical
+        .distinct()
+      // small-star over edges keyed on their larger endpoint
+      val down = large.select(col("v").as("u"), col("u").as("v")) // (larger, smaller)
+      val minsS = down.groupBy(col("u")).agg(min(col("v")).as("m")) // m < u by construction
+      val joined = down.join(minsS, Seq("u"))
+      val small = joined.filter(col("v") =!= col("m"))
+        .select(col("m").as("u"), col("v")) // m = min(N⁻) < v
+        .union(joined.select(col("m").as("u"), col("u").as("v")).distinct())
+        .distinct()
+        .localCheckpoint(true)
+      converged = small.count() == e.count() &&
+        small.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = small
+      round += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxRounds rounds")
+    nodes.select(col(idCol).as("nid"))
+      .join(e.select(col("v").as("nid"), col("u").as("label")), Seq("nid"), "left")
+      .select(col("nid").as(idCol),
+        coalesce(col("label"), col("nid")).as("cluster_id"))
   }
 }

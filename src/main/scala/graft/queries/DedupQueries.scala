@@ -227,6 +227,38 @@ object DedupQueries {
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id"""),
 
+    // Same LSH pair graph, clustered by alternating large-star /
+    // small-star contraction instead of min-label propagation — the
+    // O(log n)-round path for graphs deeper than a near-dup cluster
+    // (see Dedup.connectedComponentsStar). Identical cluster ids, so
+    // the same recursive-closure oracle pins both algorithms.
+    "q_star_clusters" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.lshCandidates(
+            Dedup.minhashSignatures(docs, "doc_id", "text", portable = true),
+            "doc_id", bands = 16, rowsPerBand = 4)
+          .filter(col("est_jaccard") >= 0.5)
+          .select(col("id1"), col("id2"))
+        Dedup.connectedComponentsStar(pairs, docs.select(col("doc_id")), "doc_id")
+      },
+      s"""WITH RECURSIVE $ShingleCtes,
+        |sigs AS (SELECT id, $SigList AS sig FROM hm GROUP BY id),
+        |pairs AS (
+        |  SELECT a.id AS id1, b.id AS id2
+        |  FROM sigs a JOIN sigs b ON a.id < b.id
+        |  WHERE $AnyBandEqual
+        |    AND CAST(list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END
+        |                       for i in generate_series(1, 64)]) AS DOUBLE) / 64 >= 0.5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id"""),
+
     // 64-bit SimHash per document (portable hash family; the oracle
     // recomputes the per-bit vote sums and packs the sign bits).
     "q_simhash" -> QueryDef(

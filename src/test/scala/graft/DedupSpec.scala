@@ -169,4 +169,45 @@ class DedupSpec extends SparkSpec {
         (1L to 8L).toDF("doc_id"), "doc_id", maxRounds = 2)
     }
   }
+
+  // ---- connectedComponentsStar ----------------------------------------
+
+  private def ccStar(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                     maxRounds: Int = 30): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponentsStar(
+        edges.toDF("id1", "id2"), nodes.toDF("doc_id"), "doc_id", maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("star contraction matches min-label propagation on random graphs") {
+    // three seeded shapes: sparse (forest-ish), near-critical, dense
+    for ((seed, n, m) <- Seq((42, 60, 30), (7, 60, 60), (13, 40, 120))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val nodes = (0L until n.toLong)
+      assert(ccStar(edges, nodes) == cc(edges, nodes),
+        s"star != min-label for seed=$seed n=$n m=$m")
+    }
+  }
+
+  test("star contraction collapses a chain deeper than min-label's round budget") {
+    // a 300-link path has diameter 300: min-label needs ~300 rounds
+    // (fails fast at 5 here), star contraction halves depth per round
+    import spark.implicits._
+    val chain = (0L until 300L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain.toDF("id1", "id2"),
+        (0L to 300L).toDF("doc_id"), "doc_id", maxRounds = 5)
+    }
+    val out = ccStar(chain, 0L to 300L)
+    assert(out.size == 301 && out.values.forall(_ == 0L))
+  }
+
+  test("star contraction: singletons, direction-independence, separate components") {
+    val out = ccStar(Seq((12L, 2L), (2L, 8L), (10L, 14L)), Seq(2L, 8L, 12L, 10L, 14L, 77L))
+    assert(out == Map(2L -> 2L, 8L -> 2L, 12L -> 2L, 10L -> 10L, 14L -> 10L, 77L -> 77L))
+    assert(ccStar(Nil, Seq(1L, 2L)) == Map(1L -> 1L, 2L -> 2L))
+  }
 }
