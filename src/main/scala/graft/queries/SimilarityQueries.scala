@@ -169,6 +169,36 @@ object SimilarityQueries {
         |  SELECT query_id, neighbor_id, cos_sim,
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM scored)
+        |WHERE rank <= 10"""),
+
+    // The high-recall serving config: same SRP-LSH, 16 tables instead
+    // of 8 — the quality-vs-cost curve's other endpoint (recall ≥0.9
+    // pinned in SimilaritySpec; ~2× candidate-generation cost, same
+    // keyed (table,bucket) join shape). Oracle replays all 16 tables'
+    // hyperplane constants.
+    "q_ann_lsh16" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", dim = 64, k = 10, planes = 4, tables = 16)
+      },
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |codes AS (SELECT vec_id, ${srpCodesSql(64, 4, 16)} AS codes FROM e),
+        |b AS (SELECT vec_id, i AS tbl, codes[i] AS bucket
+        |      FROM codes CROSS JOIN generate_series(1, 16) AS g(i)),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, $CosineSql AS cos_sim
+        |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+        |            JOIN e ce ON ce.vec_id = cand.neighbor_id)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
         |WHERE rank <= 10""")
   )
 }

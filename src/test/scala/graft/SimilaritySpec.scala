@@ -52,6 +52,38 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@10 = $mean")
   }
 
+  test("quality-vs-cost curve: 16-table LSH and nprobe=8 IVF are the high-recall endpoints") {
+    def lshRecall(tables: Int): Double = {
+      val got = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 10, planes = 4, tables = tables)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val rs = bruteTop.map { case (q, exact) =>
+        exact.count(got.getOrElse(q, Set.empty).contains).toDouble / exact.size
+      }
+      rs.sum / rs.size
+    }
+    def ivfRecall(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = nprobe)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val rs = bruteTop.map { case (q, exact) =>
+        exact.count(got.getOrElse(q, Set.empty).contains).toDouble / exact.size
+      }
+      rs.sum / rs.size
+    }
+    val (lsh8, lsh16) = (lshRecall(8), lshRecall(16))
+    val (ivf4, ivf8) = (ivfRecall(4), ivfRecall(8))
+    info(f"recall@10 — lsh tables=8: $lsh8%.3f, tables=16: $lsh16%.3f; ivf nprobe=4: $ivf4%.3f, nprobe=8: $ivf8%.3f")
+    // more tables / more probes only ADD candidates: recall is monotone
+    assert(lsh16 >= lsh8, s"lsh16=$lsh16 < lsh8=$lsh8")
+    assert(ivf8 >= ivf4, s"ivf8=$ivf8 < ivf4=$ivf4")
+    // pinned floors for the serving-quality endpoints
+    assert(lsh16 >= 0.9, s"16-table LSH recall@10 = $lsh16")
+    assert(ivf8 >= 0.6, s"nprobe=8 IVF recall@10 = $ivf8")
+  }
+
   test("IVF with nprobe=4/16 cells achieves useful recall@10 vs brute force") {
     val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
       k = 10, nlist = 16, nprobe = 4)
