@@ -182,15 +182,30 @@ object Similarity {
     * LSH space/recall trade); candidates are deduped BEFORE the cosine
     * so each pair is scored once. At 100 TB the join is keyed on
     * (table, bucket) — co-partitioned, never all-pairs.
+    *
+    * `probes` > 0 adds Hamming-distance-1 multiprobe (Lv et al., VLDB
+    * 2007): each QUERY additionally probes the buckets whose code
+    * differs in one of the first `probes` planes — the planes a vector
+    * near a hyperplane most plausibly fell on the wrong side of. Only
+    * the (small, broadcast) query side fans out ×(1+probes); the
+    * corpus-side replication and the keyed join shape are unchanged, so
+    * at 100 TB multiprobe buys recall WITHOUT re-replicating the corpus
+    * — the cheaper axis than more tables.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int,
-              planes: Int = 4, tables: Int = 8): DataFrame = {
+              planes: Int = 4, tables: Int = 8, probes: Int = 0): DataFrame = {
+    require(probes <= planes, "at most one probe per plane (Hamming-1)")
     def withBuckets(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec))
         .select(col(id), col(vec),
           posexplode(srpBuckets(col(vec), dim, planes, tables)).as(Seq("table", "bucket")))
-    val q = withBuckets(queries, "query_id", "qvec")
+    val q0 = withBuckets(queries, "query_id", "qvec")
+    val q =
+      if (probes <= 0) q0
+      else q0.select(col("query_id"), col("qvec"), col("table"),
+        explode(array((lit(0L) +: (0 until probes).map(p => lit(1L << p)))
+          .map(f => col("bucket").bitwiseXOR(f)): _*)).as("bucket"))
     val c = withBuckets(corpus, "neighbor_id", "cvec")
     val candidates = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
