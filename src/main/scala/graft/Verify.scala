@@ -27,6 +27,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // release operator-internal caches (lshCandidates/tfidf) so one
+        // query's persist never bleeds into the next query's run
+        finally Caching.release()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -95,6 +95,11 @@ object Dedup {
     * `ngramJaccardPairs.maxShingleDf`). Opt-in to keep exact banded
     * semantics by default.
     *
+    * Cache ownership: the persist routes through
+    * [[graft.Caching.persistTracked]] — the caller that executes the
+    * action releases it ([[graft.Caching.release]]), so long-running
+    * sessions don't accumulate signature-frame cache entries.
+    *
     * Signatures whose length differs from bands × rowsPerBand fail at
     * runtime (raise_error) instead of silently slicing short bands and
     * mis-scaling est_jaccard.
@@ -109,8 +114,8 @@ object Dedup {
         .otherwise(raise_error(concat(
           lit("lshCandidates: signature length "), size(col("sig")).cast("string"),
           lit(s" != bands*rowsPerBand = $expected")))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = checked.select(
+    val cached = graft.Caching.persistTracked(checked)
+    val banded = cached.select(
       col(idCol),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
@@ -127,8 +132,8 @@ object Dedup {
       .select(pairs(col("ids")).as(Seq("id1", "id2")))
       .dropDuplicates("id1", "id2")
     candidates
-      .join(checked.select(col(idCol).as("id1"), col("sig").as("sig1")), Seq("id1"))
-      .join(checked.select(col(idCol).as("id2"), col("sig").as("sig2")), Seq("id2"))
+      .join(cached.select(col(idCol).as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(cached.select(col(idCol).as("id2"), col("sig").as("sig2")), Seq("id2"))
       .withColumn("est_jaccard",
         aggregate(
           zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
@@ -316,10 +321,15 @@ object Dedup {
     * duplicate cluster's diameter is tiny); for adversarially deep
     * graphs (a 10⁶-link chain) swap in the two-phase large-star/
     * small-star formulation — same join primitives, O(log n) rounds.
-    * The per-round driver action is a 0/1 convergence probe (does ANY
-    * label still change), never data; `localCheckpoint` truncates the
-    * iterative lineage (a cluster job would checkpoint to durable
-    * storage instead).
+    *
+    * ONE driver action per round: the changed-label count rides the
+    * same job that materializes the round's LAZY localCheckpoint (the
+    * old label joins in, `sum(label != old)` is the action), so the
+    * driver never pays a separate convergence-probe job — at 100 TB
+    * round counts, job-launch + scan overhead per probe is real money.
+    * `localCheckpoint` truncates the iterative lineage (a cluster job
+    * would checkpoint to durable storage instead). DedupSpec pins the
+    * one-action-per-round contract via a QueryExecutionListener count.
     *
     * @param edges undirected pair list (edge columns `id1`, `id2`)
     * @param nodes one row per node id (singletons become their own
@@ -337,12 +347,19 @@ object Dedup {
     while (!converged && round < maxRounds) {
       val nbrMin = sym.join(labels, sym("dst") === labels("nid"))
         .select(col("src").as("nid"), col("label"))
+      // lazy checkpoint: the sum(_chg) action below materializes the
+      // round's label blocks AND answers the convergence probe in the
+      // SAME job (old label re-attached by a keyed join; every nid in
+      // `labels` survives the inner join because the union keeps it)
       val next = labels.union(nbrMin)
         .groupBy(col("nid")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "_old"), Seq("nid"))
-        .filter(col("label") =!= col("_old")).isEmpty
-      labels = next
+        .join(labels.withColumnRenamed("label", "_old"), Seq("nid"))
+        .select(col("nid"), col("label"),
+          (col("label") =!= col("_old")).cast("long").as("_chg"))
+        .localCheckpoint(false)
+      val changed = next.agg(coalesce(sum(col("_chg")), lit(0L))).first().getLong(0)
+      converged = changed == 0L
+      labels = next.select(col("nid"), col("label"))
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds " +
@@ -369,9 +386,13 @@ object Dedup {
     *     endpoint u; emit (v, m⁻(u)) for v ≠ m⁻(u) plus (u, m⁻(u)),
     *     where m⁻(u) = min of u's smaller neighbors.
     * At the fixpoint every component is a star rooted at its minimum
-    * id. The per-round driver action is the convergence probe
-    * (edge-set unchanged: same count and no new edges); localCheckpoint
-    * truncates the iterative lineage exactly as in min-label.
+    * id. ONE driver action per round, as in [[connectedComponents]]:
+    * the convergence probe (edge set unchanged) is the size of the
+    * symmetric difference old-vs-new — a full-outer join null-count
+    * that rides the same job materializing the round's lazy
+    * localCheckpoint (both sides are distinct canonical edge sets, so
+    * zero difference ⟺ set equality, exactly the old same-count +
+    * no-new-edges conjunction that cost 3 driver actions).
     */
   def connectedComponentsStar(edges: DataFrame, nodes: DataFrame, idCol: String,
                               maxRounds: Int = 30): DataFrame = {
@@ -400,9 +421,12 @@ object Dedup {
         .select(col("m").as("u"), col("v")) // m = min(N⁻) < v
         .union(joined.select(col("m").as("u"), col("u").as("v")).distinct())
         .distinct()
-        .localCheckpoint(true)
-      converged = small.count() == e.count() &&
-        small.join(e, Seq("u", "v"), "left_anti").isEmpty
+        .localCheckpoint(false)
+      val diff = small.select(col("u"), col("v"), lit(1).as("_s"))
+        .join(e.select(col("u"), col("v"), lit(1).as("_e")), Seq("u", "v"), "full_outer")
+        .agg(coalesce(sum((col("_s").isNull || col("_e").isNull).cast("long")), lit(0L)))
+        .first().getLong(0)
+      converged = diff == 0L
       e = small
       round += 1
     }

@@ -55,6 +55,25 @@ object EventQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2"""),
 
+    // Sketch-based distinct counting — the 100 TB posture for
+    // q_events_hourly's n_users column: exact count(DISTINCT) must
+    // shuffle every (hour, type, user) triple and holds per-group hash
+    // sets open through the merge, while approx_count_distinct
+    // (HyperLogLog++, Heule et al. 2013; 5% default rsd) is map-side
+    // combinable with a constant-size sketch per group — on a skewed
+    // hot hour the exact path concentrates that hour's users on one
+    // task, the sketch stays O(kB). No DuckDB oracle: DuckDB's
+    // approx_count_distinct is a different HLL implementation (own
+    // register width / bias correction), so estimates cannot hash-match
+    // — the driver records the rows-only check, and ApproxSpec pins the
+    // registered query's estimates within 5% of exact per group.
+    "q_events_hourly_hll" -> QueryDef.unverified(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          approx_count_distinct(col("user_id")).as("n_users_approx"))),
+
     // Interval (range) self-join: event pairs of the same user within a
     // 60 s window, via the time-bucketed IntervalJoin operator — the
     // join key is (user, minute-bucket), not user alone, so a bot-grade

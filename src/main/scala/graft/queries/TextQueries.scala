@@ -213,10 +213,12 @@ object TextQueries {
         // a window partitions ALL postings of a term into one task, so
         // a stopword key at corpus scale pins ~N rows on one executor,
         // while the hash aggregate reduces every hot key to one row per
-        // map task before the shuffle. MEMORY_AND_DISK: tf spills
-        // instead of OOMing when the term frame outgrows the cache.
-        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // map task before the shuffle. MEMORY_AND_DISK via
+        // Caching.persistTracked: tf spills instead of OOMing, and the
+        // action runner (Verify/Bench/session) releases the entry so it
+        // doesn't outlive the query.
+        val tf = graft.Caching.persistTracked(
+          toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
         val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs.select(count(lit(1)).as("n_docs"))
         tf.join(df, Seq("term"))

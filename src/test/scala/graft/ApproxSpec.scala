@@ -18,6 +18,35 @@ class ApproxSpec extends SparkSpec {
     assert(relErr(r.getLong(2), r.getLong(3)) < 0.05)
   }
 
+  test("q_events_hourly_hll estimates per-group distinct users within 5% of exact") {
+    // the registered query has no DuckDB oracle (different HLL
+    // implementations can't hash-match) — this is its quality gate
+    val approx = SparkEntry.queries("q_events_hourly_hll")(spark, sf001)
+    val exact = Tables.events(spark, sf001)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events_exact"))
+    val joined = approx.join(exact, Seq("hour", "event_type")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      // n_events is exact in both (sanity: the sketch only replaces
+      // the distinct column, never the row count)
+      assert(r.getAs[Long]("n_events") == r.getAs[Long]("n_events_exact"))
+      val e = r.getAs[Long]("n_users"); val a = r.getAs[Long]("n_users_approx")
+      // default rsd 0.05: allow 3 sigma relative, floor of ±3 absolute
+      // for tiny groups where one registers' noise dominates
+      assert(math.abs(a - e) <= math.max(3.0, 0.15 * e),
+        s"hour=${r.getAs[String]("hour")} type=${r.getAs[String]("event_type")}: exact=$e approx=$a")
+    }
+    // aggregate quality: mean relative error across groups well under rsd
+    val errs = joined.filter(_.getAs[Long]("n_users") >= 20).map { r =>
+      math.abs(r.getAs[Long]("n_users_approx") - r.getAs[Long]("n_users")).toDouble /
+        r.getAs[Long]("n_users")
+    }
+    if (errs.nonEmpty) assert(errs.sum / errs.length < 0.05,
+      f"mean rel err ${errs.sum / errs.length}%.4f")
+  }
+
   test("approx percentile tracks exact percentile") {
     val r = Tables.lineitem(spark, sf001).agg(
       percentile(col("l_quantity"), lit(0.5)).as("exact"),

@@ -205,6 +205,69 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 301 && out.values.forall(_ == 0L))
   }
 
+  // ---- convergence-probe cost ------------------------------------------
+
+  /** Count the driver ACTIONS `body` runs, excluding checkpoint
+    * materializations — i.e. the data-scanning probe/collect actions an
+    * iterative algorithm launches on top of producing its per-round
+    * frame. (Raw Spark-job counts can't pin this: AQE fans one action
+    * into per-stage jobs and every broadcast-hash build is its own
+    * job, both inherent to the PLAN, not the algorithm.) Polled to
+    * quiescence — the ExecutionListenerBus is async, but actions in
+    * `body` are blocking, so a stable count is complete. */
+  private def countProbeActions(body: => Unit): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def bump(funcName: String): Unit =
+        if (funcName != "checkpoint" && funcName != "localCheckpoint")
+          counter.incrementAndGet()
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = bump(funcName)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = bump(funcName)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      var prev = -1; var cur = counter.get(); var waited = 0
+      while (cur != prev && waited < 5000) {
+        Thread.sleep(200); waited += 200; prev = cur; cur = counter.get()
+      }
+      cur
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("min-label CC: the convergence probe is the ONLY action per round") {
+    import spark.implicits._
+    // path 1-2-3-4 + singleton: label fixpoint in round 3, confirmed in
+    // round 4 — deterministic. One sum(_chg) probe per round, riding
+    // the job that materializes the round's lazy checkpoint; the
+    // pre-round-7 scheme ran a SECOND full pass per round (join +
+    // isEmpty over the labels) on top of the eager checkpoint.
+    val probes = countProbeActions {
+      Dedup.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2"),
+        Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id"), "doc_id")
+    }
+    assert(probes <= 4,
+      s"min-label CC ran $probes probe actions for a 4-round fixpoint (want 1/round)")
+  }
+
+  test("star contraction: the set-diff probe is the ONLY action per round") {
+    import spark.implicits._
+    // 9-node path: fixpoint in <= 4 rounds. One full-outer set-diff
+    // probe per round + the initial isEmpty; the pre-round-7 scheme
+    // cost 3 actions per round (2 counts + anti-join isEmpty).
+    val probes = countProbeActions {
+      Dedup.connectedComponentsStar(
+        (0L until 8L).map(i => (i, i + 1)).toDF("id1", "id2"),
+        (0L to 8L).toDF("doc_id"), "doc_id")
+    }
+    assert(probes <= 6, s"star CC ran $probes probe actions (want 1 init isEmpty + 1/round)")
+  }
+
   test("star contraction: singletons, direction-independence, separate components") {
     val out = ccStar(Seq((12L, 2L), (2L, 8L), (10L, 14L)), Seq(2L, 8L, 12L, 10L, 14L, 77L))
     assert(out == Map(2L -> 2L, 8L -> 2L, 12L -> 2L, 10L -> 10L, 14L -> 10L, 77L -> 77L))
