@@ -134,12 +134,61 @@ object Dedup {
     candidates
       .join(cached.select(col(idCol).as("id1"), col("sig").as("sig1")), Seq("id1"))
       .join(cached.select(col(idCol).as("id2"), col("sig").as("sig2")), Seq("id2"))
-      .withColumn("est_jaccard",
-        aggregate(
-          zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") /
-          lit((bands * rowsPerBand).toDouble))
+      .withColumn("est_jaccard", estJaccard(col("sig1"), col("sig2"), expected))
       .select(col("id1"), col("id2"), col("est_jaccard"))
+  }
+
+  /** Signature agreement fraction: est. Jaccard = matching positions /
+    * signature length (shared by the full and incremental LSH paths). */
+  private def estJaccard(sig1: Column, sig2: Column, len: Int): Column =
+    aggregate(
+      zip_with(sig1, sig2, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(len.toDouble)
+
+  /** Incremental LSH near-dup check: score each NEW document against
+    * the EXISTING corpus only, via banded MinHash signatures — the
+    * sketch-index analogue of [[ngramJaccardAgainst]]. The exact
+    * inverted index carries the corpus's full (id, shingle) posting
+    * set; the LSH index is 64 longs per doc, precomputed ONCE (pass
+    * the stored signature table as `corpusSigs`) and reused by every
+    * ingest batch, and the band join is (band, band_hash)-keyed
+    * corpus × increment only — never corpus × corpus, so per-batch
+    * cost scales with the increment. Returns (corpus_id, new_id,
+    * est_jaccard); anti-join the batch on `new_id` to admit novel
+    * docs. `maxBucketSize` caps degenerate buckets on each side
+    * (a hot bucket of c corpus × d new rows costs c·d downstream);
+    * persists route through [[graft.Caching]] as in [[lshCandidates]].
+    */
+  def lshCandidatesAgainst(corpusSigs: DataFrame, newSigs: DataFrame,
+                           idCol: String, bands: Int = 16, rowsPerBand: Int = 4,
+                           maxBucketSize: Option[Int] = None): DataFrame = {
+    val expected = bands * rowsPerBand
+    def check(df: DataFrame) = graft.Caching.persistTracked(df.filter(
+      when(size(col("sig")) === lit(expected), lit(true))
+        .otherwise(raise_error(concat(
+          lit("lshCandidatesAgainst: signature length "), size(col("sig")).cast("string"),
+          lit(s" != bands*rowsPerBand = $expected"))))))
+    def banded(df: DataFrame, outId: String) = df.select(
+      col(idCol).as(outId),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b)))
+        .as(Seq("band", "band_hash")))
+    val corpus = check(corpusSigs)
+    val fresh = check(newSigs)
+    val cb = capBuckets(banded(corpus, "corpus_id"), Seq("band", "band_hash"), maxBucketSize)
+    val nb = capBuckets(banded(fresh, "new_id"), Seq("band", "band_hash"), maxBucketSize)
+    // ids-only through the band join (the lshCandidates contract);
+    // signatures re-attach over the deduped cross-candidate set
+    val candidates = cb.join(nb, Seq("band", "band_hash"))
+      .filter(col("corpus_id") =!= col("new_id"))
+      .select(col("corpus_id"), col("new_id"))
+      .dropDuplicates("corpus_id", "new_id")
+    candidates
+      .join(corpus.select(col(idCol).as("corpus_id"), col("sig").as("sig1")), Seq("corpus_id"))
+      .join(fresh.select(col(idCol).as("new_id"), col("sig").as("sig2")), Seq("new_id"))
+      .withColumn("est_jaccard", estJaccard(col("sig1"), col("sig2"), expected))
+      .select(col("corpus_id"), col("new_id"), col("est_jaccard"))
   }
 
   // ---------------------------------------------------------------- SimHash

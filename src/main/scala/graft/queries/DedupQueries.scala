@@ -194,6 +194,34 @@ object DedupQueries {
         |FROM sigs a JOIN sigs b ON a.id < b.id
         |WHERE $AnyBandEqual"""),
 
+    // Incremental near-dup ingest on the SKETCH index: the new batch
+    // (doc_id % 10 >= 8) band-joins against the corpus's precomputed
+    // 64-long MinHash signatures — at 100 TB the exact inverted index
+    // (q_incremental_dedup) carries the corpus's full posting set,
+    // this one carries 512 B/doc and is reused by every batch. Same
+    // portable-hash family, so the oracle replays signatures for both
+    // sides and re-checks band agreement + the estimate threshold.
+    "q_incremental_lsh" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def sigs(f: org.apache.spark.sql.DataFrame) =
+          Dedup.minhashSignatures(f, "doc_id", "text", portable = true)
+        Dedup.lshCandidatesAgainst(
+            sigs(docs.filter(col("doc_id") % 10 < 8)),
+            sigs(docs.filter(col("doc_id") % 10 >= 8)),
+            "doc_id", bands = 16, rowsPerBand = 4)
+          .filter(col("est_jaccard") >= 0.5)
+      },
+      s"""WITH $ShingleCtes,
+        |sigs AS (SELECT id, $SigList AS sig FROM hm GROUP BY id)
+        |SELECT a.id AS corpus_id, b.id AS new_id,
+        |       CAST(list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END
+        |                      for i in generate_series(1, 64)]) AS DOUBLE) / 64 AS est_jaccard
+        |FROM sigs a JOIN sigs b ON a.id % 10 < 8 AND b.id % 10 >= 8
+        |WHERE $AnyBandEqual
+        |  AND CAST(list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END
+        |                     for i in generate_series(1, 64)]) AS DOUBLE) / 64 >= 0.5"""),
+
     // The 100 TB dedup scale path closed end to end, hash-verified:
     // portable MinHash signatures → banded LSH candidates (est_jaccard
     // >= 0.5) → connected components → cluster ids. q_dedup_clusters is

@@ -135,6 +135,48 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
 
+  // ---- lshCandidatesAgainst -------------------------------------------
+
+  test("incremental LSH scores cross pairs only and agrees with the full pass") {
+    val docs = Tables.documents(spark, sf001)
+    def sigs(f: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(f, "doc_id", "text")
+    val corpusIds = docs.filter(col("doc_id") % 10 < 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val inc = Dedup.lshCandidatesAgainst(
+        sigs(docs.filter(col("doc_id") % 10 < 8)),
+        sigs(docs.filter(col("doc_id") % 10 >= 8)), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // cross pairs only — corpus ids left, new ids right, never mixed
+    inc.keys.foreach { case (c, n) =>
+      assert(corpusIds.contains(c) && !corpusIds.contains(n))
+    }
+    // the full self-pass restricted to cross pairs finds the SAME pairs
+    // with the SAME estimates (banding is per-doc, so splitting the
+    // input cannot change any doc's buckets)
+    val full = Dedup.lshCandidates(sigs(docs), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val crossFromFull = full.collect {
+      case ((a, b), e) if corpusIds.contains(a) != corpusIds.contains(b) =>
+        (if (corpusIds.contains(a)) (a, b) else (b, a)) -> e
+    }
+    assert(inc == crossFromFull)
+    assert(inc.nonEmpty, "fixture should plant at least one cross near-dup")
+    Caching.release()
+  }
+
+  test("lshCandidatesAgainst rejects mismatched signature lengths") {
+    import spark.implicits._
+    val good = Seq((1L, Array.fill(64)(7L))).toDF("doc_id", "sig")
+    val bad = Seq((2L, Array.fill(32)(7L))).toDF("doc_id", "sig")
+    val e = intercept[Exception] {
+      Dedup.lshCandidatesAgainst(good, bad, "doc_id").count()
+    }
+    assert(e.getMessage.contains("signature length") ||
+      e.getCause != null && e.getCause.getMessage.contains("signature length"))
+    Caching.release()
+  }
+
   // ---- connectedComponents --------------------------------------------
 
   private def cc(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] = {
