@@ -386,10 +386,17 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame, idCol: String,
                           maxRounds: Int = 50): DataFrame = {
+    // localCheckpoint preserves the physical partitioning in the
+    // LogicalRDD it returns, so pre-partitioning sym on dst and labels
+    // on nid makes every round's neighbor join exchange-free on BOTH
+    // sides (each round's output re-checkpoints already hashed on nid)
+    // — the only shuffle left per round is the min-agg re-key to src
     val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint(true)
     var labels = nodes.select(col(idCol).as("nid"), col(idCol).as("label"))
+      .repartition(col("nid"))
       .localCheckpoint(true)
     var round = 0
     var converged = false
