@@ -20,9 +20,10 @@ object PlanCheck {
         if (exec) df.count()
         println(s"===== $n ====="); println(df.queryExecution.executedPlan.toString.take(8000))
       } else {
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).count(); Caching.release()
         val t0 = System.nanoTime(); fn(spark, sfDir).count()
         println(f"STEADY $n%-22s ${(System.nanoTime()-t0)/1e9}%8.3f s")
+        Caching.release()
       }
     }
     spark.stop()
