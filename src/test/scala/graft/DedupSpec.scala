@@ -165,6 +165,31 @@ class DedupSpec extends SparkSpec {
     Caching.release()
   }
 
+  test("lshCandidatesAgainst: per-side bucket caps bound a degenerate corpus bucket") {
+    import spark.implicits._
+    // 1000 mass-identical corpus docs would pair with every identical
+    // new doc (1000 × 2 cross rows per band bucket uncapped); the
+    // corpus-side cap drops the hot bucket, the distinct near-dup in
+    // the increment still matches its corpus twin through its own
+    // (small) buckets.
+    val crowd = (1L to 1000L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val corpusDocs = (crowd :+ (1500L,
+      "an entirely different sentence about distributed systems and shuffles")).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (2001L, "the quick brown fox jumps over the lazy dog"),
+      (2002L, "an entirely different sentence about distributed systems and shuffles"))
+      .toDF("doc_id", "text")
+    def sigs(f: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(f, "doc_id", "text")
+    val capped = Dedup.lshCandidatesAgainst(sigs(corpusDocs), sigs(newDocs),
+        "doc_id", maxBucketSize = Some(10))
+      .select("corpus_id", "new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1500L, 2002L)),
+      s"expected only the small-bucket cross pair, got ${capped.size} candidates")
+    Caching.release()
+  }
+
   test("lshCandidatesAgainst rejects mismatched signature lengths") {
     import spark.implicits._
     val good = Seq((1L, Array.fill(64)(7L))).toDF("doc_id", "sig")

@@ -119,6 +119,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_incremental_lsh: keyed band join only — no all-pairs product anywhere") {
+    val p = planOf("q_incremental_lsh")
+    assert(!p.contains("CartesianProduct"), s"all-pairs product in the incremental path:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi join in the incremental path:\n$p")
+    assert(p.contains("band_hash"), "band join key lost")
+    Caching.release()
+  }
+
+  test("q_ann_lsh_mp: probe fanout lands on the query side only") {
+    val p = planOf("q_ann_lsh_mp")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly 3 generators: corpus posexplode (tables×), query
+    // posexplode (tables×) + probe explode (1+probes per table) — a
+    // 4th would mean the corpus side acquired the probe fanout
+    assert("Generate ".r.findAllIn(p).size == 3,
+      s"probe expansion leaked off the query side:\n$p")
+  }
+
   test("q_ann_brute: native heap top-k; rank window sorts only the survivors above the final phase") {
     val p = planOf("q_ann_brute")
     assert(p.contains("TopKPerKeyExec(partial"), p)
