@@ -151,6 +151,58 @@ object TextQueries {
         |SELECT pair.w1, w2, cnt, CAST(cnt AS DOUBLE) / w1_total AS p_cond
         |FROM pair JOIN marg ON pair.w1 = marg.w1"""),
 
+    // LM-based document quality scoring — the CCNet signal class (score
+    // docs by how well a corpus LM predicts them) in a hash-portable
+    // form: perplexity needs ln() (not bit-portable across libm, same
+    // decision class as the BM25 rational idf), so the score is the
+    // count-mass ratio pair_mass / prefix_mass = Σc(w1,w2) / Σc(w1)
+    // over the doc's bigrams — the count-weighted aggregate conditional
+    // bigram probability. Both masses are exact BIGINT sums (order-free,
+    // no float fold), the single final division is portable IEEE.
+    // Plan: doc bigrams persist once (Caching-tracked) and feed the
+    // pair/marg vocab aggregates AND the per-doc join — the corpus is
+    // tokenized once; joins are keyed on (w1,w2)/w1; all aggs map-side
+    // combinable. Docs with < 2 tokens have no bigrams and no row.
+    "q_doc_lm_score" -> QueryDef(
+      (s, dir) => {
+        val toks = col("_toks")
+        val docBigrams = graft.Caching.persistTracked(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+            .select(col("doc_id"), explode(when(size(toks) >= 2,
+              transform(sequence(lit(1), size(toks) - 1),
+                i => struct(element_at(toks, i).as("w1"),
+                  element_at(toks, i + 1).as("w2"))))).as("bg"))
+            .select(col("doc_id"), col("bg.w1"), col("bg.w2")))
+        val pair = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+        val marg = pair.groupBy(col("w1")).agg(sum(col("cnt")).as("w1_total"))
+        docBigrams
+          .join(pair, Seq("w1", "w2"))
+          .join(marg, Seq("w1"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("cnt")).as("pair_mass"),
+            sum(col("w1_total")).as("prefix_mass"))
+          .select(col("doc_id"), col("n_bigrams"), col("pair_mass"), col("prefix_mass"),
+            (col("pair_mass").cast("double") / col("prefix_mass").cast("double"))
+              .as("lm_score"))
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, b[1] AS w1, b[2] AS w2
+        |  FROM (SELECT doc_id, unnest([[t[i], t[i+1]] for i in generate_series(1, len(t) - 1)]) AS b
+        |        FROM toks WHERE len(t) >= 2)
+        |), pair AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |marg AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS w1_total FROM pair GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(cnt) AS BIGINT) AS pair_mass,
+        |       CAST(sum(w1_total) AS BIGINT) AS prefix_mass,
+        |       CAST(sum(cnt) AS DOUBLE) / CAST(sum(w1_total) AS DOUBLE) AS lm_score
+        |FROM bg JOIN pair USING (w1, w2) JOIN marg USING (w1)
+        |GROUP BY doc_id"""),
+
     // Inverted-index build: term → document frequency + sorted posting
     // list. One explode + distinct + keyed agg — the standard
     // distributed index-build shape. The fractional df cap (terms in

@@ -11,6 +11,23 @@ class TextPipelineSpec extends SparkSpec {
 
   // ---- passageDedup ----------------------------------------------------
 
+  test("q_doc_lm_score: scores in (0,1], one row per multi-token doc, masses consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_doc_lm_score")(spark, sf001).collect()
+    val multiTok = Tables.documents(spark, sf001)
+      .filter(size(graft.functions.TextFns.tokens(col("text"))) >= 2).count()
+    assert(rows.length == multiTok, "one row per doc with >= 2 tokens")
+    rows.foreach { r =>
+      val (n, pm, fm, s) = (r.getAs[Long]("n_bigrams"), r.getAs[Long]("pair_mass"),
+        r.getAs[Long]("prefix_mass"), r.getAs[Double]("lm_score"))
+      // each bigram contributes cnt <= w1_total, and cnt >= 1
+      assert(n >= 1 && pm >= n && fm >= pm, s"masses inconsistent: n=$n pm=$pm fm=$fm")
+      assert(s > 0.0 && s <= 1.0, s"score out of range: $s")
+      assert(s == pm.toDouble / fm.toDouble)
+    }
+    graft.Caching.release()
+  }
+
   test("passageDedup drops every copy of a repeated passage and reassembles in order") {
     val boiler = "b1 b2 b3" // 3-token boilerplate passage
     val d = docs(
