@@ -16,7 +16,8 @@ object SparkEntry {
       JoinQueries.defs ++ WindowQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MediaQueries.defs ++ SqlQueries.defs ++ TpchQueries.defs ++
-      PipelineQueries.defs ++ BpeQueries.defs
+      PipelineQueries.defs ++ BpeQueries.defs ++ GraphQueries.defs ++
+      CdcQueries.defs
 
   // a name collision between registry files would silently drop a query
   // (and its oracle) from the driver surface via toMap — fail loudly

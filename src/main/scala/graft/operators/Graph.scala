@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over item-relation graphs (co-purchase, co-occurrence,
+  * near-dup candidates): PageRank and triangle counting. Complements the
+  * connected-components family in [[Dedup]].
+  *
+  * Determinism discipline: PageRank is computed in FIXED-POINT integer
+  * arithmetic (ranks are BIGINTs scaled by 10^12, every step is integer
+  * multiply / integer divide) — a double formulation would sum per-node
+  * contributions in partition order and could never be hash-compared
+  * against another engine. Same decision class as `ColFns.moneySum`.
+  */
+object Graph {
+
+  /** Co-occurrence edges from (basket, item) rows: items appearing in at
+    * least `minSupport` common baskets, as canonical (src < dst, weight).
+    *
+    * Plan: distinct → per-basket self-join (co-partitioned on the basket
+    * id, pairs generated co-located) → partial+final count agg →
+    * threshold. The support threshold is the graph sparsifier: raw pair
+    * counts grow ~k² per basket, the thresholded edge set is the stable
+    * backbone (sf0.01 and sf0.1 both land ~3.5k edges at minSupport=2).
+    * `maxBasketSize` guards the k² blowup against a degenerate giant
+    * basket, same contract as [[AssocRules.rules]].
+    */
+  def coOccurrenceEdges(baskets: DataFrame, basketCol: String, itemCol: String,
+                        minSupport: Long, maxBasketSize: Option[Int] = None): DataFrame = {
+    val items0 = baskets
+      .select(col(basketCol).cast("long").as("bid"), col(itemCol).as("item"))
+      .distinct()
+    val items = maxBasketSize match {
+      case Some(cap) =>
+        items0.withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("bid"))))
+          .filter(col("_bsz") <= cap).drop("_bsz")
+      case None => items0
+    }
+    val a = items.select(col("bid"), col("item").as("src"))
+    val b = items.select(col("bid"), col("item").as("dst"))
+    a.join(b, Seq("bid")).filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minSupport)
+  }
+
+  /** Node frame (one `idCol` row per distinct endpoint) of an edge set. */
+  def edgeNodes(edges: DataFrame, idCol: String): DataFrame =
+    edges.select(col("src").as(idCol))
+      .union(edges.select(col("dst").as(idCol))).distinct()
+
+  /** PageRank over an UNDIRECTED edge set, fixed iteration count,
+    * fixed-point integer arithmetic (bit-exact on any engine):
+    *
+    *   r₀(v)   = SCALE                       (SCALE = 10^12)
+    *   rᵢ₊₁(v) = (15·SCALE) div 100
+    *           + (85 · Σ_{u∼v} (rᵢ(u) div deg(u))) div 100
+    *
+    * — the standard damping-0.85 formulation with the division order
+    * pinned (per-neighbor integral share first, damping last), so Spark
+    * `div` and DuckDB `//` replay it exactly. Total mass ≤ n·SCALE ≈
+    * 2⁴⁰ for a billion nodes — no overflow headroom issues at any
+    * realistic scale.
+    *
+    * Scale plan (mirrors [[Dedup.connectedComponents]]): the degree-
+    * annotated out-edge list is checkpointed ONCE pre-partitioned on
+    * `src`, ranks live hash-partitioned on `nid`, so the per-round
+    * neighbor join is exchange-free on both sides; the only per-round
+    * shuffle is the contribution re-key to the destination. Rounds are
+    * chained through LAZY `localCheckpoint(false)` — the iteration
+    * count is fixed (no convergence probe), so the CALLER's single
+    * action materializes all rounds while the checkpoints truncate
+    * lineage round by round: zero extra driver jobs.
+    *
+    * @param edges canonical undirected pairs (`src`, `dst`)
+    * @param nodes one row per node id (isolated nodes settle at
+    *              0.15·SCALE); pass [[edgeNodes]] or the full corpus
+    * @return (idCol, rank_fp BIGINT) — rank scaled by 10^12
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
+               iterations: Int = 5): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val scale = 1000000000000L
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val out = sym.join(deg, Seq("src"))
+      .repartition(col("src"))
+      .localCheckpoint(false)
+    var ranks = nodes.select(col(idCol).as("nid"), lit(scale).as("rank_fp"))
+      .repartition(col("nid"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iterations) {
+      val inMass = out.join(ranks, out("src") === ranks("nid"))
+        .select(col("dst").as("nid"), expr("rank_fp div deg").as("share"))
+        .groupBy(col("nid")).agg(sum(col("share")).as("mass"))
+      ranks = ranks.select(col("nid"))
+        .join(inMass, Seq("nid"), "left")
+        .select(col("nid"),
+          (lit(15L * scale / 100L) +
+            expr("(85 * coalesce(mass, 0L)) div 100")).as("rank_fp"))
+        .localCheckpoint(false)
+    }
+    ranks.select(col("nid").as(idCol), col("rank_fp"))
+  }
+
+  /** Per-node triangle counts over a canonical undirected edge set.
+    *
+    * Degree-ordered orientation (the classic wedge-bounding trick):
+    * direct every edge from its lower-(degree, id) endpoint to the
+    * higher one, enumerate wedges from each node's OUT-edges only, and
+    * close them against the canonical edge set. Out-degrees under this
+    * orientation are O(√m) on ANY graph, so wedge generation — the
+    * quadratic step — is bounded per node no matter how skewed the raw
+    * degree distribution is: a celebrity node with 10⁷ neighbors
+    * produces wedges only through its (few) higher-degree peers, never
+    * 10¹⁴ pairs. All joins are keyed; nothing collects.
+    *
+    * @return (idCol, triangles BIGINT) — one row per node in `nodes`
+    */
+  def triangleCounts(edges: DataFrame, nodes: DataFrame, idCol: String): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): u→v iff (d(u), u) < (d(v), v)
+    val dirE = e
+      .join(deg.select(col("n").as("src"), col("d").as("ds")), Seq("src"))
+      .join(deg.select(col("n").as("dst"), col("d").as("dd")), Seq("dst"))
+      .select(
+        when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
+          col("src")).otherwise(col("dst")).as("from"),
+        when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
+          col("dst")).otherwise(col("src")).as("to"))
+    // wedges from a common source's out-edges (u < v canonicalizes the
+    // pair); the closing edge is looked up in canonical (src<dst) form
+    val e1 = dirE.select(col("from").as("w"), col("to").as("u"))
+    val e2 = dirE.select(col("from").as("w"), col("to").as("v"))
+    val wedges = e1.join(e2, Seq("w")).filter(col("u") < col("v"))
+    val tris = wedges.join(e,
+      wedges("u") === e("src") && wedges("v") === e("dst"))
+      .select(col("w"), col("u"), col("v"))
+    val perNode = tris
+      .select(explode(array(col("w"), col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("triangles"))
+    nodes.select(col(idCol))
+      .join(perNode, nodes(idCol) === perNode("n"), "left")
+      .select(col(idCol), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+}

@@ -74,6 +74,21 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
           approx_count_distinct(col("user_id")).as("n_users_approx"))),
 
+    // Sketch quantiles beside the exact percentile surface: KLL/GK-style
+    // approx_percentile is ONE pass, bounded memory, and map-side
+    // mergeable — exact percentile_approx(1.0-accuracy) at 100 TB means
+    // a full sort or a giant collect_list per group. Rows-only BY DESIGN
+    // (DuckDB's approx_quantile is t-digest — a different sketch,
+    // estimates cannot hash-match); ApproxSpec pins ≤1% relative error
+    // vs the exact per-group quantiles.
+    "q_percentile_approx" -> QueryDef.unverified(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(5000)).as("p50_approx"),
+          percentile_approx(col("value"), lit(0.95), lit(5000)).as("p95_approx"),
+          count(lit(1)).as("n"))),
+
     // Interval (range) self-join: event pairs of the same user within a
     // 60 s window, via the time-bucketed IntervalJoin operator — the
     // join key is (user, minute-bucket), not user alone, so a bot-grade

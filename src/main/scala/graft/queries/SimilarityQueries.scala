@@ -257,6 +257,37 @@ object SimilarityQueries {
         |  SELECT query_id, neighbor_id, cos_sim,
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM scored)
-        |WHERE rank <= 10""")
+        |WHERE rank <= 10"""),
+
+    // One Lloyd update step from the frozen quantizer — the TRAINING
+    // side of the IVF story, in-engine and hash-verified: assignment
+    // replays the q_ann_ivf cell rule (max cosine, cell tie-break), the
+    // centroid update is a fixed-point-exact per-dimension mean (see
+    // KMeansOps.lloydStep — integer sums, ONE IEEE division at the end).
+    "q_kmeans_step" -> QueryDef(
+      (s, dir) =>
+        graft.operators.KMeansOps.lloydStep(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          graft.operators.IvfCentroids.cells),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (${graft.operators.IvfCentroids.duckdbValues}),
+        |asgn AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT e.vec_id, e.v, cents.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.v, cents.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.c, cents.c))) DESC,
+        |             cents.cell) AS crank
+        |    FROM e CROSS JOIN cents)
+        |  WHERE crank = 1),
+        |ex AS (
+        |  SELECT cell,
+        |         unnest([{'pos': i - 1, 'x': v[i]} for i in generate_series(1, 64)],
+        |                recursive := true)
+        |  FROM asgn)
+        |SELECT CAST(cell AS BIGINT) AS cell, CAST(pos AS BIGINT) AS pos,
+        |       CAST(SUM(CAST(floor(x * 1073741824.0) AS BIGINT)) AS DOUBLE)
+        |         / (CAST(count(*) AS DOUBLE) * 1073741824.0) AS c_new,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM ex GROUP BY cell, pos""")
   )
 }

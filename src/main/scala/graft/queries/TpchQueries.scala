@@ -121,6 +121,52 @@ object TpchQueries {
         |JOIN big      ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey
-        |LIMIT 100""")
+        |LIMIT 100"""),
+
+    // TPC-H Q5 shape (local-supplier volume): revenue per nation for one
+    // region and one order year, where the supplier and the customer are
+    // in the SAME nation. Planner story: region (5 rows) and nation (25)
+    // broadcast into customer/supplier, the c_nationkey = s_nationkey
+    // equi-constraint rides the join condition (never a post-filter over
+    // a wider join), and only the two fact tables shuffle. The date
+    // filter pushes to the orders scan.
+    "q_tpch_q5" -> QueryDef(
+      (s, dir) => {
+        val asiaNations = Tables.nation(s, dir)
+          .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val c = Tables.customer(s, dir)
+          .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+        val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+          .select(col("n_name"), col("revenue"))
+      },
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""")
   )
 }

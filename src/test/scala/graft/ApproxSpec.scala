@@ -54,4 +54,30 @@ class ApproxSpec extends SparkSpec {
       .collect().head
     assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 1.0)
   }
+
+  test("q_percentile_approx quantiles land within ±2% RANK of exact") {
+    // the registered query is rows-only (DuckDB's t-digest is a
+    // different sketch) — this is its quality gate. The GK sketch's
+    // guarantee is on RANK, not value (and it returns a data element
+    // while exact percentile() interpolates), so the pin brackets each
+    // estimate between the exact quantiles 2 rank-points away.
+    val approx = SparkEntry.queries("q_percentile_approx")(spark, sf001)
+    val exact = Tables.events(spark, sf001)
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.48)).as("p50_lo"),
+        percentile(col("value"), lit(0.52)).as("p50_hi"),
+        percentile(col("value"), lit(0.93)).as("p95_lo"),
+        percentile(col("value"), lit(0.97)).as("p95_hi"))
+    val joined = approx.join(exact, Seq("event_type")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val p50 = r.getAs[Double]("p50_approx")
+      val p95 = r.getAs[Double]("p95_approx")
+      assert(p50 >= r.getAs[Double]("p50_lo") && p50 <= r.getAs[Double]("p50_hi"),
+        s"p50 outside rank bracket for $t")
+      assert(p95 >= r.getAs[Double]("p95_lo") && p95 <= r.getAs[Double]("p95_hi"),
+        s"p95 outside rank bracket for $t")
+    }
+  }
 }

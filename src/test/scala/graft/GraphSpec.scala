@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Graph operators: co-occurrence edge derivation, fixed-point PageRank
+  * (hand-computed values — the integer arithmetic is the contract), and
+  * degree-oriented triangle counting vs hand-enumerated graphs. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesOf(pairs: (Long, Long)*) =
+    pairs.toDF("src", "dst")
+
+  private def nodesOf(ids: Long*) = ids.toDF("item")
+
+  test("coOccurrenceEdges thresholds pair counts and canonicalizes") {
+    val baskets = Seq(
+      (10L, "a"), (10L, "b"), (10L, "c"),
+      (20L, "b"), (20L, "a"), (20L, "a"), // dup (20,a) must not double-count
+      (30L, "a"), (30L, "b")).toDF("bid", "item")
+    val e = Graph.coOccurrenceEdges(baskets, "bid", "item", minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(e.toSet == Set(("a", "b", 3L))) // (a,c) and (b,c) have support 1
+  }
+
+  test("pageRank: hand-computed fixed-point values on a star") {
+    // star 1–2, 1–3: deg(1)=2, deg(2)=deg(3)=1, SCALE=1e12
+    // r1(1) = 0.15·S + (85 · (S div 1 + S div 1)) div 100 = 1.85·S
+    // r1(2) = 0.15·S + (85 · (S div 2)) div 100       = 0.575·S
+    val r1 = Graph.pageRank(edgesOf((1L, 2L), (1L, 3L)), nodesOf(1L, 2L, 3L),
+        "item", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(1L) == 1850000000000L)
+    assert(r1(2L) == 575000000000L)
+    assert(r1(3L) == 575000000000L)
+    // round 2: in(1) = r1(2) div 1 + r1(3) div 1 = 1.15e12
+    //          r2(1) = 15e10 + 85*1.15e12 div 100 = 15e10 + 977.5e9 = 1127.5e9
+    //          in(2) = r1(1) div 2 = 925e9 → r2(2) = 15e10+786.25e9 = 936.25e9
+    val r2 = Graph.pageRank(edgesOf((1L, 2L), (1L, 3L)), nodesOf(1L, 2L, 3L),
+        "item", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2(1L) == 1127500000000L)
+    assert(r2(2L) == 936250000000L)
+  }
+
+  test("pageRank: symmetric graphs stay at the uniform fixed point; mass is conserved") {
+    // a single edge and a triangle are both regular graphs — uniform
+    // rank S is exactly the fixed point of the integer recurrence
+    val uni = Graph.pageRank(edgesOf((7L, 8L)), nodesOf(7L, 8L), "item", 3)
+      .collect().map(_.getLong(1))
+    assert(uni.forall(_ == 1000000000000L))
+    val tri = Graph.pageRank(edgesOf((1L, 2L), (2L, 3L), (1L, 3L)),
+        nodesOf(1L, 2L, 3L), "item", 4)
+      .collect().map(_.getLong(1))
+    assert(tri.forall(_ == 1000000000000L))
+    // isolated node settles at 0.15·S after one round
+    val iso = Graph.pageRank(edgesOf((1L, 2L)), nodesOf(1L, 2L, 99L), "item", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iso(99L) == 150000000000L)
+    // total mass on a connected graph stays within integer-floor loss of n·S
+    val star = Graph.pageRank(edgesOf((1L, 2L), (1L, 3L), (1L, 4L)),
+        nodesOf(1L, 2L, 3L, 4L), "item", 5)
+      .collect().map(_.getLong(1))
+    assert(star.sum <= 4000000000000L && star.sum > 3999999999000L)
+  }
+
+  test("triangleCounts: hand-enumerated graphs") {
+    // triangle {1,2,3} + pendant 4 off node 3; square {5,6,7,8} has none
+    val e = edgesOf((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L))
+    val t = Graph.triangleCounts(e, nodesOf(1L to 8L: _*), "item")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L, 8L -> 0L))
+    // K4: every node sits on C(3,2) = 3 triangles
+    val k4 = Graph.triangleCounts(
+      edgesOf((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)),
+      nodesOf(1L, 2L, 3L, 4L), "item")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k4.values.forall(_ == 3L))
+  }
+
+  test("triangleCounts matches the naive 3-join count on the sf0.001 co-purchase graph") {
+    val baskets = Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = Graph.coOccurrenceEdges(baskets, "l_orderkey", "l_partkey", 2L)
+      .persist()
+    try {
+      val mine = Graph.triangleCounts(e, Graph.edgeNodes(e, "item"), "item")
+      val e1 = e.select(col("src").as("x"), col("dst").as("y"))
+      val e2 = e.select(col("src").as("y"), col("dst").as("z"))
+      val e3 = e.select(col("src").as("x"), col("dst").as("z"))
+      val naive = e1.join(e2, "y").join(e3, Seq("x", "z"))
+        .select(explode(array(col("x"), col("y"), col("z"))).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("triangles"))
+      // anti-join in both directions over (item, count): empty = equal
+      val mineNZ = mine.filter(col("triangles") > 0)
+      assert(mineNZ.except(naive).isEmpty && naive.except(mineNZ).isEmpty)
+    } finally e.unpersist()
+  }
+}
