@@ -63,15 +63,21 @@ object Graph {
     * 2⁴⁰ for a billion nodes — no overflow headroom issues at any
     * realistic scale.
     *
-    * Scale plan (mirrors [[Dedup.connectedComponents]]): the degree-
-    * annotated out-edge list is checkpointed ONCE pre-partitioned on
-    * `src`, ranks live hash-partitioned on `nid`, so the per-round
-    * neighbor join is exchange-free on both sides; the only per-round
-    * shuffle is the contribution re-key to the destination. Rounds are
-    * chained through LAZY `localCheckpoint(false)` — the iteration
-    * count is fixed (no convergence probe), so the CALLER's single
-    * action materializes all rounds while the checkpoints truncate
-    * lineage round by round: zero extra driver jobs.
+    * Scale plan (and the lesson that shaped it): each round references
+    * the previous ranks frame exactly ONCE — the "all nodes" side of
+    * the final left join is the STATIC node frame, not ranks itself, so
+    * the plan grows linearly in the iteration count instead of doubling
+    * per round, and a fixed-iteration run is ONE driver action with no
+    * per-round checkpoint barriers (a per-round eager checkpoint costs
+    * a full job launch + materialization each round — measured 10.8 s
+    * vs 4.5 s steady on the sf0.1 co-purchase graph). Zero-share
+    * sentinel rows (see below) replace the per-round left join, so one
+    * keyed agg is the round's only shuffle of node-cardinality data.
+    * The degree-annotated out-edge list and the sentinel frame are LAZY
+    * `localCheckpoint(false)` (materialized once inside the caller's
+    * action, reused by every round); `checkpointInterval` bounds plan
+    * depth for long runs — every K rounds the chain truncates, which is
+    * also where a cluster job would durably checkpoint.
     *
     * @param edges canonical undirected pairs (`src`, `dst`)
     * @param nodes one row per node id (isolated nodes settle at
@@ -79,29 +85,30 @@ object Graph {
     * @return (idCol, rank_fp BIGINT) — rank scaled by 10^12
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
-               iterations: Int = 5): DataFrame = {
+               iterations: Int = 5, checkpointInterval: Int = 8): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     val scale = 1000000000000L
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val out = sym.join(deg, Seq("src"))
-      .repartition(col("src"))
+    val out = sym.join(deg, Seq("src")).localCheckpoint(false)
+    // zero-share sentinel rows make every node surface in the round's
+    // aggregate — a map-side union instead of a second (left outer)
+    // join per round: one keyed agg is the round's ONLY shuffle of
+    // node-cardinality data
+    val zeros = nodes.select(col(idCol).as("nid"), lit(0L).as("share"))
       .localCheckpoint(false)
-    var ranks = nodes.select(col(idCol).as("nid"), lit(scale).as("rank_fp"))
-      .repartition(col("nid"))
-      .localCheckpoint(false)
-    for (_ <- 1 to iterations) {
-      val inMass = out.join(ranks, out("src") === ranks("nid"))
+    var ranks = zeros.select(col("nid"), lit(scale).as("rank_fp"))
+    for (i <- 1 to iterations) {
+      val contribs = out.join(ranks, out("src") === ranks("nid"))
         .select(col("dst").as("nid"), expr("rank_fp div deg").as("share"))
+      ranks = contribs.union(zeros)
         .groupBy(col("nid")).agg(sum(col("share")).as("mass"))
-      ranks = ranks.select(col("nid"))
-        .join(inMass, Seq("nid"), "left")
         .select(col("nid"),
-          (lit(15L * scale / 100L) +
-            expr("(85 * coalesce(mass, 0L)) div 100")).as("rank_fp"))
-        .localCheckpoint(false)
+          (lit(15L * scale / 100L) + expr("(85 * mass) div 100")).as("rank_fp"))
+      if (i % checkpointInterval == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(false)
     }
     ranks.select(col("nid").as(idCol), col("rank_fp"))
   }
