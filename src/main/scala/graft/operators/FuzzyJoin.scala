@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy (edit-distance) self-join — the entity-resolution
+  * primitive: find pairs of DISTINCT strings within `maxDist`
+  * Levenshtein edits, without the all-pairs product.
+  *
+  * Blocking is the scale contract: candidate pairs are generated ONLY
+  * inside a caller-chosen block key (a prefix, a phonetic code, a
+  * length band…), so the cost is Σ|block|², never |table|² — the same
+  * bound discipline as [[Graph.coOccurrenceEdges]] and the LSH bucket
+  * caps. `maxBlockSize` guards the quadratic term against a degenerate
+  * hot block; pairs are canonical (s1 < s2) so each is emitted once.
+  *
+  * `levenshtein` is Spark's codegen'd built-in and returns an exact
+  * integer — DuckDB ships the same function, so the whole join is
+  * oracle-replayable bit-exactly.
+  */
+object FuzzyJoin {
+
+  /** Pairs `(id1, s1, id2, s2, dist)` with `s1 < s2` sharing `blockKey`
+    * and `levenshtein(s1, s2) <= maxDist`. */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String, blockKey: Column,
+               maxDist: Int, maxBlockSize: Option[Int] = None): DataFrame = {
+    val base0 = df.select(col(idCol), col(strCol), blockKey.as("_blk"))
+    val base = maxBlockSize match {
+      case Some(cap) =>
+        base0.withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_blk"))))
+          .filter(col("_bsz") <= cap).drop("_bsz")
+      case None => base0
+    }
+    val a = base.select(col("_blk"), col(idCol).as("id1"), col(strCol).as("s1"))
+    val b = base.select(col("_blk"), col(idCol).as("id2"), col(strCol).as("s2"))
+    a.join(b, Seq("_blk"))
+      .filter(col("s1") < col("s2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .drop("_blk")
+  }
+}

@@ -162,6 +162,25 @@ object JoinQueries {
       },
       """SELECT 'customer' AS kind, c_custkey AS entity_key, c_name AS name, c_acctbal AS acctbal FROM customer
         |UNION ALL
-        |SELECT 'supplier' AS kind, s_suppkey AS entity_key, s_name AS name, s_acctbal AS acctbal FROM supplier""")
+        |SELECT 'supplier' AS kind, s_suppkey AS entity_key, s_name AS name, s_acctbal AS acctbal FROM supplier"""),
+
+    // Blocked fuzzy self-join (operators/FuzzyJoin): customer-name pairs
+    // within 1 Levenshtein edit. The block key (all but the last 2
+    // chars) bounds candidates to Σ|block|² — the entity-resolution
+    // analogue of the LSH bucket caps; the oracle replays the identical
+    // blocking + DuckDB's own levenshtein().
+    "q_fuzzy_names" -> QueryDef(
+      (s, dir) => graft.operators.FuzzyJoin.selfJoin(
+        Tables.customer(s, dir), "c_custkey", "c_name",
+        blockKey = expr("substring(c_name, 1, length(c_name) - 2)"),
+        maxDist = 1)
+        .select(col("id1"), col("s1"), col("id2"), col("s2"), col("dist")),
+      """SELECT a.c_custkey AS id1, a.c_name AS s1,
+        |       b.c_custkey AS id2, b.c_name AS s2,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON substr(a.c_name, 1, length(a.c_name) - 2) = substr(b.c_name, 1, length(b.c_name) - 2)
+        | AND a.c_name < b.c_name
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""")
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.operators.{Splits, TextPipeline}
+import graft.operators.{Redact, Splits, TextPipeline}
 
 /** Training-data curation surface over `documents`: benchmark
   * decontamination, passage-level boilerplate dedup, repetition quality
@@ -245,6 +245,48 @@ object PipelineQueries {
         |  SELECT doc_id, lang,
         |         CAST(concat('0x', substr(md5('graft-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS h
         |  FROM documents)
-        |WHERE h < CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000 ELSE 8000 END""")
+        |WHERE h < CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000 ELSE 8000 END"""),
+
+    // PII redaction (operators/Redact): emails, IPv4s, phone-shaped digit
+    // runs → typed placeholder tokens + per-category audit counts. The
+    // synthetic documents carry no PII, so the scrub target is a
+    // DETERMINISTIC contact string derived from customer columns — both
+    // engines build the identical string, so the redacted output and the
+    // counts hash-compare. Map-only stage, no shuffle (the 100 TB shape:
+    // fused into whatever scan feeds it).
+    "q_pii_scrub" -> QueryDef(
+      (s, dir) => {
+        val raw = concat(
+          col("c_name"), lit(" <user"), col("c_custkey").cast("string"),
+          lit("@example.com> tel 555-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10."), (col("c_custkey") % 256).cast("string"),
+          lit("."), (col("c_custkey") % 100).cast("string"),
+          lit("."), (col("c_custkey") % 50).cast("string"))
+        val df = Tables.customer(s, dir).select(col("c_custkey"), raw.as("_raw"))
+        val (nEmails, nIps, nPhones) = Redact.counts(col("_raw"))
+        df.select(col("c_custkey"),
+          Redact.scrub(col("_raw")).as("scrubbed"),
+          nEmails.as("n_emails"), nIps.as("n_ips"), nPhones.as("n_phones"))
+      },
+      s"""WITH raw AS (
+        |  SELECT c_custkey,
+        |         c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com> tel 555-' ||
+        |         lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+        |         ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+        |         CAST(c_custkey % 100 AS VARCHAR) || '.' || CAST(c_custkey % 50 AS VARCHAR) AS r
+        |  FROM customer),
+        |s1 AS (SELECT c_custkey, r,
+        |              regexp_replace(r, '${Redact.EmailPattern}', '${Redact.EmailToken}', 'g') AS r1
+        |       FROM raw),
+        |s2 AS (SELECT c_custkey, r, r1,
+        |              regexp_replace(r1, '${Redact.Ipv4Pattern}', '${Redact.Ipv4Token}', 'g') AS r2
+        |       FROM s1)
+        |SELECT c_custkey,
+        |       regexp_replace(r2, '${Redact.PhonePattern}', '${Redact.PhoneToken}', 'g') AS scrubbed,
+        |       CAST(len(regexp_extract_all(r, '${Redact.EmailPattern}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(r1, '${Redact.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+        |       CAST(len(regexp_extract_all(r2, '${Redact.PhonePattern}')) AS BIGINT) AS n_phones
+        |FROM s2""")
   )
 }

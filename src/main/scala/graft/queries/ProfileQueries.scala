@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.operators.Profile
+import graft.operators.{Profile, ZOrder}
 
 /** Table-profiling surface: one-scan per-column profile and equi-width
   * histogram over `lineitem`. The oracle SQL is GENERATED from the same
@@ -60,6 +60,20 @@ object ProfileQueries {
         |       mn + CAST(bucket AS DOUBLE) * ((mx - mn) / 20.0) AS lo,
         |       mn + CAST(bucket + 1 AS DOUBLE) * ((mx - mn) / 20.0) AS hi,
         |       CAST(count(*) AS BIGINT) AS n
-        |FROM bk GROUP BY bucket, mn, mx""")
+        |FROM bk GROUP BY bucket, mn, mx"""),
+
+    // Z-order (Morton) clustering key over (l_partkey, l_suppkey) — the
+    // layout op behind 2-D data skipping (operators/ZOrder; the
+    // repartitionByRange+sort side is pinned in ZOrderSpec, since a
+    // partitioning property is invisible to a row hash). Pure integer
+    // bit math, replayed shift-for-shift by the oracle.
+    "q_zorder" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          ZOrder.zkey2(col("l_partkey"), col("l_suppkey")).as("zkey")),
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       ${ZOrder.zkey2Sql("l_partkey", "l_suppkey")} AS zkey
+        |FROM lineitem""")
   )
 }

@@ -303,6 +303,38 @@ object TextQueries {
         |            ELSE 'test' END AS split
         |FROM (SELECT doc_id,
         |             CAST(concat('0x', substr(md5('graft-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
-        |      FROM documents)""")
+        |      FROM documents)"""),
+
+    // Heavy hitters, sketch-prefiltered but EXACT: pass 1 is a single
+    // Misra–Gries aggregate (32 counters/task, candidates guaranteed ⊇
+    // every token with freq > n/33 — see functions/FreqSketch), pass 2
+    // recounts ONLY the ≤32 candidates behind a broadcast join and
+    // keeps freq > n/30. At 100 TB the exact one-pass groupBy holds
+    // per-task state ∝ distinct tokens (billions → spill); this holds
+    // 32 entries, yet the OUTPUT is deterministic exact counts — which
+    // is why a plain GROUP BY/HAVING oracle can hash-match a
+    // merge-order-dependent sketch. (30 < 33 ⇒ every token above the
+    // threshold is guaranteed into the candidate set.)
+    "q_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(TextFns.tokens(col("text"))).as("token"))
+        val sk = toks
+          .agg(graft.functions.FreqSketch.mg_candidates(col("token"), 32).as("sk"))
+          .select(explode(col("sk.items")).as("token"), col("sk.n").as("n"))
+        toks.join(broadcast(sk), Seq("token"))
+          .groupBy(col("token"), col("n"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * 30 > col("n"))
+          .select(col("token"), col("cnt"))
+      },
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok CROSS JOIN tot
+        |GROUP BY token, n
+        |HAVING count(*) * 30 > n""")
   )
 }

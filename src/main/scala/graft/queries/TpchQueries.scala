@@ -167,6 +167,108 @@ object TpchQueries {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
-        |GROUP BY n_name""")
+        |GROUP BY n_name"""),
+
+    // TPC-H Q6 (forecast revenue change): the pure-scan query — every
+    // predicate pushes to the parquet scan (shipdate range, discount
+    // band, quantity cap), then ONE partial+final agg with no shuffle of
+    // row data at all. At 100 TB this is the query that proves pushdown:
+    // a date-partitioned layout would prune to 1/7 of the files before
+    // the first byte is read.
+    "q_tpch_q6" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(moneySum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n_items")),
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24"""),
+
+    // TPC-H Q4 shape (order-priority checking): orders with at least one
+    // returned line, counted per priority. EXISTS plans as a LEFT SEMI
+    // join — no dedup of the fact side, no row multiplication, and the
+    // returnflag filter pushes below the join. (The driver schema has no
+    // l_commitdate/l_receiptdate, so "late" is re-expressed as
+    // l_returnflag = 'R'.)
+    "q_tpch_q4" -> QueryDef(
+      (s, dir) => Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count")),
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority"""),
+
+    // TPC-H Q12 shape (shipping modes / priority): one fact-fact join,
+    // conditional-sum pivot on the priority class. Counts stay BIGINT on
+    // both sides (the DuckDB HUGEINT trap). l_returnflag stands in for
+    // the missing l_shipmode.
+    "q_tpch_q12" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count")),
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag"""),
+
+    // TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+    // per customer over one order year, top 20. Nation (25 rows)
+    // broadcasts; the returnflag + date filters cut both fact sides
+    // before the join; the limit plans as TakeOrderedAndProject.
+    // Tie-break: revenue DESC then c_custkey (unique).
+    "q_tpch_q10" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""")
   )
 }
