@@ -17,7 +17,7 @@ object SparkEntry {
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MediaQueries.defs ++ SqlQueries.defs ++ TpchQueries.defs ++
       PipelineQueries.defs ++ BpeQueries.defs ++ GraphQueries.defs ++
-      CdcQueries.defs ++ ProfileQueries.defs
+      CdcQueries.defs ++ ProfileQueries.defs ++ TpchDeepQueries.defs
 
   // a name collision between registry files would silently drop a query
   // (and its oracle) from the driver surface via toMap — fail loudly
