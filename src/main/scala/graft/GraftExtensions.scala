@@ -70,6 +70,29 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         requireArity("simhash_agg", args, _ == 1)
         SketchAggs.SimHashAgg(args.head).toAggregateExpression()
+      }),
+    // the runtime-filter expression pair (BloomJoin operator), exposed
+    // to SQL: SELECT ... WHERE bloom_might_contain((SELECT
+    // bloom_filter_agg(xxhash64(k), 1000) FROM dim), xxhash64(fact_k))
+    (FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg", "_FUNC_(hash64[, expectedItems]) - bloom filter blob over a pre-hashed key column"),
+      (args: Seq[Expression]) => {
+        requireArity("bloom_filter_agg", args, n => n == 1 || n == 2)
+        val agg = if (args.length > 1) {
+          if (!args(1).foldable) throw new IllegalArgumentException(
+            "bloom_filter_agg: expectedItems must be a literal")
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            args.head, args(1).eval().asInstanceOf[Number].longValue())
+        } else {
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(args.head)
+        }
+        agg.toAggregateExpression()
+      }),
+    (FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain", "_FUNC_(bloom, hash64) - probe a bloom blob (constant or scalar subquery)"),
+      (args: Seq[Expression]) => {
+        requireArity("bloom_might_contain", args, _ == 2)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
       }))
 
   /** Register on an already-built session (idempotent): SQL functions

@@ -181,6 +181,37 @@ object JoinQueries {
         |FROM customer a JOIN customer b
         |  ON substr(a.c_name, 1, length(a.c_name) - 2) = substr(b.c_name, 1, length(b.c_name) - 2)
         | AND a.c_name < b.c_name
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1""")
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1"""),
+
+    // Bloom-prefiltered semi join (operators/BloomJoin): lineitems of
+    // one nation's suppliers, aggregated per returnflag. The bloom over
+    // the ~40 supplier keys filters the fact table MAP-SIDE before the
+    // exact semi join — at 100 TB the prefilter drops ~96% of rows
+    // before any shuffle. False positives are eliminated by the exact
+    // join, so the oracle is simply the plain IN-subquery form: the
+    // hash match proves prefilter+join ≡ semi join.
+    "q_bloom_semi_join" -> QueryDef(
+      (s, dir) => {
+        val sup = Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir).filter(col("n_name") === "NATION_3"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        graft.operators.BloomJoin.semiJoin(
+          Tables.lineitem(s, dir), col("l_suppkey"), sup, col("s_suppkey"),
+          expectedItems = 1000L)
+          .groupBy(col("l_returnflag"))
+          .agg(graft.functions.ColFns.moneySum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                    JOIN nation ON s_nationkey = n_nationkey
+        |                    WHERE n_name = 'NATION_3')
+        |GROUP BY l_returnflag""")
   )
 }
