@@ -288,6 +288,37 @@ object SimilarityQueries {
         |       CAST(SUM(CAST(floor(x * 1073741824.0) AS BIGINT)) AS DOUBLE)
         |         / (CAST(count(*) AS DOUBLE) * 1073741824.0) AS c_new,
         |       CAST(count(*) AS BIGINT) AS n
-        |FROM ex GROUP BY cell, pos""")
+        |FROM ex GROUP BY cell, pos"""),
+
+    // SemDeDup (Abbas et al. 2023): semantic near-dup removal bounded
+    // by the frozen IVF cells — candidates only WITHIN a cell (Σ|cell|²
+    // work, the semantic-space analogue of the LSH bucket join), exact
+    // cosine ≥ 0.4, min-id survivor per dup edge. The oracle replays
+    // assignment (the q_ann_ivf cell rule), the intra-cell pair join,
+    // the cosine threshold, and the anti join — the whole pipeline is
+    // hash-verified, not sampled. Output = the kept corpus + its cell.
+    "q_semdedup" -> QueryDef(
+      (s, dir) => graft.operators.SemDedup.dedup(
+        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4)
+        .select(col("vec_id"), col("cell").cast("long").as("cell")),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (${graft.operators.IvfCentroids.duckdbValues}),
+        |asgn AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, cents.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.v, cents.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.c, cents.c))) DESC,
+        |             cents.cell) AS crank
+        |    FROM e CROSS JOIN cents)
+        |  WHERE crank = 1),
+        |edges AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN e qe ON qe.vec_id = a.vec_id
+        |  JOIN e ce ON ce.vec_id = b.vec_id
+        |  WHERE list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) >= 0.4)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell
+        |FROM asgn
+        |WHERE vec_id NOT IN (SELECT id2 FROM edges)""")
   )
 }
