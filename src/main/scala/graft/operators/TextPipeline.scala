@@ -182,4 +182,64 @@ object TextPipeline {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("c.n_tokens"), col("c.chunk_text"))
   }
+
+  /** [[decontaminate]] against a reference corpus TOO BIG to broadcast
+    * (cross-corpus overlap — e.g. "which train docs share an n-gram
+    * with any doc of that other 50 TB crawl"). The broadcast-join form
+    * stops working when the reference side no longer fits an executor;
+    * this variant shuffle-joins on the shingle key, with a
+    * [[BloomJoin]] prefilter built over the reference shingles so
+    * bloom-negative train shingles (the overwhelming majority) are
+    * dropped MAP-SIDE and never enter the shuffle. False positives
+    * survive the prefilter but not the exact join — output is
+    * bit-identical to the unfiltered join (same oracle SQL shape as
+    * q_decontaminate), so `expectedItems` is a pure perf knob.
+    */
+  def decontaminateAgainstLarge(train: DataFrame, ref: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleN: Int = 13,
+                                expectedItems: Long = 1000000L): DataFrame = {
+    def grams(df: DataFrame, outId: String) =
+      df.select(col(idCol).as(outId), TextFns.tokens(col(textCol)).as("_toks"))
+        .select(col(outId), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("shingle"))
+    val tg = grams(train, "doc_id")
+    val rg = grams(ref, "ref_id")
+    BloomJoin.prefilter(tg, col("shingle"), rg.select(col("shingle")),
+        col("shingle"), expectedItems)
+      .join(rg, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared_ngrams"),
+        countDistinct(col("ref_id")).as("n_ref_docs"))
+  }
+
+  /** Sequential token packing — the training data-loader's batch
+    * layout: concatenate each stratum's documents in id order and cut
+    * the stream every `budget` tokens. A document's `bin` is where its
+    * first token lands; `straddles` flags docs split across a cut (the
+    * loader's attention-mask boundary case). All integer math (window
+    * sum + `div`), so the layout is deterministic across engines, runs,
+    * and partitionings.
+    *
+    * Scale shape: one window per stratum (partitionBy(group), ordered
+    * by id) — the running sum is per-group serial, which is exactly the
+    * contract (packing IS sequential within a shard); strata pack in
+    * parallel, so throughput scales with shard count, and a 100 TB
+    * corpus packs per-(source, date-bucket) shards, never globally.
+    */
+  def packSequences(docs: DataFrame, idCol: String, groupCol: String,
+                    textCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    docs
+      .withColumn("n_tokens", size(TextFns.tokens(col(textCol))).cast("long"))
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .withColumn("bin", expr(s"start_off div ${budget}L"))
+      .withColumn("straddles",
+        col("n_tokens") > 0 &&
+          expr(s"(start_off + n_tokens - 1) div ${budget}L") =!= col("bin"))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        col("start_off"), col("bin"), col("straddles"))
+  }
 }

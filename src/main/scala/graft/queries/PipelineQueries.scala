@@ -287,6 +287,92 @@ object PipelineQueries {
         |       CAST(len(regexp_extract_all(r, '${Redact.EmailPattern}')) AS BIGINT) AS n_emails,
         |       CAST(len(regexp_extract_all(r1, '${Redact.Ipv4Pattern}')) AS BIGINT) AS n_ips,
         |       CAST(len(regexp_extract_all(r2, '${Redact.PhonePattern}')) AS BIGINT) AS n_phones
-        |FROM s2""")
+        |FROM s2"""),
+
+    // Cross-corpus overlap against a reference TOO BIG to broadcast:
+    // the q_decontaminate semantics on a shuffle join, with the
+    // BloomJoin prefilter dropping bloom-negative train shingles
+    // map-side before the shuffle. The oracle is the UNFILTERED overlap
+    // query — the hash match proves bloom-prefilter + exact join ≡
+    // plain join (same contract as q_bloom_semi_join).
+    "q_decontaminate_bloom" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextPipeline.decontaminateAgainstLarge(
+          docs.filter(col("doc_id") % 11 =!= 0),
+          docs.filter(col("doc_id") % 11 === 0),
+          "doc_id", "text", shingleN = 3, expectedItems = 100000L)
+      },
+      s"""WITH $Shingle3Ctes
+        |SELECT a.doc_id,
+        |       count(DISTINCT a.shingle) AS n_shared_ngrams,
+        |       count(DISTINCT e.doc_id) AS n_ref_docs
+        |FROM sh a JOIN sh e ON a.shingle = e.shingle
+        |WHERE a.doc_id % 11 <> 0 AND e.doc_id % 11 = 0
+        |GROUP BY a.doc_id"""),
+
+    // Sequential token packing per language stratum: concatenate docs
+    // in id order, cut every 512 tokens; bin = where the doc's first
+    // token lands, straddles = split across a cut. All integer window
+    // math — DuckDB's windowed BIGINT sum is HUGEINT, hence the CAST.
+    "q_seq_pack" -> QueryDef(
+      (s, dir) => TextPipeline.packSequences(
+        Tables.documents(s, dir), "doc_id", "lang", "text", budget = 512L),
+      s"""WITH $ToksCte,
+        |n AS (SELECT d.doc_id, d.lang, CAST(len(t.t) AS BIGINT) AS n_tokens
+        |      FROM documents d JOIN toks t ON t.doc_id = d.doc_id),
+        |offs AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT)
+        |           - n_tokens AS start_off
+        |  FROM n)
+        |SELECT doc_id, lang, n_tokens, start_off,
+        |       start_off // 512 AS bin,
+        |       (n_tokens > 0 AND (start_off + n_tokens - 1) // 512 <> start_off // 512) AS straddles
+        |FROM offs"""),
+
+    // Leakage-safe train/valid/test split: near-duplicate documents
+    // must land in the SAME split (a paraphrase in valid of a train doc
+    // is eval contamination), so the split key is the doc's near-dup
+    // CLUSTER id (q_dedup_clusters closure), not the doc id — every
+    // member inherits its cluster's portable-hash bucket. Singleton
+    // clusters (the vast majority) hash by their own id, so the mix
+    // stays ~80/10/10.
+    "q_split_leakage_safe" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = graft.operators.Dedup
+          .ngramJaccardPairs(docs, "doc_id", "text", shingleN = 3, minJaccard = 0.5)
+          .select(col("id1"), col("id2"))
+        val clusters = graft.operators.Dedup.connectedComponents(
+          pairs, docs.select(col("doc_id")), "doc_id")
+        Splits.assign(clusters, "cluster_id", salt = "graft-v1")
+      },
+      s"""WITH RECURSIVE $Shingle3Ctes,
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |co AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2 FROM co
+        |  JOIN sizes s1 ON s1.doc_id = co.id1 JOIN sizes s2 ON s2.doc_id = co.id2
+        |  WHERE common / (s1.sz + s2.sz - common) >= 0.5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+        |clusters AS (
+        |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id, cluster_id,
+        |             CAST(concat('0x', substr(md5('graft-v1:' || CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |      FROM clusters)""")
   )
 }

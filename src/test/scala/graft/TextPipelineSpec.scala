@@ -237,4 +237,56 @@ class TextPipelineSpec extends SparkSpec {
       Splits.stratifiedSample(d, "doc_id", "lang", Map("en" -> 10001), 100, "s")
     }
   }
+
+  // ---- decontaminateAgainstLarge / packSequences / leakage-safe split --
+
+  test("decontaminateAgainstLarge ≡ decontaminate (bloom prefilter is invisible in the result)") {
+    val all = Tables.documents(spark, sf001)
+    val train = all.filter(col("doc_id") % 7 =!= 0)
+    val ref = all.filter(col("doc_id") % 7 === 0)
+    val exact = TextPipeline.decontaminate(train, ref, "doc_id", "text", 3)
+      .withColumnRenamed("n_eval_docs", "n_ref_docs")
+    // deliberately undersized bloom → false positives exercised
+    val bloomed = TextPipeline.decontaminateAgainstLarge(
+      train, ref, "doc_id", "text", 3, expectedItems = 4L)
+    assert(bloomed.count() == exact.count())
+    assert(bloomed.except(exact).isEmpty && exact.except(bloomed).isEmpty)
+  }
+
+  test("packSequences: bins, offsets, and straddle flags from hand-counted tokens") {
+    val d = Seq(
+      (1L, "g1", "a b c"),        // 3 toks, start 0, bin 0
+      (2L, "g1", "d e f g"),      // 4 toks, start 3, bin 0, straddles (3+4-1=6 → 6//5=1)
+      (3L, "g1", "h i"),          // 2 toks, start 7, bin 1
+      (4L, "g2", "x y z w v u t") // 7 toks > budget, start 0, bin 0, straddles
+    ).toDF("doc_id", "grp", "text")
+    val out = TextPipeline.packSequences(d, "doc_id", "grp", "text", budget = 5L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((3L, 0L, 0L, false)))
+    assert(out(2L) == ((4L, 3L, 0L, true)))
+    assert(out(3L) == ((2L, 7L, 1L, false)))
+    assert(out(4L) == ((7L, 0L, 0L, true)))
+  }
+
+  test("packSequences: empty doc occupies no tokens and never straddles") {
+    val d = Seq((1L, "g", "a b c d e"), (2L, "g", " "), (3L, "g", "f")).toDF("doc_id", "grp", "text")
+    val out = TextPipeline.packSequences(d, "doc_id", "grp", "text", budget = 5L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(2L) == ((0L, 5L, 1L, false))) // zero-width at the cut, no straddle
+    assert(out(3L) == ((1L, 5L, 1L, false)))
+  }
+
+  test("leakage-safe split: every member of a near-dup cluster lands in the SAME split") {
+    val out = SparkEntry.queries("q_split_leakage_safe")(spark, sf001)
+    val violations = out.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(violations.isEmpty)
+    // and the mix is roughly 80/10/10 (singleton-dominated corpus)
+    val n = out.count().toDouble
+    val train = out.filter(col("split") === "train").count().toDouble
+    assert(train / n > 0.6 && train / n < 0.95)
+  }
 }
