@@ -89,6 +89,34 @@ object EventQueries {
           percentile_approx(col("value"), lit(0.95), lit(5000)).as("p95_approx"),
           count(lit(1)).as("n"))),
 
+    // Robust (IQR-fence) outlier detection per event type — the
+    // anomaly-screening primitive that doesn't assume normality (no
+    // mean/stddev, whose sqrt is not bit-portable anyway): flag values
+    // above q3 + 1.5·(q3 − q1). The per-type quartile frame is 5 rows —
+    // broadcast back over the fact scan, so the whole query is one agg
+    // + one map-side filter. Fence arithmetic is the same IEEE op
+    // sequence on both engines (percentile ≡ quantile_cont is proven by
+    // q_percentile).
+    "q_outliers_iqr" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val fences = ev.groupBy(col("event_type").as("et"))
+          .agg(percentile(col("value"), lit(0.25)).as("q1"),
+            percentile(col("value"), lit(0.75)).as("q3"))
+          .select(col("et"),
+            (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("fence"))
+        ev.join(broadcast(fences), col("event_type") === col("et"))
+          .filter(col("value") > col("fence"))
+          .select(col("event_id"), col("event_type"), col("value"), col("fence"))
+      },
+      """WITH f AS (
+        |  SELECT event_type AS et,
+        |         quantile_cont(value, 0.75) + CAST(1.5 AS DOUBLE) * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) AS fence
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value, fence
+        |FROM events JOIN f ON event_type = et
+        |WHERE value > fence"""),
+
     // Interval (range) self-join: event pairs of the same user within a
     // 60 s window, via the time-bucketed IntervalJoin operator — the
     // join key is (user, minute-bucket), not user alone, so a bot-grade

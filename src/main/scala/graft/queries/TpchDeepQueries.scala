@@ -397,6 +397,70 @@ object TpchDeepQueries {
         |  AND c_acctbal > ab
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY c_nationkey""")
+        |GROUP BY c_nationkey"""),
+
+    // Q9 (product-type profit measure), adapted: profit on ECONOMY
+    // parts per supplier-nation and order year, with p_retailprice ×
+    // quantity standing in for the missing partsupp supplycost. The
+    // 5-way join: part (filtered, broadcastable) cuts lineitem first,
+    // then orders attaches the year and supplier→nation the group key.
+    // One decimal-exact sum over a ± expression (profit can be
+    // negative — the decimal cast is sign-correct).
+    "q_tpch_q9" -> QueryDef(
+      (s, dir) => {
+        val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity")
+        Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+            .select(col("p_partkey"), col("p_retailprice")),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(moneySum(profit, 4).as("sum_profit"))
+      },
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_type = 'ECONOMY'
+        |GROUP BY n_name, year(o_orderdate)"""),
+
+    // Q16 (parts/supplier relationship), adapted: distinct suppliers
+    // able to ship each (brand, type, size-set) part class, with the
+    // "customer complaints" exclusion re-expressed as s_acctbal < 0;
+    // supplier↔part pairs come from lineitem (no partsupp). The
+    // exclusion is an anti join BEFORE the distinct agg; countDistinct
+    // above a fact⋈dim join is the pattern (exact here — the HLL
+    // variant for 100 TB is q_events_hourly_hll's posture).
+    "q_tpch_q16" -> QueryDef(
+      (s, dir) => {
+        val sizes = Seq(1, 4, 7, 10, 13, 16, 19, 22).map(lit(_))
+        val badSupp = Tables.supplier(s, dir)
+          .filter(col("s_acctbal") < lit(0.0)).select(col("s_suppkey"))
+        Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+          .join(Tables.part(s, dir)
+            .filter(col("p_brand") =!= "Brand#45" && col("p_size").isin(sizes: _*))
+            .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")),
+            col("l_partkey") === col("p_partkey"))
+          .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < CAST(0 AS DOUBLE))
+        |GROUP BY p_brand, p_type, p_size""")
   )
 }
