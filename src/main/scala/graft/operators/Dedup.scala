@@ -492,4 +492,60 @@ object Dedup {
       .select(col("nid").as(idCol),
         coalesce(col("label"), col("nid")).as("cluster_id"))
   }
+
+  /** Exact substring-containment pairs — the news-wire/boilerplate case
+    * Jaccard under-scores (a 50-token article inside a 5000-token page
+    * has Jaccard ≈ 0.01 yet is a pure duplicate). A doc is "contained"
+    * when its full canonical token stream appears contiguously inside
+    * another doc's.
+    *
+    * Candidate rule: the contained doc's ANCHOR (first `anchorN`
+    * tokens) must equal SOME sliding `anchorN`-window of the container
+    * — so the index join is keyed by one shingle per anchor, never
+    * all-pairs, and candidate cost is bounded by the anchor's posting
+    * size (`maxAnchorDf` caps boilerplate-opener postings, the
+    * ngramJaccardPairs df-cap contract). Ids-only through the join;
+    * canonical texts re-attach only for the final `contains` check on
+    * the surviving candidates. Docs shorter than `anchorN` tokens are
+    * out of scope (exact dedup already owns them).
+    *
+    * Emission: proper containment (container strictly longer), plus
+    * equal-text pairs once, canonically (in_id < out_id) — so together
+    * with [[ngramJaccardPairs]] the near-dup surface covers both axes.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       anchorN: Int = 10,
+                       maxAnchorDf: Option[Int] = None): DataFrame = {
+    val canon = docs
+      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), col("_toks"),
+        size(col("_toks")).cast("long").as("n"),
+        array_join(col("_toks"), " ").as("c"))
+    val eligible = canon.filter(col("n") >= anchorN)
+    val anchors = eligible.select(col("id").as("in_id"), col("n").as("in_n"),
+      array_join(slice(col("_toks"), 1, anchorN), " ").as("shingle"))
+    val index0 = eligible.select(col("id").as("out_id"), col("n").as("out_n"),
+      explode(TextFns.wordShingles(col("_toks"), anchorN)).as("shingle"))
+    val index = maxAnchorDf match {
+      case Some(cap) =>
+        val dfreq = index0.groupBy("shingle")
+          .agg(count(lit(1)).as("_df")).filter(col("_df") <= cap)
+        index0.join(dfreq.select("shingle"), Seq("shingle"))
+      case None => index0
+    }
+    val cand = anchors.join(index, Seq("shingle"))
+      .filter(col("in_id") =!= col("out_id") &&
+        (col("out_n") > col("in_n") ||
+          (col("out_n") === col("in_n") && col("in_id") < col("out_id"))))
+      .select(col("in_id"), col("out_id")).distinct()
+    cand
+      .join(canon.select(col("id").as("in_id"), col("c").as("_in_c"),
+        col("n").as("n_contained")), Seq("in_id"))
+      .join(canon.select(col("id").as("out_id"), col("c").as("_out_c"),
+        col("n").as("n_container")), Seq("out_id"))
+      .filter(concat(lit(" "), col("_out_c"), lit(" "))
+        .contains(concat(lit(" "), col("_in_c"), lit(" "))))
+      .select(col("in_id").as("contained_id"), col("out_id").as("container_id"),
+        col("n_contained"), col("n_container"))
+  }
 }

@@ -298,6 +298,42 @@ object DedupQueries {
         |), tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
         |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h FROM tok)
         |SELECT doc_id, $SimhashPack AS simhash
-        |FROM h GROUP BY doc_id""")
+        |FROM h GROUP BY doc_id"""),
+
+    // Exact substring containment (operators/Dedup.containmentPairs):
+    // the duplicate class Jaccard under-scores — a short doc embedded
+    // whole inside a longer one. Anchor = the contained doc's first 10
+    // tokens; the index join is one shingle per anchor against the
+    // corpus's sliding windows (posting-bounded, never all-pairs); the
+    // exact contains() check runs only on surviving candidates. The
+    // oracle replays anchor, sliding index, and contains end to end.
+    "q_containment" -> QueryDef(
+      (s, dir) => Dedup.containmentPairs(
+        Tables.documents(s, dir), "doc_id", "text", anchorN = 10),
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+        |  FROM documents
+        |), canon AS (
+        |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n, array_to_string(t, ' ') AS c FROM toks
+        |), anch AS (
+        |  SELECT doc_id AS in_id, n AS in_n, array_to_string(t[1:10], ' ') AS shingle
+        |  FROM canon WHERE n >= 10
+        |), idx0 AS (
+        |  SELECT doc_id AS out_id, n AS out_n,
+        |         [array_to_string(t[i:i+9], ' ') for i in generate_series(1, n - 9)] AS shs
+        |  FROM canon WHERE n >= 10
+        |), idx AS (
+        |  SELECT DISTINCT out_id, out_n, unnest(shs) AS shingle FROM idx0
+        |), cand AS (
+        |  SELECT DISTINCT in_id, out_id
+        |  FROM anch JOIN idx USING (shingle)
+        |  WHERE in_id <> out_id AND (out_n > in_n OR (out_n = in_n AND in_id < out_id))
+        |)
+        |SELECT in_id AS contained_id, out_id AS container_id,
+        |       a.n AS n_contained, b.n AS n_container
+        |FROM cand
+        |JOIN canon a ON a.doc_id = in_id
+        |JOIN canon b ON b.doc_id = out_id
+        |WHERE contains(' ' || b.c || ' ', ' ' || a.c || ' ')""")
   )
 }

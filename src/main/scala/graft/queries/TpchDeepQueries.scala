@@ -306,14 +306,16 @@ object TpchDeepQueries {
     // shipped >60 days after the order date (no l_receiptdate /
     // l_commitdate in this schema). The classic form double-self-joins
     // lineitem (EXISTS other-supplier line, NOT EXISTS other-supplier
-    // LATE line); here both conditions collapse into ONE grouped pass
-    // over the order's lines — countDistinct suppliers, countDistinct
-    // late suppliers, and the lone late supplier via max — then a
-    // supplier-name join. The DuckDB oracle runs the textbook
-    // EXISTS/NOT-EXISTS form, so the hash match PROVES the grouped
-    // rewrite ≡ the correlated-subquery semantics (the q_cdc_upsert
-    // proof pattern). At 100 TB this is the difference between two
-    // lineitem shuffles + two joins and one shuffle + one agg.
+    // LATE line); here both conditions collapse into TWO stacked
+    // map-side-combinable aggs — per (order, supplier) first (any line
+    // late?), then per order (supplier count, late-supplier count, the
+    // lone late supplier) — NOT a multi-countDistinct single agg, which
+    // would plan an Expand (3× the fact rows through the shuffle).
+    // The DuckDB oracle runs the textbook EXISTS/NOT-EXISTS form, so
+    // the hash match PROVES the grouped rewrite ≡ the correlated-
+    // subquery semantics (the q_cdc_upsert proof pattern). At 100 TB
+    // this is the difference between two lineitem shuffles + two joins
+    // and one shuffle + two stacked aggs.
     "q_tpch_q21" -> QueryDef(
       (s, dir) => {
         val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
@@ -324,12 +326,15 @@ object TpchDeepQueries {
             .select(col("o_orderkey"), col("o_orderdate")),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("l_orderkey"), col("l_suppkey"), late.as("late"))
-        val culprit = lines
+        val perSupplier = lines
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(col("late")).as("supp_late"))
+        val culprit = perSupplier
           .groupBy(col("l_orderkey"))
           .agg(
-            countDistinct(col("l_suppkey")).as("n_supp"),
-            countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
-            max(when(col("late"), col("l_suppkey"))).as("culprit_supp"))
+            count(lit(1)).as("n_supp"),
+            sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supp"),
+            max(when(col("supp_late"), col("l_suppkey"))).as("culprit_supp"))
           .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
         culprit
           .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),

@@ -137,6 +137,34 @@ class PlanAuditSpec extends SparkSpec {
       s"probe expansion leaked off the query side:\n$p")
   }
 
+  test("q_tpch_q21: stacked aggs, never a multi-distinct Expand over the fact join") {
+    // the multi-countDistinct formulation plans an Expand (3× the
+    // lineitem⋈orders rows through the shuffle); the stacked
+    // (order,supplier)→order agg pair must keep the plan Expand-free
+    val p = planOf("q_tpch_q21")
+    assert(!p.contains("Expand"), s"multi-distinct Expand reappeared:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "stacked aggregate shape lost")
+  }
+
+  test("q_bloom_semi_join: bloom probe filters the fact scan BELOW the semi join") {
+    val p = planOf("q_bloom_semi_join")
+    val probeAt = p.toLowerCase.indexOf("might_contain")
+    val joinAt = p.indexOf("Join")
+    assert(probeAt >= 0, s"bloom probe missing:\n$p")
+    assert(joinAt >= 0 && probeAt > joinAt, s"probe not below the join:\n$p")
+  }
+
+  test("q_semdedup: centroid frame broadcasts; candidate join is cell-keyed, never a corpus cross product") {
+    val p = planOf("q_semdedup")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroids must broadcast")
+    // the only cross/nested-loop joins allowed are against the 16-row
+    // centroid frame; the id×id candidate join must be keyed
+    assert(!p.contains("CartesianProduct"), s"corpus cross product:\n$p")
+    Caching.release()
+  }
+
   test("q_ann_brute: native heap top-k; rank window sorts only the survivors above the final phase") {
     val p = planOf("q_ann_brute")
     assert(p.contains("TopKPerKeyExec(partial"), p)

@@ -278,6 +278,46 @@ class TextPipelineSpec extends SparkSpec {
     assert(out(3L) == ((1L, 5L, 1L, false)))
   }
 
+  // ---- containmentPairs --------------------------------------------------
+
+  test("containmentPairs finds a doc embedded whole in a longer one") {
+    val d = docs(
+      1L -> "b c d",
+      2L -> "a b c d e f",   // contains doc 1
+      3L -> "x y z w q")     // unrelated
+    val out = graft.operators.Dedup.containmentPairs(d, "doc_id", "text", anchorN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("containmentPairs token-boundary guard: prefix-token overlap is not containment") {
+    // anchor matches ('ab'), but 'cd' vs 'cde' differ past a boundary
+    val d = docs(1L -> "ab cd", 2L -> "x ab cde y z")
+    assert(graft.operators.Dedup.containmentPairs(d, "doc_id", "text", anchorN = 1).isEmpty)
+  }
+
+  test("containmentPairs emits equal texts once, canonically") {
+    val d = docs(7L -> "a b c", 4L -> "a b c")
+    val out = graft.operators.Dedup.containmentPairs(d, "doc_id", "text", anchorN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((4L, 7L)))
+  }
+
+  test("containmentPairs maxAnchorDf caps boilerplate-opener postings") {
+    // every doc opens with the same 2 tokens → anchor df = 4; cap 2 kills all
+    val d = docs(
+      1L -> "same open a",
+      2L -> "same open a b",
+      3L -> "same open c",
+      4L -> "same open c d")
+    val capped = graft.operators.Dedup.containmentPairs(d, "doc_id", "text",
+      anchorN = 2, maxAnchorDf = Some(2))
+    assert(capped.isEmpty)
+    val uncapped = graft.operators.Dedup.containmentPairs(d, "doc_id", "text", anchorN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("leakage-safe split: every member of a near-dup cluster lands in the SAME split") {
     val out = SparkEntry.queries("q_split_leakage_safe")(spark, sf001)
     val violations = out.groupBy(col("cluster_id"))
