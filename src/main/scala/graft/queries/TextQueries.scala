@@ -12,6 +12,17 @@ import graft.operators.Dedup
   */
 object TextQueries {
 
+  // BM25 constants, precomputed in Scala so BOTH engines use the exact
+  // same doubles with NO constant arithmetic at query time (1.2+1.0 in
+  // double vs DECIMAL 2.2→double can differ in the last bit; Double
+  // .toString round-trips, and CAST('…' AS DOUBLE) parses it back
+  // bit-exactly — the engine-constant interpolation pattern).
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25K1p1 = Bm25K1 + 1.0
+  private val Bm25OneMinusB = 1.0 - Bm25B
+  private def dsql(d: Double) = s"CAST('${d.toString}' AS DOUBLE)"
+
   private def langCase(sEn: String, sDe: String, sEs: String, sFr: String) =
     s"""CASE WHEN $sEn >= $sDe AND $sEn >= $sEs AND $sEn >= $sFr THEN 'en'
        |     WHEN $sDe >= $sEs AND $sDe >= $sFr THEN 'de'
@@ -290,6 +301,72 @@ object TextQueries {
         |       CAST(tf AS DOUBLE) *
         |         ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS tfidf
         |FROM tfdf CROSS JOIN n"""),
+
+    // BM25 keyword retrieval, top-20: the full ranking function in
+    // bit-portable form. Exact-integer tf/df/dl/N; the idf is the
+    // rational (N−df+0.5)/(df+0.5) (ln() is not bit-portable — CLAUDE
+    // .md); avgdl and each score factor are fixed-order IEEE ops. The
+    // postings filter to the 3 query terms BEFORE any aggregation (at
+    // 100 TB only the query terms' postings ever leave the scan), df
+    // and corpus stats are 1-row/3-row broadcasts, and the per-doc
+    // combination is a PIVOT + fixed-order addition — never a float
+    // sum() whose partition order could differ between engines (x+0.0
+    // is exact, so absent terms coalesce to 0 safely).
+    "q_bm25" -> QueryDef(
+      (s, dir) => {
+        val terms = Seq("dup", "join", "vector")
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        val dl = toks.select(col("doc_id"), size(col("_toks")).cast("long").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+        val tf = toks.select(col("doc_id"), explode(col("_toks")).as("token"))
+          .filter(col("token").isin(terms: _*))
+          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+        val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))
+        val score = idf * (col("tf").cast("double") * lit(Bm25K1p1)) /
+          (col("tf").cast("double") +
+            lit(Bm25K1) * (lit(Bm25OneMinusB) +
+              lit(Bm25B) * (col("dl").cast("double") / avgdl)))
+        val scored = tf.join(dl, Seq("doc_id"))
+          .join(broadcast(dfreq), Seq("token"))
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("token"), score.as("s"))
+        def termScore(t: String) =
+          coalesce(max(when(col("token") === t, col("s"))), lit(0.0))
+        scored.groupBy(col("doc_id"))
+          .agg((termScore("dup") + termScore("join") + termScore("vector")).as("bm25"),
+            count(lit(1)).as("n_terms"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS t
+        |  FROM documents
+        |), dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+        |  WHERE token IN ('dup', 'join', 'vector')
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |         * (CAST(tf AS DOUBLE) * ${dsql(Bm25K1p1)})
+        |         / (CAST(tf AS DOUBLE) + ${dsql(Bm25K1)} * (${dsql(Bm25OneMinusB)} + ${dsql(Bm25B)} * (CAST(dl.dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS s
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token) CROSS JOIN stats)
+        |SELECT doc_id,
+        |       coalesce(max(CASE WHEN token = 'dup' THEN s END), 0.0)
+        |         + coalesce(max(CASE WHEN token = 'join' THEN s END), 0.0)
+        |         + coalesce(max(CASE WHEN token = 'vector' THEN s END), 0.0) AS bm25,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20"""),
 
     // Deterministic train/valid/test split: portable-hash bucketing
     // (never rand() — see operators/Splits scaladoc). Reproducible
