@@ -373,6 +373,43 @@ object PipelineQueries {
         |            ELSE 'test' END AS split
         |FROM (SELECT doc_id, cluster_id,
         |             CAST(concat('0x', substr(md5('graft-v1:' || CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
-        |      FROM clusters)""")
+        |      FROM clusters)"""),
+
+    // Per-source curation report — the dashboard a data team reads
+    // before mixing sources: volume, exact-dup rate (corpus-global
+    // occurrence counts re-keyed per source), token mass, language
+    // spread, and the quality-gate pass count. One text-keyed agg + one
+    // source-keyed agg; mean tokens is the exact-sum/count single
+    // division. At 100 TB each stat is map-side combinable and the
+    // text-occurrence join is the q_dedup_exact shape.
+    "q_curation_report" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          col("lang"), col("text"),
+          size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+        val occ = docs.groupBy(col("text")).agg(count(lit(1)).as("occ"))
+        docs.join(occ, Seq("text"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            (sum(col("n_tokens")).cast("double") / count(lit(1))).as("mean_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(when(col("n_tokens") >= 30, 1L).otherwise(0L)).as("n_pass_quality"))
+      },
+      s"""WITH $ToksCte,
+        |n AS (SELECT d.doc_id, d.source, d.lang, d.text, CAST(len(t.t) AS BIGINT) AS n_tokens
+        |      FROM documents d JOIN toks t ON t.doc_id = d.doc_id),
+        |occ AS (SELECT text, count(*) AS occ FROM documents GROUP BY text)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens,
+        |       count(DISTINCT lang) AS n_langs,
+        |       CAST(sum(CASE WHEN n_tokens >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality
+        |FROM n JOIN occ USING (text)
+        |GROUP BY source""")
   )
 }
