@@ -466,6 +466,45 @@ object TpchDeepQueries {
         |WHERE p_brand <> 'Brand#45'
         |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < CAST(0 AS DOUBLE))
-        |GROUP BY p_brand, p_type, p_size""")
+        |GROUP BY p_brand, p_type, p_size"""),
+
+    // Q20 (potential part promotion), adapted: suppliers in the first
+    // five nations who shipped >50 units of PROMO parts in 1996 (the
+    // partsupp "excess stock" threshold re-expressed as shipped
+    // volume). The heavy agg runs FIRST (part filter broadcast into
+    // the fact, one keyed agg, HAVING cuts to a handful of keys), and
+    // only those keys join into the nation-filtered supplier scan —
+    // the Q18 reduction discipline applied through a dim-filtered
+    // fact. Completes the TPC-H sweep: only Q2/Q11 stay out of scope
+    // (both are pure partsupp queries with no faithful adaptation).
+    "q_tpch_q20" -> QueryDef(
+      (s, dir) => {
+        val shipped = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+          .join(Tables.part(s, dir).filter(col("p_type") === "PROMO")
+            .select(col("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"))
+          .agg(moneySum(col("l_quantity"), 2).as("total_qty"))
+          .filter(col("total_qty") > 50)
+        Tables.supplier(s, dir)
+          .filter(col("s_nationkey") < 5)
+          .join(shipped, col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_qty"))
+      },
+      """WITH shipped AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey
+        |  HAVING total_qty > 50
+        |)
+        |SELECT s_suppkey, s_name, total_qty
+        |FROM supplier JOIN shipped ON s_suppkey = l_suppkey
+        |WHERE s_nationkey < 5""")
   )
 }
