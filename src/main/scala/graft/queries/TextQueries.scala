@@ -412,6 +412,36 @@ object TextQueries {
         |SELECT token, CAST(count(*) AS BIGINT) AS cnt
         |FROM tok CROSS JOIN tot
         |GROUP BY token, n
+        |HAVING count(*) * 30 > n"""),
+
+    // Grouped heavy hitters: the Misra–Gries sketch composes per group
+    // — one MG aggregate PER LANGUAGE (32 counters per group per task,
+    // still constant memory), exact recount of the per-group candidates
+    // behind a (lang, token) semi join, per-group threshold n_lang/30.
+    // Same deterministic-exact-output contract as q_heavy_hitters, so
+    // the plain per-group GROUP BY/HAVING oracle hash-matches the
+    // sketch path here too.
+    "q_heavy_hitters_lang" -> QueryDef(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("lang"), explode(TextFns.tokens(col("text"))).as("token"))
+        val sk = toks.groupBy(col("lang"))
+          .agg(graft.functions.FreqSketch.mg_candidates(col("token"), 32).as("sk"))
+          .select(col("lang"), explode(col("sk.items")).as("token"),
+            col("sk.n").as("n"))
+        toks.join(broadcast(sk), Seq("lang", "token"))
+          .groupBy(col("lang"), col("token"), col("n"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * 30 > col("n"))
+          .select(col("lang"), col("token"), col("cnt"))
+      },
+      """WITH tok AS (
+        |  SELECT lang, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS token
+        |  FROM documents),
+        |tot AS (SELECT lang, count(*) AS n FROM tok GROUP BY lang)
+        |SELECT tok.lang, token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok JOIN tot ON tok.lang = tot.lang
+        |GROUP BY tok.lang, token, n
         |HAVING count(*) * 30 > n""")
   )
 }
