@@ -375,6 +375,37 @@ object PipelineQueries {
         |             CAST(concat('0x', substr(md5('graft-v1:' || CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
         |      FROM clusters)"""),
 
+    // Quota sampling: EXACTLY min(N, |stratum|) docs per language,
+    // chosen by portable-hash order — deterministic across engines,
+    // runs, and partitionings (rate-based stratifiedSample can only
+    // promise an EXPECTED count; quotas need a rank). The md5-hash
+    // order key is collision-free in practice (60-bit space) and
+    // IDENTICAL on both engines, with doc_id as the total tie-break.
+    // Per-stratum rank is the inherent cost of a quota — the window
+    // partitions by lang, so skew is bounded by the largest stratum
+    // (the TopK native heap is the drop-in if a stratum outgrows a
+    // task's sort budget).
+    "q_sample_quota" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = graft.operators.Dedup.portableHash64(
+          concat(lit("quota-v1:"), col("doc_id").cast("string")))
+        val w = Window.partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), h.as("hkey"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 25)
+          .select(col("doc_id"), col("lang"), col("rk"))
+      },
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY lang
+        |           ORDER BY CAST(concat('0x', substr(md5('quota-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id
+        |         ) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 25"""),
+
     // Per-source curation report — the dashboard a data team reads
     // before mixing sources: volume, exact-dup rate (corpus-global
     // occurrence counts re-keyed per source), token mass, language
