@@ -117,6 +117,41 @@ object EventQueries {
         |FROM events JOIN f ON event_type = et
         |WHERE value > fence"""),
 
+    // First-order Markov transitions between event types: per-user
+    // sequence (lead over user history — bounded by the largest single
+    // history, the sessionize discipline), then one tiny keyed agg; the
+    // transition probability divides by the from-state total via a
+    // 25-row broadcast join, never a window over the counts. The raw
+    // BIGINT counts ride along so the division is auditable.
+    "q_event_transitions" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val steps = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = steps.groupBy(col("from_type").as("ft"))
+          .agg(sum(col("n")).as("tot"))
+        steps.join(broadcast(totals), col("from_type") === col("ft"))
+          .select(col("from_type"), col("to_type"), col("n"), col("tot"),
+            (col("n").cast("double") / col("tot").cast("double")).as("p"))
+      },
+      """WITH steps AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM steps WHERE to_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT from_type AS ft, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1)
+        |SELECT from_type, to_type, n, tot,
+        |       CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+        |FROM cnt JOIN tot ON from_type = ft"""),
+
     // Interval (range) self-join: event pairs of the same user within a
     // 60 s window, via the time-bucketed IntervalJoin operator — the
     // join key is (user, minute-bucket), not user alone, so a bot-grade
