@@ -117,6 +117,34 @@ object EventQueries {
         |FROM events JOIN f ON event_type = et
         |WHERE value > fence"""),
 
+    // Correlation sufficient statistics (value vs hour-of-day) per
+    // event type: the 100 TB statistics posture — Pearson's r needs a
+    // sqrt (not bit-portable), so the engine emits the exact map-side-
+    // combinable moments (n, Σx, Σy, Σxy, Σx², Σy²) and the caller
+    // finishes the scalar math; every sum is decimal-exact or BIGINT.
+    "q_corr_stats" -> QueryDef(
+      (s, dir) => {
+        val x = col("value")
+        val y = hour(col("ts"))
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            moneySum(x, 2).as("sum_x"),
+            sum(y).as("sum_y"),
+            moneySum(x * y.cast("double"), 2).as("sum_xy"),
+            moneySum(x * x, 4).as("sum_xx"),
+            sum(y * y).as("sum_yy"))
+      },
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+        |       CAST(sum(hour(ts)) AS BIGINT) AS sum_y,
+        |       CAST(sum(CAST(value * hour(ts) AS DECIMAL(18,2))) AS DOUBLE) AS sum_xy,
+        |       CAST(sum(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sum_xx,
+        |       CAST(sum(hour(ts) * hour(ts)) AS BIGINT) AS sum_yy
+        |FROM events GROUP BY event_type"""),
+
     // First-order Markov transitions between event types: per-user
     // sequence (lead over user history — bounded by the largest single
     // history, the sessionize discipline), then one tiny keyed agg; the

@@ -83,6 +83,24 @@ object GraphQueries {
         |          UNION ALL SELECT z FROM tri)
         |        GROUP BY 1)
         |SELECT nodes.n AS item, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS triangles
-        |FROM nodes LEFT JOIN cnt ON cnt.n = nodes.n""")
+        |FROM nodes LEFT JOIN cnt ON cnt.n = nodes.n"""),
+
+    // Degree distribution — the graph-shape diagnostic read before any
+    // iterative algorithm (a power-law tail means salting/orientation
+    // is mandatory): per-node degree, then a Q13-style count-of-counts.
+    // Two keyed aggs, both map-side combinable.
+    "q_degree_dist" -> QueryDef(
+      (s, dir) => {
+        val e = edges(s, dir)
+        val sym = e.select(col("src")).unionAll(e.select(col("dst").as("src")))
+        sym.groupBy(col("src"))
+          .agg(count(lit(1)).as("degree"))
+          .groupBy(col("degree"))
+          .agg(count(lit(1)).as("n_nodes"))
+      },
+      s"""WITH $EdgeCtes,
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY 1)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY degree""")
   )
 }
