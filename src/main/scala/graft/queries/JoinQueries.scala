@@ -212,6 +212,34 @@ object JoinQueries {
         |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
         |                    JOIN nation ON s_nationkey = n_nationkey
         |                    WHERE n_name = 'NATION_3')
-        |GROUP BY l_returnflag""")
+        |GROUP BY l_returnflag"""),
+
+    // Join-skew diagnostic: per-key row counts on BOTH sides of a
+    // planned join and the per-key output cardinality (their product),
+    // top-20 offenders — the report read BEFORE shipping a fact-fact
+    // join at 100 TB (a single key at 10⁶×10³ is a 10⁹-row task; this
+    // is what decides salting). Two keyed counts + one tiny join; the
+    // products are BIGINT-exact.
+    "q_join_skew_report" -> QueryDef(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir).groupBy(col("l_orderkey").as("key"))
+          .agg(count(lit(1)).as("n_left"))
+        val r = Tables.orders(s, dir).groupBy(col("o_orderkey").as("key"))
+          .agg(count(lit(1)).as("n_right"))
+        l.join(r, Seq("key"))
+          .select(col("key"), col("n_left"), col("n_right"),
+            (col("n_left") * col("n_right")).as("out_rows"))
+          .orderBy(col("out_rows").desc, col("key").asc)
+          .limit(20)
+      },
+      """WITH l AS (SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS n_left
+        |           FROM lineitem GROUP BY 1),
+        |r AS (SELECT o_orderkey AS key, CAST(count(*) AS BIGINT) AS n_right
+        |      FROM orders GROUP BY 1)
+        |SELECT key, n_left, n_right,
+        |       CAST(n_left * n_right AS BIGINT) AS out_rows
+        |FROM l JOIN r USING (key)
+        |ORDER BY out_rows DESC, key
+        |LIMIT 20""")
   )
 }

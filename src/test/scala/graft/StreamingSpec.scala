@@ -276,4 +276,50 @@ class StreamingSpec extends SparkSpec {
     assert(sw == lagBased)
     assert(sw.nonEmpty)
   }
+
+  test("foreachBatch CDC: micro-batched merge converges to the one-shot merge, incl. a stale late batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.Cdc
+
+    val base = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "ver")
+    // version-guarded set: a change only wins if strictly newer — this
+    // guard is what makes the micro-batched fold ORDER-INSENSITIVE to
+    // stale late batches (without it, batch 3's ver=5 would clobber
+    // batch 1's ver=20 because each foreachBatch merge only max_by's
+    // WITHIN its own batch)
+    def guarded(c: String) = when(
+      col("base.k").isNull || col(s"chg.ver") > col("base.ver"),
+      col(s"chg.$c")).otherwise(col(s"base.$c"))
+    val set = Map("v" -> guarded("v"), "ver" -> guarded("ver"))
+
+    var current = base
+    val ms = MemoryStream[(Long, String, Long, String)]
+    val q = ms.toDF().toDF("k", "v", "ver", "op").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = Cdc.applyChanges(current, batch, "k", Seq("ver"), "op", set)
+          .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        current = merged.toDF("k", "v", "ver")
+      }
+      .start()
+    ms.addData((1L, "a2", 20L, "U"), (3L, "c", 20L, "I"))
+    q.processAllAvailable()
+    ms.addData((2L, "-", 30L, "D"), (4L, "d", 30L, "I"))
+    q.processAllAvailable()
+    ms.addData((1L, "stale", 5L, "U")) // late, older than the applied ver=20
+    q.processAllAvailable()
+    q.stop()
+
+    val allChanges = Seq(
+      (1L, "a2", 20L, "U"), (3L, "c", 20L, "I"),
+      (2L, "-", 30L, "D"), (4L, "d", 30L, "I"),
+      (1L, "stale", 5L, "U")).toDF("k", "v", "ver", "op")
+    val oneShot = Cdc.applyChanges(base, allChanges, "k", Seq("ver"), "op", set)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = current.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == oneShot)
+    assert(streamed == Set((1L, "a2", 20L), (3L, "c", 20L), (4L, "d", 30L)))
+  }
 }
