@@ -147,6 +147,20 @@ class PlanAuditSpec extends SparkSpec {
       "stacked aggregate shape lost")
   }
 
+  test("q_tpch_q19: the OR-of-ANDs disjunction derives per-side pushed filters on BOTH scans") {
+    // Catalyst must derive each side's OR-hull (quantity bands on the
+    // lineitem scan, brand/size bands on the part scan) — losing this
+    // means full scans feeding the join at 100 TB
+    val p = planOf("q_tpch_q19")
+    val scans = p.split("FileScan").drop(1)
+    val li = scans.find(_.contains("lineitem")).get
+    val pt = scans.find(_.contains("part")).get
+    assert(li.contains("PushedFilters: [IsNotNull(l_partkey), Or("),
+      s"lineitem scan lost the derived quantity disjunction:\n$li")
+    assert(pt.contains("Or(") && pt.contains("p_brand"),
+      s"part scan lost the derived brand/size disjunction:\n$pt")
+  }
+
   test("q_bloom_semi_join: bloom probe filters the fact scan BELOW the semi join") {
     val p = planOf("q_bloom_semi_join")
     val probeAt = p.toLowerCase.indexOf("might_contain")
