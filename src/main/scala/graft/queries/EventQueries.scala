@@ -117,6 +117,30 @@ object EventQueries {
         |FROM events JOIN f ON event_type = et
         |WHERE value > fence"""),
 
+    // Median absolute deviation per event type — the robust scale
+    // estimator beside the IQR fence (stddev needs a non-portable
+    // sqrt; MAD is two exact percentiles and an IEEE subtraction).
+    // Two keyed aggs with a 5-row broadcast between them.
+    "q_mad" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val med = ev.groupBy(col("event_type").as("et"))
+          .agg(percentile(col("value"), lit(0.5)).as("med"))
+        ev.join(broadcast(med), col("event_type") === col("et"))
+          .groupBy(col("event_type"))
+          .agg(max(col("med")).as("med"),
+            percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"),
+            count(lit(1)).as("n"))
+      },
+      """WITH m AS (
+        |  SELECT event_type AS et, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, max(med) AS med,
+        |       quantile_cont(abs(value - med), 0.5) AS mad,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events JOIN m ON event_type = et
+        |GROUP BY event_type"""),
+
     // Correlation sufficient statistics (value vs hour-of-day) per
     // event type: the 100 TB statistics posture — Pearson's r needs a
     // sqrt (not bit-portable), so the engine emits the exact map-side-
