@@ -207,18 +207,21 @@ object TpchDeepQueries {
         |  AND l_shipdate <  TIMESTAMP '1996-10-01'"""),
 
     // Q15 (top supplier): supplier(s) with the maximum quarterly
-    // revenue. The revenue view aggregates lineitem ONCE; its global max
-    // is a 1-row frame that broadcasts back over the same view (no
-    // re-aggregation, no window over all suppliers). Exact-double
-    // equality is safe: both sides are the identical decimal-sum cast.
+    // revenue. The revenue view aggregates lineitem ONCE — it is
+    // Caching-tracked because BOTH the max side and the join side
+    // consume it, and Spark's exchange reuse does not fire across the
+    // two branches (verified: the un-persisted plan re-aggregates the
+    // fact table twice). Its global max is a 1-row frame that
+    // broadcasts back over the same view. Exact-double equality is
+    // safe: both sides are the identical decimal-sum cast.
     "q_tpch_q15" -> QueryDef(
       (s, dir) => {
-        val revenue = Tables.lineitem(s, dir)
+        val revenue = graft.Caching.persistTracked(Tables.lineitem(s, dir)
           .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
             col("l_shipdate") < to_timestamp(lit("1996-04-01")))
           .groupBy(col("l_suppkey").as("supplier_no"))
           .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-            .as("total_revenue"))
+            .as("total_revenue")))
         val maxRev = revenue.agg(max(col("total_revenue")).as("max_revenue"))
         Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
           .join(revenue, col("s_suppkey") === col("supplier_no"))

@@ -161,6 +161,18 @@ class PlanAuditSpec extends SparkSpec {
       s"part scan lost the derived brand/size disjunction:\n$pt")
   }
 
+  test("q_tpch_q15: one lineitem aggregation feeds both the max and the join (cached view)") {
+    val p = planOf("q_tpch_q15")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"revenue view not shared — fact table re-aggregated:\n$p")
+    Caching.release()
+  }
+
+  test("q_tpch_q13: the priority filter stays in the LEFT OUTER join (zero-order customers kept)") {
+    val p = planOf("q_tpch_q13")
+    assert(p.contains("LeftOuter"), s"left join lost:\n$p")
+  }
+
   test("q_bloom_semi_join: bloom probe filters the fact scan BELOW the semi join") {
     val p = planOf("q_bloom_semi_join")
     val probeAt = p.toLowerCase.indexOf("might_contain")
