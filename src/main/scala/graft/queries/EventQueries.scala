@@ -117,6 +117,34 @@ object EventQueries {
         |FROM events JOIN f ON event_type = et
         |WHERE value > fence"""),
 
+    // OHLC bars per (event type, hour): open/close are order-statistic
+    // aggregates (min_by/max_by ≡ DuckDB arg_min/arg_max) — ONE keyed
+    // agg, no window sort over the events. Neither engine's arg_min
+    // takes a composite key, so the total order (ts, event_id) is
+    // encoded as one zero-padded string — lexicographic ≡ numeric, and
+    // identical on both sides.
+    "q_ohlc" -> QueryDef(
+      (s, dir) => {
+        val okey = concat(
+          lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+          lpad(col("event_id").cast("string"), 12, "0"))
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+          .agg(
+            min_by(col("value"), okey).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), okey).as("close"),
+            count(lit(1)).as("n"))
+      },
+      """SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
+        |       arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2"""),
+
     // Median absolute deviation per event type — the robust scale
     // estimator beside the IQR fence (stddev needs a non-portable
     // sqrt; MAD is two exact percentiles and an IEEE subtraction).
