@@ -74,4 +74,36 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // random small-vocabulary docs: high collision rate, so containment,
+  // equality, and near-miss prefixes all occur
+  private val docsGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(4, 14)
+    rows <- Gen.listOfN(n, for {
+      len <- Gen.choose(0, 8)
+      toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "ab"))
+    } yield toks.mkString(" "))
+  } yield rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("containmentPairs ≡ brute-force canonical substring containment (anchor ≥ anchorN only)") {
+    import spark.implicits._
+    val anchorN = 2
+    forAll(docsGen) { rows =>
+      val got = graft.operators.Dedup.containmentPairs(
+        rows.toDF("doc_id", "text"), "doc_id", "text", anchorN = anchorN)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute force over the same canonicalization
+      val canon = rows.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      }
+      val want = (for {
+        (ia, ta) <- canon if ta.size >= anchorN
+        (ib, tb) <- canon
+        if ia != ib
+        if tb.size > ta.size || (tb.size == ta.size && ia < ib)
+        if s" ${tb.mkString(" ")} ".contains(s" ${ta.mkString(" ")} ")
+      } yield (ia, ib)).toSet
+      assert(got == want, s"docs: $rows")
+    }
+  }
 }
