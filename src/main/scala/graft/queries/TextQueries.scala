@@ -125,6 +125,49 @@ object TextQueries {
          |FROM (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
          |      FROM documents)"""),
 
+    // Classifier evaluation at corpus scale: the q_lang_id heuristic
+    // scored against the labeled `lang` column as a confusion matrix
+    // (label × prediction counts + per-cell share of the label's row).
+    // One keyed agg over the prediction pass; the per-label totals are
+    // a ≤16-row broadcast. The eval pattern every model-based curation
+    // stage needs (quality classifiers, lang ID, toxicity gates).
+    "q_lang_confusion" -> QueryDef(
+      (s, dir) => {
+        val toks = col("_toks")
+        val (en, de, es, fr) = (
+          TextFns.vocabHits(toks, TextFns.EnStop),
+          TextFns.vocabHits(toks, TextFns.DeStop),
+          TextFns.vocabHits(toks, TextFns.EsStop),
+          TextFns.vocabHits(toks, TextFns.FrStop))
+        val cells = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("_toks"))
+          .select(col("lang"),
+            when(en >= de && en >= es && en >= fr, "en")
+              .when(de >= es && de >= fr, "de")
+              .when(es >= fr, "es")
+              .otherwise("fr").as("pred_lang"))
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+        val totals = cells.groupBy(col("lang").as("lg"))
+          .agg(sum(col("n")).as("label_total"))
+        cells.join(broadcast(totals), col("lang") === col("lg"))
+          .select(col("lang"), col("pred_lang"), col("n"), col("label_total"),
+            (col("n").cast("double") / col("label_total").cast("double")).as("share"))
+      },
+      s"""WITH pred AS (
+         |  SELECT lang,
+         |         ${langCase(sqlHits(TextFns.EnStop), sqlHits(TextFns.DeStop),
+                              sqlHits(TextFns.EsStop), sqlHits(TextFns.FrStop))} AS pred_lang
+         |  FROM (SELECT doc_id, lang, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+         |        FROM documents)),
+         |cells AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |          FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT lang AS lg, CAST(sum(n) AS BIGINT) AS label_total
+         |        FROM cells GROUP BY 1)
+         |SELECT lang, pred_lang, n, label_total,
+         |       CAST(n AS DOUBLE) / CAST(label_total AS DOUBLE) AS share
+         |FROM cells JOIN tot ON lang = lg"""),
+
     // Bigram language-model counts: corpus bigram frequency and the
     // conditional P(w2 | w1) = cnt(w1,w2) / cnt(w1·*) — both counts are
     // exact integers, the probability is one IEEE division, so the whole

@@ -345,6 +345,25 @@ object WindowQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""")
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""),
+
+    // Null-safe arithmetic semantics: try_divide returns NULL on a zero
+    // divisor (never a runtime error, even under ANSI mode) — the same
+    // contract as SQL's x / NULLIF(y, 0); a coalesce gives the explicit
+    // fallback. Pinned because ANSI-mode division-by-zero is a worker
+    // CRASH otherwise, and a 100 TB job dying on one bad row is the
+    // failure mode this surface exists to prevent.
+    "q_safe_math" -> QueryDef(
+      (s, dir) => {
+        val div = (col("l_linenumber") - 3).cast("double")
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            try_divide(col("l_extendedprice"), div).as("ratio"),
+            coalesce(try_divide(col("l_extendedprice"), div), lit(0.0)).as("ratio0"))
+      },
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice / NULLIF(CAST(l_linenumber - 3 AS DOUBLE), 0) AS ratio,
+        |       coalesce(l_extendedprice / NULLIF(CAST(l_linenumber - 3 AS DOUBLE), 0), CAST(0 AS DOUBLE)) AS ratio0
+        |FROM lineitem""")
   )
 }
