@@ -86,14 +86,18 @@ object SemDedup {
   /** Surviving rows of `emb` after semantic dedup: every id that is the
     * higher end of a ≥-threshold intra-cell pair is dropped. Output is
     * (id, cell) — the kept corpus with its cluster assignment. The
-    * assignment computes ONCE (persist-free: it is two narrow stages
-    * over the scan, cheaper to recompute in the anti-join branch than
-    * to cache at 100 TB — both branches consume it map-side). */
+    * assignment is Caching-tracked: BOTH the dup-edge branch and the
+    * surviving anti-join consume it, and without the cache each branch
+    * re-runs the corpus scan AND the broadcast-cosine argmax (the
+    * expensive stage) — the Q15 shared-view lesson. Released by the
+    * action runner (Verify/Bench/session), so nothing outlives the
+    * query. */
   def dedup(emb: DataFrame, idCol: String, vecCol: String,
             threshold: Double,
             centroids: Seq[(Int, Array[Float])] = IvfCentroids.cells,
             maxCellSize: Option[Int] = None): DataFrame = {
-    val assigned = assign(emb, idCol, vecCol, centroids)
+    val assigned = graft.Caching.persistTracked(
+      assign(emb, idCol, vecCol, centroids))
     val losers = edgesOf(emb, cap(assigned, idCol, maxCellSize),
       idCol, vecCol, threshold)
       .select(col("id2").as(idCol)).distinct()
