@@ -106,4 +106,35 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"docs: $rows")
     }
   }
+
+  test("packSequences ≡ brute-force sequential layout (offsets, bins, straddles)") {
+    import spark.implicits._
+    val budget = 4L
+    val packGen: Gen[List[(Long, String, String)]] = for {
+      n <- Gen.choose(1, 12)
+      rows <- Gen.listOfN(n, for {
+        grp <- Gen.oneOf("g1", "g2")
+        len <- Gen.choose(0, 7)
+      } yield (grp, List.fill(len)("w").mkString(" ")))
+    } yield rows.zipWithIndex.map { case ((g, t), i) => (i.toLong, g, t) }
+    forAll(packGen) { rows =>
+      val got = graft.operators.TextPipeline
+        .packSequences(rows.toDF("doc_id", "grp", "text"), "doc_id", "grp", "text", budget)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+        .toMap
+      // brute force: per group in id order, running offset
+      val want = rows.groupBy(_._2).flatMap { case (_, grp) =>
+        var off = 0L
+        grp.sortBy(_._1).map { case (id, _, t) =>
+          val n = t.split("\\s+").count(_.nonEmpty).toLong
+          val start = off; off += n
+          val bin = start / budget
+          val straddles = n > 0 && (start + n - 1) / budget != bin
+          id -> ((n, start, bin, straddles))
+        }
+      }
+      assert(got == want, s"docs: $rows")
+    }
+  }
 }
