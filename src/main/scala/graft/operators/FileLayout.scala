@@ -33,14 +33,20 @@ object FileLayout {
   def calibrate(df: DataFrame, sampleRows: Int = 10000): Double = {
     val dir = java.nio.file.Files.createTempDirectory("graft-calibrate")
     val path = dir.resolve("sample").toString
-    val sample = df.limit(sampleRows)
-    sample.write.mode("overwrite").parquet(path)
-    val n = sample.count()
-    val bytes = java.nio.file.Files.walk(dir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+    df.limit(sampleRows).write.mode("overwrite").parquet(path)
+    // count the WRITTEN rows: limit() picks a nondeterministic subset,
+    // so a second action over it could count rows other than the ones
+    // on disk — bytes and n must come from the same materialization
+    val n = df.sparkSession.read.parquet(path).count()
+    def walked[A](f: java.util.stream.Stream[java.nio.file.Path] => A): A = {
+      val s = java.nio.file.Files.walk(dir)
+      try f(s) finally s.close()
+    }
+    val bytes = walked(_.toArray.map(_.asInstanceOf[java.nio.file.Path])
       .filter(p => p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p))
-      .map(java.nio.file.Files.size).sum
-    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      .map(java.nio.file.Files.size).sum)
+    walked(_.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p)))
     require(n > 0, "calibrate needs a non-empty frame")
     bytes.toDouble / n
   }

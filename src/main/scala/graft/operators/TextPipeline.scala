@@ -86,11 +86,28 @@ object TextPipeline {
     def grams(df: DataFrame, outId: String) =
       df.select(col(idCol).as(outId), TextFns.tokens(col(textCol)).as("_toks"))
         .select(col(outId), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("shingle"))
-    grams(train, "doc_id")
-      .join(grams(eval, "eval_id").hint("broadcast"), Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("shingle")).as("n_shared_ngrams"),
-        countDistinct(col("eval_id")).as("n_eval_docs"))
+    val matched = graft.Caching.persistTracked(
+      grams(train, "doc_id")
+        .join(grams(eval, "eval_id").hint("broadcast"), Seq("shingle")))
+    overlapCounts(matched, "eval_id", "n_eval_docs")
+  }
+
+  /** (doc_id, n_shared_ngrams, <outCol>) from the matched
+    * (doc_id, shingle, otherId) triples — two stacked keyed aggs joined
+    * on doc_id, NEVER two countDistinct in one agg: the multi-distinct
+    * formulation plans an Expand that doubles every matched row through
+    * the shuffle (the q_tpch_q21 trap), in the operators whose whole
+    * purpose is shuffle-volume reduction. The caller persists `matched`
+    * (via [[graft.Caching.persistTracked]]) so the two aggs share one
+    * materialization of the join.
+    */
+  private def overlapCounts(matched: DataFrame, otherId: String,
+                            outCol: String): DataFrame = {
+    val ngrams = matched.select(col("doc_id"), col("shingle")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_ngrams"))
+    val docs = matched.select(col("doc_id"), col(otherId)).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as(outCol))
+    ngrams.join(docs, Seq("doc_id"))
   }
 
   /** Per-document repetition quality signals (the Gopher-rules family):
@@ -204,12 +221,11 @@ object TextPipeline {
         .select(col(outId), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("shingle"))
     val tg = grams(train, "doc_id")
     val rg = grams(ref, "ref_id")
-    BloomJoin.prefilter(tg, col("shingle"), rg.select(col("shingle")),
-        col("shingle"), expectedItems)
-      .join(rg, Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("shingle")).as("n_shared_ngrams"),
-        countDistinct(col("ref_id")).as("n_ref_docs"))
+    val matched = graft.Caching.persistTracked(
+      BloomJoin.prefilter(tg, col("shingle"), rg.select(col("shingle")),
+          col("shingle"), expectedItems)
+        .join(rg, Seq("shingle")))
+    overlapCounts(matched, "ref_id", "n_ref_docs")
   }
 
   /** Sequential token packing — the training data-loader's batch

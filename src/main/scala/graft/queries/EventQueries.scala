@@ -122,12 +122,14 @@ object EventQueries {
     // agg, no window sort over the events. Neither engine's arg_min
     // takes a composite key, so the total order (ts, event_id) is
     // encoded as one zero-padded string — lexicographic ≡ numeric, and
-    // identical on both sides.
+    // identical on both sides. Both components pad to 20 digits: the
+    // full non-negative BIGINT range fits, so no id or post-1970 epoch
+    // can silently overflow the padding and flip open/close.
     "q_ohlc" -> QueryDef(
       (s, dir) => {
         val okey = concat(
           lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-          lpad(col("event_id").cast("string"), 12, "0"))
+          lpad(col("event_id").cast("string"), 20, "0"))
         Tables.events(s, dir)
           .groupBy(col("event_type"),
             date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
@@ -139,9 +141,9 @@ object EventQueries {
             count(lit(1)).as("n"))
       },
       """SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
-        |       arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+        |       arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS open,
         |       max(value) AS high, min(value) AS low,
-        |       arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+        |       arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS close,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2"""),
 
@@ -207,12 +209,14 @@ object EventQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val steps = Tables.events(s, dir)
+        // steps feeds BOTH the totals agg and the final join — persist
+        // (tracked) so the windowed events scan runs once, not twice
+        val steps = graft.Caching.persistTracked(Tables.events(s, dir)
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
           .withColumn("next_type", lead(col("event_type"), 1).over(w))
           .filter(col("next_type").isNotNull)
           .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
-          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n")))
         val totals = steps.groupBy(col("from_type").as("ft"))
           .agg(sum(col("n")).as("tot"))
         steps.join(broadcast(totals), col("from_type") === col("ft"))

@@ -83,14 +83,26 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q_decontaminate: eval shingle set broadcasts; training side never shuffles pre-join") {
     val p = planOf("q_decontaminate")
-    assert(p.contains("BroadcastHashJoin"), p)
-    // the first (bottom-up: only) exchange must be ABOVE the join —
-    // plan strings print parents first, so the join must appear after
-    // every Exchange line
-    val joinIdx = p.indexOf("BroadcastHashJoin")
-    val lastExchange = p.lastIndexOf("Exchange hashpartitioning")
-    assert(lastExchange < joinIdx,
+    // the matched triples are cached (one materialization serves both
+    // stacked aggs); the cached subtree — printed last, under the final
+    // InMemoryRelation — must hold the broadcast join with no shuffle
+    // exchange below it (the training scan feeds the join directly)
+    val cached = p.substring(p.lastIndexOf("InMemoryRelation"))
+    assert(cached.contains("BroadcastHashJoin"), p)
+    assert(!cached.contains("Exchange hashpartitioning"),
       s"training side shuffled before the contamination join:\n$p")
+    assert(!p.contains("Expand"), s"multi-distinct Expand reappeared:\n$p")
+    Caching.release()
+  }
+
+  test("q_decontaminate_bloom: bloom prefilter kept, stacked aggs keep the plan Expand-free") {
+    // two countDistinct in one agg would plan an Expand doubling every
+    // matched shingle row through the shuffle — in the operator whose
+    // whole purpose is shuffle-volume reduction
+    val p = planOf("q_decontaminate_bloom")
+    assert(p.contains("might_contain"), s"bloom prefilter lost:\n$p")
+    assert(!p.contains("Expand"), s"multi-distinct Expand reappeared:\n$p")
+    Caching.release()
   }
 
   test("q_passage_dedup: occurrence counts via partial agg, never a window on the passage key") {
