@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., TPAMI 2011) over the frozen
+  * [[PqCodebooks]] — the memory axis of the ANN family: IVF prunes
+  * which vectors a query scores, PQ shrinks what scoring reads. A
+  * 64-dim float vector (256 B) compresses to 4 codes (2 B packed);
+  * asymmetric-distance search (ADC) then scores a candidate with 4
+  * table lookups + 3 adds instead of a 64-mult dot product, and the
+  * scan ships codes, not vectors.
+  *
+  * Scale shape: [[encode]] is a pure narrow projection — per row, 64
+  * codegen'd 16-dim dot products against broadcast-free literal
+  * centroids; no join, no shuffle, embarrassingly parallel at any
+  * corpus size. [[adcTopK]] is the brute-force plan with the fat
+  * removed: corpus side reads (id, 4 codes, recon_norm) — ~20 B/row
+  * instead of 260 — crossed with the broadcast query LUTs, then the
+  * native bounded-heap top-k. No exact re-rank pass: scores are the
+  * quantized approximation by design (rankings are what PqSpec pins
+  * against brute force).
+  *
+  * Determinism: assignment maximizes `dot(v_m, c) − ‖c‖²/2` with
+  * lowest-code tie-break; every constant (`halfCc`, `cc`) is
+  * precomputed once in [[PqCodebooks]] and the oracle replays the
+  * identical doubles, so encode AND search are hash-verified end to
+  * end (q_pq_encode / q_ann_pq).
+  */
+object Pq {
+
+  import PqCodebooks.{numSub, subDim, codesPerSub}
+
+  /** Literal sub-centroid as a typed array column (floats — the dot
+    * fold casts per element, matching the oracle's CAST AS DOUBLE[]). */
+  private def centLit(m: Int, code: Int): Column =
+    typedLit(PqCodebooks.centroid(m, code).toSeq)
+
+  /** Assignment score of subvector column `sv` against (m, code):
+    * dot(sv, c) − ‖c‖²/2, the L2-optimal rule with the constant term
+    * interpolated, never recomputed. */
+  private def assignScore(sv: Column, m: Int, code: Int): Column =
+    Similarity.dot(sv, centLit(m, code)) - lit(PqCodebooks.halfCc(m)(code))
+
+  /** PQ-encode `emb`: (idCol, code_0..code_3 BIGINT, pq_code BIGINT
+    * packed big-endian, recon_norm DOUBLE = ‖reconstruction‖).
+    *
+    * The per-subspace argmax is an `array_max` over 16 literal-scored
+    * structs — ties take the LOWEST code (encoded as `maxCode − code`
+    * so struct ordering resolves them without a sort or a join). */
+  def encode(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // project subvectors to plain attributes FIRST (computed-expression-
+    // in-HOF re-evaluation hazard — see quantizeInt8)
+    val sub = emb.select(
+      col(idCol) +:
+        (0 until numSub).map(m =>
+          slice(col(vecCol), m * subDim + 1, subDim).as(s"_sv$m")): _*)
+
+    def bestCode(m: Int): Column = {
+      val scored = (0 until codesPerSub).map { c =>
+        struct(assignScore(col(s"_sv$m"), m, c).as("s"),
+          lit(codesPerSub - 1 - c).as("nc"))
+      }
+      (lit(codesPerSub - 1) - array_max(array(scored: _*)).getField("nc"))
+        .cast("long")
+    }
+
+    val coded = sub.select(
+      col(idCol) +:
+        (0 until numSub).map(m => bestCode(m).as(s"code_$m")): _*)
+
+    // ‖x̂‖² = Σ_m ‖c_{m,code_m}‖² — per-code constants looked up from a
+    // literal array, added in FIXED subspace order (floats sum exactly
+    // here only by luck; the fixed order is what the oracle replays)
+    def ccTerm(m: Int): Column =
+      element_at(typedLit(PqCodebooks.cc(m).toSeq),
+        col(s"code_$m").cast("int") + 1)
+    val ccSum = (1 until numSub).foldLeft(ccTerm(0))((acc, m) => acc + ccTerm(m))
+
+    coded
+      .withColumn("pq_code",
+        (0 until numSub).map(m => col(s"code_$m"))
+          .reduceLeft((acc, c) => acc * codesPerSub + c))
+      .withColumn("recon_norm", sqrt(ccSum))
+  }
+
+  /** Asymmetric-distance top-k: each query precomputes one 16-entry
+    * dot-product LUT per subspace (64 dots per QUERY, not per pair);
+    * a candidate's score is then Σ_m lut_m[code_m] normalized by
+    * ‖q‖·‖x̂‖ — the cosine against the RECONSTRUCTED vector. Queries
+    * broadcast; the corpus side ships codes only. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val codes = encode(corpus, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+
+    val qsub = queries.select(
+      col(idCol).as("query_id") +:
+        Similarity.l2norm(col(vecCol)).as("qnorm") +:
+        (0 until numSub).map(m =>
+          slice(col(vecCol), m * subDim + 1, subDim).as(s"_qs$m")): _*)
+    val luts = qsub.select(
+      col("query_id") +: col("qnorm") +:
+        (0 until numSub).map { m =>
+          array((0 until codesPerSub).map(c =>
+            Similarity.dot(col(s"_qs$m"), centLit(m, c))): _*).as(s"_lut$m")
+        }: _*)
+
+    def lutTerm(m: Int): Column =
+      element_at(col(s"_lut$m"), col(s"code_$m").cast("int") + 1)
+    val adcDot = (1 until numSub).foldLeft(lutTerm(0))((acc, m) => acc + lutTerm(m))
+
+    val scored = codes
+      .join(broadcast(luts), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_sim", adcDot / (col("qnorm") * col("recon_norm")))
+      .select(col("query_id"), col("neighbor_id"), col("adc_sim"))
+    TopK.perGroupNativeRanked(scored, Seq("query_id"), "adc_sim",
+      Seq("neighbor_id"), k, rankName = "rank")
+  }
+
+  /** ADC shortlist + exact re-rank — the production IVFADC posture:
+    * the quantized scan nominates `shortlist` candidates per query,
+    * then ONLY those (a keyed join back to the vector table — fetches
+    * `shortlist`/|corpus| of the vectors, never a second full scan)
+    * are scored with the exact codegen'd cosine. Recall@10 climbs
+    * 0.24 → 0.74 at shortlist=100 on the sf0.01 corpus (PqSpec pins
+    * the curve); cost stays one cheap code scan + k·|queries| exact
+    * dots. */
+  def adcTopKRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val cand = adcTopK(corpus, queries, idCol, vecCol, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cvec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val qvec = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = cand
+      .join(cvec, Seq("neighbor_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .withColumn("cos_sim", Similarity.cosine(col("qvec"), col("cvec")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    TopK.perGroupNativeRanked(scored, Seq("query_id"), "cos_sim",
+      Seq("neighbor_id"), k, rankName = "rank")
+  }
+}

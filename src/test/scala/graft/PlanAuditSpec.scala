@@ -149,6 +149,15 @@ class PlanAuditSpec extends SparkSpec {
       s"probe expansion leaked off the query side:\n$p")
   }
 
+  test("q_pq_encode: pure narrow projection — zero exchanges, zero joins") {
+    // PQ encode is 64 literal-centroid dot products per row; at 100 TB
+    // the whole pass must stay embarrassingly parallel (no shuffle, no
+    // broadcast build) — any Exchange here is a lost design property
+    val p = planOf("q_pq_encode")
+    assert(!p.contains("Exchange"), s"PQ encode acquired a shuffle:\n$p")
+    assert(!p.contains("Join"), s"PQ encode acquired a join:\n$p")
+  }
+
   test("q_tpch_q21: stacked aggs, never a multi-distinct Expand over the fact join") {
     // the multi-countDistinct formulation plans an Expand (3× the
     // lineitem⋈orders rows through the shuffle); the stacked
