@@ -548,4 +548,107 @@ object Dedup {
       .select(col("in_id").as("contained_id"), col("out_id").as("container_id"),
         col("n_contained"), col("n_container"))
   }
+
+  /** Exact duplicated-span detection — the substring-level dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022), re-expressed as joins instead of a suffix
+    * array: a span of L ≥ `gramN` tokens shared verbatim by two docs
+    * yields L−gramN+1 positional `gramN`-gram matches on ONE diagonal
+    * (p1−p2 constant), so maximal spans are maximal runs of consecutive
+    * positions per (pair, diagonal) — the classic gapless-islands
+    * window trick (pos − row_number is constant within a run).
+    *
+    * Output: one row per maximal span ≥ `minSpanTokens`:
+    * (doc_a, doc_b, a_start, b_start, span_tokens), positions 1-based.
+    *
+    * Scale shape: the candidate generator is an inverted-index join
+    * keyed on the gram with an occurrence-frequency cap
+    * (`maxGramFreq`) — boilerplate grams that would fan out
+    * quadratically are dropped BEFORE the join, the same stop-shingle
+    * guard as [[ngramJaccardPairs]]; they cannot start a distinct long
+    * span anyway without their rarer neighbors also matching. The
+    * run-detection window partitions by (pair, diagonal) — bounded by
+    * one shared span's length, never by corpus or document size. The
+    * positional gram frame feeds both the frequency cap and the join,
+    * so it persists through [[graft.Caching.persistTracked]].
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     gramN: Int = 5, minSpanTokens: Int = 8,
+                     maxGramFreq: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gramN >= 2, s"gramN must be >= 2, got $gramN")
+    require(minSpanTokens >= gramN,
+      s"minSpanTokens $minSpanTokens must cover one $gramN-gram")
+    val toks = col("_toks")
+    val grams = graft.Caching.persistTracked(
+      docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
+        .filter(size(toks) >= gramN)
+        .select(col("id"), posexplode(transform(
+            sequence(lit(1), size(toks) - (gramN - 1)),
+            i => array_join(slice(toks, i, lit(gramN)), " ")))
+          .as(Seq("_p0", "gram")))
+        .select(col("id"), (col("_p0") + 1).cast("long").as("pos"), col("gram")))
+    val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("_f"))
+      .filter(col("_f") <= maxGramFreq).select(col("gram"))
+    val capped = grams.join(rare, Seq("gram"))
+    val matches = capped
+      .select(col("gram"), col("id").as("doc_a"), col("pos").as("p1"))
+      .join(capped.select(col("gram"), col("id").as("doc_b"), col("pos").as("p2")),
+        Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("p1"), col("p2"),
+        (col("p1") - col("p2")).as("_diag"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("_diag"))
+      .orderBy(col("p1"))
+    matches
+      .withColumn("_runkey", col("p1") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("_diag"), col("_runkey"))
+      .agg(min(col("p1")).as("a_start"), min(col("p2")).as("b_start"),
+        (count(lit(1)) + lit(gramN - 1).cast("long")).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("span_tokens"))
+  }
+
+  /** Per-document duplicated-token coverage — the curation gate built
+    * on [[duplicateSpans]]: fraction of a doc's tokens covered by ≥1
+    * exact duplicated span against ANY other doc (dup_frac = 1.0 marks
+    * verbatim clones; mid-range marks template/boilerplate text). Span
+    * intervals from both pair sides union per doc via the islands
+    * window (new island when start exceeds the running max end) — all
+    * integer positions, ONE IEEE division at the end, so the signal is
+    * hash-verified (q_span_coverage).
+    *
+    * Scale: adds one doc-keyed window + two keyed aggs on the SPAN
+    * table (rows ≈ duplicated regions, not corpus size) over
+    * duplicateSpans' cost.
+    */
+  def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                   gramN: Int = 5, minSpanTokens: Int = 8,
+                   maxGramFreq: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = duplicateSpans(docs, idCol, textCol, gramN, minSpanTokens, maxGramFreq)
+    val iv = sp.select(col("doc_a").as("doc_id"), col("a_start").as("s"),
+        (col("a_start") + col("span_tokens") - 1).as("e"))
+      .unionAll(sp.select(col("doc_b").as("doc_id"), col("b_start").as("s"),
+        (col("b_start") + col("span_tokens") - 1).as("e")))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val covered = iv
+      .withColumn("_new",
+        when(col("s") > coalesce(
+          max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(-1L)), 1L).otherwise(0L))
+      .withColumn("_island",
+        sum(col("_new")).over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_island"))
+      .agg((max(col("e")) - min(col("s")) + 1).as("_ilen"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_ilen")).as("dup_tokens"))
+    val sizes = docs.select(col(idCol).as("doc_id"),
+      size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"))
+    covered.join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("dup_tokens"), col("n_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_frac"))
+  }
 }

@@ -55,6 +55,35 @@ object DedupQueries {
       s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Exact duplicated-span CTEs (Dedup.duplicateSpans replay: positional
+    * 5-grams, occurrence cap 50, diagonal runs, min span 8) — shared by
+    * q_dup_spans and q_span_coverage so the two stay in sync. */
+  private val DupSpanCtes =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+      |  FROM documents
+      |), g0 AS (
+      |  SELECT doc_id, [{'pos': i, 'gram': array_to_string(t[i:i+4], ' ')}
+      |                  for i in generate_series(1, len(t) - 4)] AS gs
+      |  FROM toks WHERE len(t) >= 5
+      |), g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
+      |freq AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50),
+      |gc AS (SELECT g.* FROM g JOIN freq USING (gram)),
+      |m AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS p1, b.pos AS p2,
+      |         a.pos - b.pos AS diag
+      |  FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |r AS (
+      |  SELECT doc_a, doc_b, diag, p1, p2,
+      |         p1 - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY p1) AS runkey
+      |  FROM m),
+      |sp AS (
+      |  SELECT doc_a, doc_b,
+      |         CAST(min(p1) AS BIGINT) AS a_start, CAST(min(p2) AS BIGINT) AS b_start,
+      |         CAST(count(*) + 4 AS BIGINT) AS span_tokens
+      |  FROM r GROUP BY doc_a, doc_b, diag, runkey
+      |  HAVING count(*) + 4 >= 8)""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Exact 3-gram Jaccard ≥ 0.5 pairs via the inverted-index join.
@@ -334,6 +363,49 @@ object DedupQueries {
         |FROM cand
         |JOIN canon a ON a.doc_id = in_id
         |JOIN canon b ON b.doc_id = out_id
-        |WHERE contains(' ' || b.c || ' ', ' ' || a.c || ' ')""")
+        |WHERE contains(' ' || b.c || ' ', ' ' || a.c || ' ')"""),
+
+    // Exact duplicated spans (substring-level dedup, Lee et al. ACL
+    // 2022): maximal runs of consecutive positional 5-gram matches per
+    // (doc pair, diagonal) — pure integer positions and counts, so the
+    // whole span geometry is hash-verified. The oracle replays the
+    // gapless-islands window (pos − row_number constant within a run).
+    "q_dup_spans" -> QueryDef(
+      (s, dir) => Dedup.duplicateSpans(
+        Tables.documents(s, dir), "doc_id", "text",
+        gramN = 5, minSpanTokens = 8, maxGramFreq = 50),
+      s"""WITH $DupSpanCtes
+        |SELECT doc_a, doc_b, a_start, b_start, span_tokens FROM sp"""),
+
+    // Per-doc duplicated-token coverage (the curation gate over
+    // q_dup_spans): span intervals from both pair sides union per doc
+    // via the islands window — integer geometry, one final division.
+    "q_span_coverage" -> QueryDef(
+      (s, dir) => Dedup.spanCoverage(
+        Tables.documents(s, dir), "doc_id", "text",
+        gramN = 5, minSpanTokens = 8, maxGramFreq = 50),
+      s"""WITH $DupSpanCtes,
+        |iv AS (
+        |  SELECT doc_a AS doc_id, a_start AS s, a_start + span_tokens - 1 AS e FROM sp
+        |  UNION ALL
+        |  SELECT doc_b, b_start, b_start + span_tokens - 1 FROM sp),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |         CAST(CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS BIGINT) AS new_isl
+        |  FROM iv),
+        |isl2 AS (
+        |  SELECT doc_id, s, e,
+        |         CAST(sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM isl),
+        |cov AS (
+        |  SELECT doc_id, CAST(sum(ilen) AS BIGINT) AS dup_tokens FROM (
+        |    SELECT doc_id, island, max(e) - min(s) + 1 AS ilen
+        |    FROM isl2 GROUP BY doc_id, island)
+        |  GROUP BY doc_id)
+        |SELECT c.doc_id, dup_tokens, CAST(len(t) AS BIGINT) AS n_tokens,
+        |       CAST(dup_tokens AS DOUBLE) / CAST(len(t) AS DOUBLE) AS dup_frac
+        |FROM cov c JOIN toks ON toks.doc_id = c.doc_id""")
   )
 }

@@ -205,6 +205,60 @@ object TextQueries {
         |SELECT pair.w1, w2, cnt, CAST(cnt AS DOUBLE) / w1_total AS p_cond
         |FROM pair JOIN marg ON pair.w1 = marg.w1"""),
 
+    // Collocation mining by LIFT rank — PMI without the log: PMI(x,y)
+    // = ln(lift), ln is monotone, and ln() is not bit-portable across
+    // libm implementations (the BM25 decision class), so the engine
+    // emits the rational lift n_xy·N / (n_x·n_y) — exact BIGINT
+    // products, ONE IEEE division. At sf scales the products fit int64;
+    // a 100 TB corpus computes the same rank in double (documented
+    // tradeoff, same class as the decimal money sums). Shape: tokenized
+    // docs persist once (Caching-tracked) and feed unigram counts, the
+    // total, and bigram counts; the n_xy ≥ 5 support filter runs BEFORE
+    // the marginal joins, so only candidate collocations join the
+    // (broadcastable) vocabulary counts.
+    "q_collocations" -> QueryDef(
+      (s, dir) => {
+        val toks = col("_toks")
+        val tokenized = graft.Caching.persistTracked(
+          Tables.documents(s, dir).select(TextFns.tokens(col("text")).as("_toks")))
+        val uni = tokenized.select(explode(toks).as("w"))
+        val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        val tot = uni.agg(count(lit(1)).as("n_total"))
+        val pair = tokenized
+          .select(explode(when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1),
+              i => struct(element_at(toks, i).as("w1"),
+                element_at(toks, i + 1).as("w2"))))).as("bg"))
+          .select(col("bg.w1"), col("bg.w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+          .filter(col("n_xy") >= 5)
+        pair
+          .join(ucnt.select(col("w").as("w1"), col("n").as("n_x")), Seq("w1"))
+          .join(ucnt.select(col("w").as("w2"), col("n").as("n_y")), Seq("w2"))
+          .crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+            ((col("n_xy") * col("n_total")).cast("double") /
+              (col("n_x") * col("n_y")).cast("double")).as("lift"))
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+        |  FROM documents
+        |), uni AS (SELECT unnest(t) AS w FROM toks),
+        |ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM uni),
+        |bg AS (
+        |  SELECT b[1] AS w1, b[2] AS w2
+        |  FROM (SELECT unnest([[t[i], t[i+1]] for i in generate_series(1, len(t) - 1)]) AS b
+        |        FROM toks WHERE len(t) >= 2)
+        |), pair AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy FROM bg GROUP BY 1, 2
+        |  HAVING count(*) >= 5)
+        |SELECT w1, w2, n_xy, u1.n AS n_x, u2.n AS n_y,
+        |       CAST(n_xy * n_total AS DOUBLE) / CAST(u1.n * u2.n AS DOUBLE) AS lift
+        |FROM pair JOIN ucnt u1 ON pair.w1 = u1.w
+        |          JOIN ucnt u2 ON pair.w2 = u2.w
+        |          CROSS JOIN tot"""),
+
     // LM-based document quality scoring — the CCNet signal class (score
     // docs by how well a corpus LM predicts them) in a hash-portable
     // form: perplexity needs ln() (not bit-portable across libm, same

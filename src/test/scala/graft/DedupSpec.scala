@@ -340,4 +340,67 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(2L -> 2L, 8L -> 2L, 12L -> 2L, 10L -> 10L, 14L -> 10L, 77L -> 77L))
     assert(ccStar(Nil, Seq(1L, 2L)) == Map(1L -> 1L, 2L -> 2L))
   }
+
+  // ---- duplicateSpans (exact substring-level dedup) --------------------
+
+  private def spans(docs: Seq[(Long, String)], gramN: Int = 3,
+                    minSpan: Int = 5, cap: Int = 50): Set[(Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+        gramN, minSpan, cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+  }
+
+  test("duplicateSpans finds a maximal shared span with exact 1-based offsets") {
+    // doc 2 embeds doc 1's full 10 tokens at offset 3
+    val out = spans(Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f g h i j z")))
+    assert(out == Set((1L, 2L, 1L, 3L, 10L)))
+  }
+
+  test("duplicateSpans separates spans on different diagonals and below-threshold overlaps") {
+    val out = spans(Seq(
+      // shares "p q r s t" (5 tokens, offset 1 vs 4) and "u v w x y z"
+      // (6 tokens, offset 7 vs 12) — different diagonals, two rows
+      (1L, "p q r s t n1 u v w x y z"),
+      (2L, "m1 m2 m3 p q r s t m4 m5 m6 u v w x y z")),
+      gramN = 3, minSpan = 5)
+    assert(out == Set((1L, 2L, 1L, 4L, 5L), (1L, 2L, 7L, 12L, 6L)))
+    // a 4-token overlap stays below minSpan = 5
+    val short = spans(Seq(
+      (1L, "a b c d x1 x2 x3"),
+      (2L, "y1 y2 a b c d y3")), gramN = 3, minSpan = 5)
+    assert(short.isEmpty)
+  }
+
+  test("spanCoverage unions overlapping spans without double counting") {
+    import spark.implicits._
+    // doc 3 shares [1,8] with doc 1 and [3,12] with doc 2 (union = all
+    // 12 tokens); docs 1/2 share the middle [3,8]
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 x1 x2 x3 x4"),
+      (2L, "y1 y2 t3 t4 t5 t6 t7 t8 q9 q10 q11 q12"),
+      (3L, "t1 t2 t3 t4 t5 t6 t7 t8 q9 q10 q11 q12")).toDF("doc_id", "text")
+    val out = Dedup.spanCoverage(docs, "doc_id", "text",
+        gramN = 3, minSpanTokens = 5, maxGramFreq = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((8L, 12L, 8.0 / 12.0)))
+    assert(out(2L) == ((10L, 12L, 10.0 / 12.0)))
+    assert(out(3L) == ((12L, 12L, 1.0)))
+  }
+
+  test("duplicateSpans drops boilerplate grams past the frequency cap") {
+    // the same 6-token footer on 30 docs: 30 occurrences of each gram
+    // exceed cap=20, so no pair reports the footer as a span
+    val docs = (1L to 30L).map(i => (i, s"u$i v$i w$i common footer line alpha beta gamma"))
+    assert(spans(docs, gramN = 3, minSpan = 5, cap = 20).isEmpty)
+    // with a generous cap the footer IS a shared span for every pair
+    val withCap = spans(docs.take(3), gramN = 3, minSpan = 5, cap = 50)
+    assert(withCap.size == 3) // 3 choose 2
+    assert(withCap.forall { case (_, _, a, b, len) => a == 4 && b == 4 && len == 6 })
+  }
 }
