@@ -628,10 +628,18 @@ object Dedup {
                    maxGramFreq: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sp = duplicateSpans(docs, idCol, textCol, gramN, minSpanTokens, maxGramFreq)
+    // DISTINCT is load-bearing, not an optimization: duplicate (s, e)
+    // intervals (same span shared with several partners) add nothing to
+    // the union, and the islands running sum is order-sensitive between
+    // TIED rows — an engine may sort the max(e) window and the sum
+    // window independently, putting a new_isl=0 copy first and splitting
+    // one island in two (caught by the sf0.001 sweep in DuckDB). After
+    // distinct, (s, e) is a total order per doc.
     val iv = sp.select(col("doc_a").as("doc_id"), col("a_start").as("s"),
         (col("a_start") + col("span_tokens") - 1).as("e"))
       .unionAll(sp.select(col("doc_b").as("doc_id"), col("b_start").as("s"),
         (col("b_start") + col("span_tokens") - 1).as("e")))
+      .distinct()
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     val covered = iv
       .withColumn("_new",

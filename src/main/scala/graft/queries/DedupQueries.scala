@@ -385,10 +385,11 @@ object DedupQueries {
         Tables.documents(s, dir), "doc_id", "text",
         gramN = 5, minSpanTokens = 8, maxGramFreq = 50),
       s"""WITH $DupSpanCtes,
-        |iv AS (
+        |iv0 AS (
         |  SELECT doc_a AS doc_id, a_start AS s, a_start + span_tokens - 1 AS e FROM sp
         |  UNION ALL
         |  SELECT doc_b, b_start, b_start + span_tokens - 1 FROM sp),
+        |iv AS (SELECT DISTINCT doc_id, s, e FROM iv0),
         |isl AS (
         |  SELECT doc_id, s, e,
         |         CAST(CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e

@@ -393,6 +393,23 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((12L, 12L, 1.0)))
   }
 
+  test("spanCoverage: identical intervals from several partners count once") {
+    import spark.implicits._
+    // doc 1's full text appears verbatim in docs 2 AND 3 → doc 1 holds
+    // the interval [1,6] twice; tied duplicate rows once split the
+    // islands running sum in DuckDB (order-sensitive between ties —
+    // caught by the sf0.001 sweep), so the union must stay 6, never 12
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f x y"),
+      (3L, "z w a b c d e f")).toDF("doc_id", "text")
+    val out = Dedup.spanCoverage(docs, "doc_id", "text",
+        gramN = 3, minSpanTokens = 5, maxGramFreq = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((6L, 6L, 1.0)))
+  }
+
   test("duplicateSpans drops boilerplate grams past the frequency cap") {
     // the same 6-token footer on 30 docs: 30 occurrences of each gram
     // exceed cap=20, so no pair reports the footer as a span
