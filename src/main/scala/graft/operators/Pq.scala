@@ -42,17 +42,21 @@ object Pq {
   private def assignScore(sv: Column, m: Int, code: Int): Column =
     Similarity.dot(sv, centLit(m, code)) - lit(PqCodebooks.halfCc(m)(code))
 
-  /** PQ-encode `emb`: (idCol, code_0..code_3 BIGINT, pq_code BIGINT
-    * packed big-endian, recon_norm DOUBLE = ‖reconstruction‖).
+  /** PQ-encode `emb`: (idCol, [keepCols...,] code_0..code_3 BIGINT,
+    * pq_code BIGINT packed big-endian, recon_norm DOUBLE =
+    * ‖reconstruction‖). `keepCols` ride through untouched (the IVFADC
+    * composition keeps the coarse cell without a re-join).
     *
     * The per-subspace argmax is an `array_max` over 16 literal-scored
     * structs — ties take the LOWEST code (encoded as `maxCode − code`
     * so struct ordering resolves them without a sort or a join). */
-  def encode(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             keepCols: Seq[String] = Nil): DataFrame = {
     // project subvectors to plain attributes FIRST (computed-expression-
     // in-HOF re-evaluation hazard — see quantizeInt8)
+    val keep = keepCols.map(col)
     val sub = emb.select(
-      col(idCol) +:
+      (col(idCol) +: keep) ++
         (0 until numSub).map(m =>
           slice(col(vecCol), m * subDim + 1, subDim).as(s"_sv$m")): _*)
 
@@ -66,7 +70,7 @@ object Pq {
     }
 
     val coded = sub.select(
-      col(idCol) +:
+      (col(idCol) +: keep) ++
         (0 until numSub).map(m => bestCode(m).as(s"code_$m")): _*)
 
     // ‖x̂‖² = Σ_m ‖c_{m,code_m}‖² — per-code constants looked up from a
@@ -84,37 +88,92 @@ object Pq {
       .withColumn("recon_norm", sqrt(ccSum))
   }
 
-  /** Asymmetric-distance top-k: each query precomputes one 16-entry
-    * dot-product LUT per subspace (64 dots per QUERY, not per pair);
-    * a candidate's score is then Σ_m lut_m[code_m] normalized by
-    * ‖q‖·‖x̂‖ — the cosine against the RECONSTRUCTED vector. Queries
-    * broadcast; the corpus side ships codes only. */
-  def adcTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int): DataFrame = {
-    val codes = encode(corpus, idCol, vecCol)
-      .withColumnRenamed(idCol, "neighbor_id")
-
+  /** Per-query ADC lookup tables: (query_id, qnorm, _lut0.._lut3),
+    * lut_m[c] = dot(q_m, centroid_{m,c}) — 64 dots per QUERY, never per
+    * pair. Broadcast-sized by construction (queries are). */
+  private def queryLuts(queries: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val qsub = queries.select(
       col(idCol).as("query_id") +:
         Similarity.l2norm(col(vecCol)).as("qnorm") +:
         (0 until numSub).map(m =>
           slice(col(vecCol), m * subDim + 1, subDim).as(s"_qs$m")): _*)
-    val luts = qsub.select(
+    qsub.select(
       col("query_id") +: col("qnorm") +:
         (0 until numSub).map { m =>
           array((0 until codesPerSub).map(c =>
             Similarity.dot(col(s"_qs$m"), centLit(m, c))): _*).as(s"_lut$m")
         }: _*)
+  }
 
+  /** Σ_m lut_m[code_m] in fixed subspace order — the ADC numerator. */
+  private def adcDot: Column = {
     def lutTerm(m: Int): Column =
       element_at(col(s"_lut$m"), col(s"code_$m").cast("int") + 1)
-    val adcDot = (1 until numSub).foldLeft(lutTerm(0))((acc, m) => acc + lutTerm(m))
+    (1 until numSub).foldLeft(lutTerm(0))((acc, m) => acc + lutTerm(m))
+  }
 
+  /** Asymmetric-distance top-k: each query precomputes one 16-entry
+    * dot-product LUT per subspace; a candidate's score is then
+    * Σ_m lut_m[code_m] normalized by ‖q‖·‖x̂‖ — the cosine against the
+    * RECONSTRUCTED vector. Queries broadcast; the corpus side ships
+    * codes only. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val codes = encode(corpus, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
     val scored = codes
-      .join(broadcast(luts), col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(queryLuts(queries, idCol, vecCol)),
+        col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_sim", adcDot / (col("qnorm") * col("recon_norm")))
       .select(col("query_id"), col("neighbor_id"), col("adc_sim"))
     TopK.perGroupNativeRanked(scored, Seq("query_id"), "adc_sim",
+      Seq("neighbor_id"), k, rankName = "rank")
+  }
+
+  /** IVFADC (Jégou et al. TPAMI 2011, §IV) — the production composition
+    * of the whole ANN family: the frozen coarse quantizer prunes WHICH
+    * vectors a query scores (nprobe cells of 16), PQ codes shrink WHAT
+    * scoring reads (2 B + norm per candidate), and the exact cosine
+    * re-ranks only the ADC shortlist. At 100 TB: the code table is
+    * ~1/100th the vector table, the cell join touches nprobe/nlist of
+    * it per query, and the full-width vectors are read only for
+    * `shortlist` rows per query via a keyed join — no stage ever scans
+    * the raw corpus for a query.
+    *
+    * Determinism: every stage (cell rule, encode, ADC fold, shortlist
+    * rank, exact rerank) is the same hash-verified arithmetic as its
+    * standalone query; the composition is oracle-verified end to end
+    * (q_ann_ivfpq). */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nprobe: Int = 8,
+                 shortlist: Int = 100,
+                 centroids: Seq[(Int, Array[Float])] = IvfCentroids.cells): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    // corpus: top-1 cell + PQ codes, cell kept through encode (no re-join)
+    val ccells = Similarity.assignCells(corpus, idCol, vecCol,
+      "neighbor_id", "cvec", 1, centroids)
+    val codes = encode(ccells, "neighbor_id", "cvec", keepCols = Seq("cell"))
+    // queries: nprobe cells, one LUT set per query joined to each probe
+    val qcells = Similarity.assignCells(queries, idCol, vecCol,
+        "query_id", "qvec", nprobe, centroids)
+      .select(col("query_id"), col("cell"))
+      .join(queryLuts(queries, idCol, vecCol), Seq("query_id"))
+    // corpus lives in exactly one cell and probe cells are distinct, so
+    // (query, neighbor) pairs are already unique — no dropDuplicates
+    val scored = codes.join(broadcast(qcells), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_sim", adcDot / (col("qnorm") * col("recon_norm")))
+      .select(col("query_id"), col("neighbor_id"), col("adc_sim"))
+    val cand = TopK.perGroupNative(scored, Seq("query_id"), "adc_sim",
+      Seq("neighbor_id"), shortlist).select(col("query_id"), col("neighbor_id"))
+    val cvec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val qvec = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val rescored = cand
+      .join(cvec, Seq("neighbor_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .withColumn("cos_sim", Similarity.cosine(col("qvec"), col("cvec")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    TopK.perGroupNativeRanked(rescored, Seq("query_id"), "cos_sim",
       Seq("neighbor_id"), k, rankName = "rank")
   }
 

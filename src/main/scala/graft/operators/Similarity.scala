@@ -126,23 +126,28 @@ object Similarity {
                     centroids: Seq[(Int, Array[Float])] = IvfCentroids.cells): DataFrame =
     ivfSearch(corpus, queries, idCol, vecCol, k, nprobe, centroids)
 
+  /** Coarse-quantizer cell assignment (top-`probes` cells by cosine,
+    * cell-id tie-break — the q_ann_ivf rule): (outId, outVec, cell),
+    * one row per probed cell. Shared by [[ivfSearch]] and the IVFADC
+    * composition in [[Pq.ivfAdcTopK]]. */
+  private[graft] def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                                 outId: String, outVec: String, probes: Int,
+                                 centroids: Seq[(Int, Array[Float])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(centroids.toDF("cell", "center"))
+    val scored = df.select(col(idCol).as(outId), col(vecCol).as(outVec))
+      .crossJoin(cdf)
+      .withColumn("csim", cosine(col(outVec), col("center")))
+    TopK.perGroupNative(scored, Seq(outId), "csim", Seq("cell"), probes)
+      .select(col(outId), col(outVec), col("cell"))
+  }
+
   private def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                         vecCol: String, k: Int, nprobe: Int,
                         centroids: Seq[(Int, Array[Float])]): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cdf = broadcast(centroids.toDF("cell", "center"))
-
-    def assign(df: DataFrame, id: String, vec: String, probes: Int) = {
-      val scored = df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .crossJoin(cdf)
-        .withColumn("csim", cosine(col(vec), col("center")))
-      TopK.perGroupNative(scored, Seq(id), "csim", Seq("cell"), probes)
-        .select(col(id), col(vec), col("cell"))
-    }
-
-    val c = assign(corpus, "neighbor_id", "cvec", 1)
-    val q = assign(queries, "query_id", "qvec", nprobe)
+    val c = assignCells(corpus, idCol, vecCol, "neighbor_id", "cvec", 1, centroids)
+    val q = assignCells(queries, idCol, vecCol, "query_id", "qvec", nprobe, centroids)
     val scored = c.join(q.hint("broadcast"), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")

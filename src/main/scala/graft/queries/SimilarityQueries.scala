@@ -183,6 +183,71 @@ object SimilarityQueries {
         |  FROM rescored)
         |WHERE rank <= 10"""),
 
+    // IVFADC — the production composition (FAISS's default server
+    // architecture): frozen coarse cells prune WHICH vectors a query
+    // scores (nprobe=8 of 16), PQ codes shrink WHAT scoring reads,
+    // exact cosine re-ranks only the shortlist. Every stage is the
+    // same hash-verified arithmetic as its standalone query; the
+    // composition is oracle-verified end to end.
+    "q_ann_ivfpq" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.Pq.ivfAdcTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 10, nprobe = 8, shortlist = 100)
+      },
+      s"""WITH $PqCtes,
+        |cents AS (${graft.operators.IvfCentroids.duckdbValues}),
+        |casgn AS (
+        |  SELECT vec_id AS neighbor_id, cell FROM (
+        |    SELECT e.vec_id, cents.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.v, cents.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.c, cents.c))) DESC,
+        |             cents.cell) AS crank
+        |    FROM e CROSS JOIN cents)
+        |  WHERE crank <= 1),
+        |qasgn AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT e.vec_id, cents.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.v, cents.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.c, cents.c))) DESC,
+        |             cents.cell) AS crank
+        |    FROM e CROSS JOIN cents WHERE e.vec_id % 50 = 0)
+        |  WHERE crank <= 8),
+        |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qnorm
+        |      FROM e WHERE vec_id % 50 = 0),
+        |adc AS (
+        |  SELECT qa.query_id, x.vec_id AS neighbor_id,
+        |         (((list_dot_product(list_slice(q.qv, 1, 16), b0.c)
+        |            + list_dot_product(list_slice(q.qv, 17, 32), b1.c))
+        |            + list_dot_product(list_slice(q.qv, 33, 48), b2.c))
+        |            + list_dot_product(list_slice(q.qv, 49, 64), b3.c))
+        |           / (q.qnorm * x.recon_norm) AS adc_sim
+        |  FROM pqcodes x
+        |  JOIN casgn c ON c.neighbor_id = x.vec_id
+        |  JOIN qasgn qa ON qa.cell = c.cell
+        |  JOIN q ON q.query_id = qa.query_id
+        |  JOIN cb b0 ON b0.m = 0 AND b0.code = x.code_0
+        |  JOIN cb b1 ON b1.m = 1 AND b1.code = x.code_1
+        |  JOIN cb b2 ON b2.m = 2 AND b2.code = x.code_2
+        |  JOIN cb b3 ON b3.m = 3 AND b3.code = x.code_3
+        |  WHERE x.vec_id <> qa.query_id),
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY adc_sim DESC, neighbor_id) AS rk
+        |    FROM adc)
+        |  WHERE rk <= 100),
+        |rescored AS (
+        |  SELECT s.query_id, s.neighbor_id, $CosineSql AS cos_sim
+        |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
+        |               JOIN e ce ON ce.vec_id = s.neighbor_id)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM rescored)
+        |WHERE rank <= 10"""),
+
     // Symmetric int8 quantization (see Similarity.quantizeInt8) — the
     // typed ARRAY<LONG> stays on the operator API; the registry projects
     // a joined string (driver canonicalization cannot hash array cells).

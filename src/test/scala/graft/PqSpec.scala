@@ -60,11 +60,17 @@ class PqSpec extends SparkSpec {
   test("quality curve: 2-byte codes give useful recall, exact rerank of the ADC shortlist dominates") {
     val adc = recallOf(Pq.adcTopK(emb, queries, "vec_id", "embedding", 10))
     val rr = recallOf(Pq.adcTopKRerank(emb, queries, "vec_id", "embedding", 10, shortlist = 100))
-    info(f"recall@10 — pure ADC: $adc%.3f, shortlist-100 + exact rerank: $rr%.3f")
-    // measured on this corpus: adc 0.140, rerank 0.580 (near-orthogonal
-    // random embeddings are PQ's worst case; real corpora sit far higher)
+    val ivfpq = recallOf(Pq.ivfAdcTopK(emb, queries, "vec_id", "embedding", 10,
+      nprobe = 8, shortlist = 100))
+    info(f"recall@10 — pure ADC: $adc%.3f, shortlist-100 rerank: $rr%.3f, IVFADC(8,100): $ivfpq%.3f")
+    // measured on this corpus: adc 0.140, rerank 0.580, ivfpq 0.540
+    // (near-orthogonal random embeddings are PQ's worst case; real
+    // corpora sit far higher). IVFADC gives up a sliver of the
+    // full-rerank's recall for touching only nprobe/nlist of the code
+    // table per query.
     assert(adc >= 0.10, s"pure-ADC recall@10 = $adc")
     assert(rr >= 0.50, s"rerank recall@10 = $rr")
     assert(rr >= adc, "exact rerank can only add recall")
+    assert(ivfpq >= 0.45, s"IVFADC recall@10 = $ivfpq")
   }
 }
