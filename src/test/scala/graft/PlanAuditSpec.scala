@@ -149,6 +149,27 @@ class PlanAuditSpec extends SparkSpec {
       s"probe expansion leaked off the query side:\n$p")
   }
 
+  test("q_dup_spans: keyed gram join only; run detection windows on (pair, diagonal)") {
+    val p = planOf("q_dup_spans")
+    assert(!p.contains("CartesianProduct"), s"all-pairs product in the span path:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi join in the span path:\n$p")
+    // the islands window must be keyed — a global window would serialize
+    // the whole match set through one task
+    assert(p.contains("windowspecdefinition(doc_a"), s"run window lost its keys:\n$p")
+    // the positional gram frame is cached once and feeds cap + join
+    assert(p.contains("InMemoryTableScan"), s"gram frame not shared:\n$p")
+    Caching.release()
+  }
+
+  test("q_ann_ivfpq: cell-keyed candidate join, native heap shortlist, no all-pairs scan") {
+    val p = planOf("q_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), s"all-pairs product in IVFADC:\n$p")
+    assert(p.contains("TopKPerKeyExec"), s"native heap top-k lost:\n$p")
+    // candidates come from an equi-join on the coarse cell
+    assert(p.contains("BroadcastHashJoin [cell") || p.contains("[cell#"),
+      s"cell-keyed candidate join lost:\n$p")
+  }
+
   test("q_pq_encode: pure narrow projection — zero exchanges, zero joins") {
     // PQ encode is 64 literal-centroid dot products per row; at 100 TB
     // the whole pass must stay embarrassingly parallel (no shuffle, no
