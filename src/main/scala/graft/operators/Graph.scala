@@ -84,6 +84,48 @@ object Graph {
     *              0.15·SCALE); pass [[edgeNodes]] or the full corpus
     * @return (idCol, rank_fp BIGINT) — rank scaled by 10^12
     */
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection in fixed rounds: every node adopts the most frequent
+    * label among its neighbors, count ties going to the LOWEST label.
+    * The argmax is encoded as ONE BIGINT key (cnt·2³² − label, labels
+    * required < 2³²), so both engines pick identically with a plain
+    * max_by — no struct comparison, no window sort; `iterations` is
+    * fixed (synchronous LPA is not guaranteed to converge — the
+    * bounded-round form IS the deterministic contract).
+    *
+    * Per round: one exchange-reusing neighbor join (sym is checkpointed
+    * pre-hashed on src; labels arrive hashed on nid from the previous
+    * round's agg) + two keyed aggs. A zero-count sentinel row per node
+    * (key −label < every real key) keeps isolated nodes at their own
+    * label without a left join.
+    *
+    * @return (idCol, label BIGINT) — community = shared label
+    */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame, idCol: String,
+                       iterations: Int = 4,
+                       checkpointInterval: Int = 8): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).localCheckpoint(false)
+    var labels = nodes.select(col(idCol).as("nid"), col(idCol).cast("long").as("label"))
+    for (i <- 1 to iterations) {
+      val neigh = sym.join(labels, sym("src") === labels("nid"))
+        .groupBy(col("dst").as("nid2"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("nid2").as("nid"), col("label"),
+          (col("cnt") * lit(4294967296L) - col("label")).as("key"))
+      val withSentinel = neigh.unionByName(
+        labels.select(col("nid"), col("label"), (-col("label")).as("key")))
+      labels = withSentinel.groupBy(col("nid"))
+        .agg(max_by(col("label"), col("key")).as("label"))
+      if (i % checkpointInterval == 0 && i < iterations)
+        labels = labels.localCheckpoint(false)
+    }
+    labels.select(col("nid").as(idCol), col("label"))
+  }
+
   def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
                iterations: Int = 5, checkpointInterval: Int = 8): DataFrame = {
     require(iterations >= 1 && iterations <= 50,

@@ -47,6 +47,27 @@ object GraphQueries {
        |SELECT n AS item, r AS rank_fp FROM r$iters"""
   }
 
+  /** Unrolled synchronous label-propagation rounds l1..l`iters`: the
+    * argmax is the BIGINT key cnt·2³² − label (count ties → lowest
+    * label), the zero-count sentinel row keeps every node present. */
+  private def labelPropSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS (
+         |  SELECT t.n, CAST(arg_max(t.label, t.key) AS BIGINT) AS label FROM (
+         |    SELECT sym.dst AS n, l${i - 1}.label,
+         |           CAST(count(*) AS BIGINT) * 4294967296 - l${i - 1}.label AS key
+         |    FROM sym JOIN l${i - 1} ON l${i - 1}.n = sym.src
+         |    GROUP BY sym.dst, l${i - 1}.label
+         |    UNION ALL
+         |    SELECT n, label, -label FROM l${i - 1}
+         |  ) t GROUP BY t.n)"""
+    }.mkString(",\n")
+    s"""WITH $EdgeCtes,
+       |l0 AS (SELECT n, CAST(n AS BIGINT) AS label FROM nodes),
+       |$rounds
+       |SELECT n AS item, label FROM l$iters"""
+  }
+
   private def edges(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.Caching.persistTracked(
       Graph.coOccurrenceEdges(
@@ -66,6 +87,19 @@ object GraphQueries {
         Graph.pageRank(e, Graph.edgeNodes(e, "item"), "item", iterations = 5)
       },
       pageRankSql(5)),
+
+    // 4 synchronous label-propagation rounds — community detection
+    // beside PageRank's centrality: all-integer label/count/key math,
+    // every round replayed by the oracle (the q_pagerank discipline).
+    // Complements connected components: CC merges anything touching,
+    // LPA splits dense regions from bridges (a community keeps its
+    // label only while it out-votes its neighbors').
+    "q_label_prop" -> QueryDef(
+      (s, dir) => {
+        val e = edges(s, dir)
+        Graph.labelPropagation(e, Graph.edgeNodes(e, "item"), "item", iterations = 4)
+      },
+      labelPropSql(4)),
 
     // Per-node triangle counts, degree-orientation-bounded wedges.
     "q_triangles" -> QueryDef(

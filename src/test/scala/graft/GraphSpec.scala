@@ -99,4 +99,25 @@ class GraphSpec extends SparkSpec {
       assert(mineNZ.except(naive).isEmpty && naive.except(mineNZ).isEmpty)
     } finally e.unpersist()
   }
+
+  test("labelPropagation: two triangles split at the bridge; isolated node keeps its label") {
+    // triangles {1,2,3} and {4,5,6} joined by one bridge 3–4: LPA's
+    // majority vote settles each triangle on its own community (1 and
+    // 3) — exactly the structure connected components CANNOT separate
+    // (CC merges all six). Node 7 has no edges → sentinel keeps 7.
+    val out = Graph.labelPropagation(
+        edgesOf((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)),
+        nodesOf(1L, 2L, 3L, 4L, 5L, 6L, 7L), "item", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L, 7L -> 7L))
+  }
+
+  test("labelPropagation: count ties break to the lowest label deterministically") {
+    // path 1–2–3: after round 1 node 2 sees {1,3} once each → lowest (1)
+    val r1 = Graph.labelPropagation(edgesOf((1L, 2L), (2L, 3L)),
+        nodesOf(1L, 2L, 3L), "item", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
 }
