@@ -441,6 +441,49 @@ object PipelineQueries {
         |       count(DISTINCT lang) AS n_langs,
         |       CAST(sum(CASE WHEN n_tokens >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality
         |FROM n JOIN occ USING (text)
-        |GROUP BY source""")
+        |GROUP BY source"""),
+
+    // Data-quality gate (the Deequ/dbt-test class): declarative
+    // constraints as aggregates — null/range predicates fold into ONE
+    // scan per table, uniqueness is one keyed agg, referential
+    // integrity one anti join. Exact BIGINT violation counts; a load
+    // pipeline gates on `passed` without collecting anything.
+    "q_data_checks" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Checks
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        Checks.suite(
+          Checks.columnChecks(li, Seq(
+            "lineitem_orderkey_complete" -> col("l_orderkey").isNull,
+            "lineitem_quantity_range" ->
+              (col("l_quantity") < 1 || col("l_quantity") > 50),
+            "lineitem_price_nonneg" -> (col("l_extendedprice") < 0))),
+          Checks.columnChecks(o, Seq(
+            "orders_custkey_complete" -> col("o_custkey").isNull)),
+          Checks.uniquenessCheck(o, "orders_orderkey_unique", Seq("o_orderkey")),
+          Checks.referentialCheck(li, o, "lineitem_fk_orders",
+            "l_orderkey", "o_orderkey"))
+      },
+      """WITH colchecks AS (
+        |  SELECT * FROM (VALUES
+        |    ('lineitem_orderkey_complete', (SELECT CAST(coalesce(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem)),
+        |    ('lineitem_quantity_range',    (SELECT CAST(coalesce(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem)),
+        |    ('lineitem_price_nonneg',      (SELECT CAST(coalesce(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem)),
+        |    ('orders_custkey_complete',    (SELECT CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders))
+        |  ) AS t(chk, violations)),
+        |uniq AS (
+        |  SELECT 'orders_orderkey_unique' AS chk,
+        |         CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS violations
+        |  FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) > 1)),
+        |ri AS (
+        |  -- NOT EXISTS, not NOT IN: a NULL child key is an orphan under
+        |  -- the engine's anti join, but NOT IN silently drops it (the
+        |  -- q_not_in_nulls trap) — the two only agree with NOT EXISTS
+        |  SELECT 'lineitem_fk_orders' AS chk, CAST(count(*) AS BIGINT) AS violations
+        |  FROM lineitem li WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey))
+        |SELECT chk AS "check", violations, violations = 0 AS passed
+        |FROM (SELECT * FROM colchecks UNION ALL SELECT * FROM uniq UNION ALL SELECT * FROM ri)""")
   )
 }
