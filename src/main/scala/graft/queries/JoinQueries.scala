@@ -183,6 +183,37 @@ object JoinQueries {
         | AND a.c_name < b.c_name
         |WHERE levenshtein(a.c_name, b.c_name) <= 1"""),
 
+    // Entity resolution end to end: blocked fuzzy matches become edges,
+    // connected components assigns each customer a canonical entity id
+    // (min key in its match closure) — the dedup-clusters discipline
+    // applied to entities instead of documents. The oracle replays
+    // blocking + levenshtein + the recursive closure.
+    "q_entity_clusters" -> QueryDef(
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val pairs = graft.operators.FuzzyJoin.selfJoin(
+            cust, "c_custkey", "c_name",
+            blockKey = expr("substring(c_name, 1, length(c_name) - 2)"),
+            maxDist = 1)
+          .select(col("id1"), col("id2"))
+        graft.operators.Dedup.connectedComponents(
+          pairs, cust.select(col("c_custkey")), "c_custkey")
+      },
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS id1, b.c_custkey AS id2
+        |  FROM customer a JOIN customer b
+        |    ON substr(a.c_name, 1, length(a.c_name) - 2) = substr(b.c_name, 1, length(b.c_name) - 2)
+        |   AND a.c_name < b.c_name
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT c_custkey AS id, c_custkey AS r FROM customer
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+        |SELECT id AS c_custkey, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id"""),
+
     // Bloom-prefiltered semi join (operators/BloomJoin): lineitems of
     // one nation's suppliers, aggregated per returnflag. The bloom over
     // the ~40 supplier keys filters the fact table MAP-SIDE before the
