@@ -610,6 +610,56 @@ object Dedup {
         col("span_tokens"))
   }
 
+  /** [[duplicateSpans]] for INGEST: spans between a new `batch` and the
+    * standing `corpus` only — corpus×corpus pairs are never generated
+    * (they were handled when those docs ingested), so the join cost is
+    * |batch grams| × bucket, not |corpus|². The gram-frequency cap is
+    * computed on the CORPUS side (the stable index a production
+    * pipeline precomputes once per corpus version): boilerplate
+    * detection must not depend on what today's batch happens to
+    * contain. Output schema matches duplicateSpans with doc_a = corpus
+    * doc, doc_b = batch doc.
+    */
+  def duplicateSpansAgainst(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            gramN: Int = 5, minSpanTokens: Int = 8,
+                            maxGramFreq: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gramN >= 2, s"gramN must be >= 2, got $gramN")
+    require(minSpanTokens >= gramN,
+      s"minSpanTokens $minSpanTokens must cover one $gramN-gram")
+    def grams(df: DataFrame): DataFrame = {
+      val toks = col("_toks")
+      df.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
+        .filter(size(toks) >= gramN)
+        .select(col("id"), posexplode(transform(
+            sequence(lit(1), size(toks) - (gramN - 1)),
+            i => array_join(slice(toks, i, lit(gramN)), " ")))
+          .as(Seq("_p0", "gram")))
+        .select(col("id"), (col("_p0") + 1).cast("long").as("pos"), col("gram"))
+    }
+    val cg = graft.Caching.persistTracked(grams(corpus))
+    val rare = cg.groupBy(col("gram")).agg(count(lit(1)).as("_f"))
+      .filter(col("_f") <= maxGramFreq).select(col("gram"))
+    val matches = cg.join(rare, Seq("gram"))
+      .select(col("gram"), col("id").as("doc_a"), col("pos").as("p1"))
+      .join(grams(batch)
+        .select(col("gram"), col("id").as("doc_b"), col("pos").as("p2")), Seq("gram"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("p1"), col("p2"),
+        (col("p1") - col("p2")).as("_diag"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("_diag"))
+      .orderBy(col("p1"))
+    matches
+      .withColumn("_runkey", col("p1") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("_diag"), col("_runkey"))
+      .agg(min(col("p1")).as("a_start"), min(col("p2")).as("b_start"),
+        (count(lit(1)) + lit(gramN - 1).cast("long")).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("span_tokens"))
+  }
+
   /** Per-document duplicated-token coverage — the curation gate built
     * on [[duplicateSpans]]: fraction of a doc's tokens covered by ≥1
     * exact duplicated span against ANY other doc (dup_frac = 1.0 marks
@@ -627,7 +677,10 @@ object Dedup {
                    gramN: Int = 5, minSpanTokens: Int = 8,
                    maxGramFreq: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sp = duplicateSpans(docs, idCol, textCol, gramN, minSpanTokens, maxGramFreq)
+    // the span table feeds BOTH sides of the interval union — persist
+    // (tracked) or the whole gram-join + islands pipeline runs twice
+    val sp = graft.Caching.persistTracked(
+      duplicateSpans(docs, idCol, textCol, gramN, minSpanTokens, maxGramFreq))
     // DISTINCT is load-bearing, not an optimization: duplicate (s, e)
     // intervals (same span shared with several partners) add nothing to
     // the union, and the islands running sum is order-sensitive between

@@ -377,6 +377,43 @@ object DedupQueries {
       s"""WITH $DupSpanCtes
         |SELECT doc_a, doc_b, a_start, b_start, span_tokens FROM sp"""),
 
+    // Ingest-time duplicated spans: new batch (doc_id % 13 = 0) vs the
+    // standing corpus only — no corpus×corpus pairs; the gram cap comes
+    // from the corpus-side index. Same all-integer span geometry.
+    "q_incremental_spans" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.duplicateSpansAgainst(
+          docs.filter(col("doc_id") % 13 =!= 0),
+          docs.filter(col("doc_id") % 13 === 0),
+          "doc_id", "text", gramN = 5, minSpanTokens = 8, maxGramFreq = 50)
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+        |  FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, [{'pos': i, 'gram': array_to_string(t[i:i+4], ' ')}
+        |                  for i in generate_series(1, len(t) - 4)] AS gs
+        |  FROM toks WHERE len(t) >= 5
+        |), g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
+        |cg AS (SELECT * FROM g WHERE doc_id % 13 <> 0),
+        |bg AS (SELECT * FROM g WHERE doc_id % 13 = 0),
+        |freq AS (SELECT gram FROM cg GROUP BY gram HAVING count(*) <= 50),
+        |m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS p1, b.pos AS p2,
+        |         a.pos - b.pos AS diag
+        |  FROM cg a JOIN freq USING (gram) JOIN bg b ON a.gram = b.gram
+        |  WHERE a.doc_id <> b.doc_id),
+        |r AS (
+        |  SELECT doc_a, doc_b, diag, p1, p2,
+        |         p1 - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY p1) AS runkey
+        |  FROM m)
+        |SELECT doc_a, doc_b,
+        |       CAST(min(p1) AS BIGINT) AS a_start, CAST(min(p2) AS BIGINT) AS b_start,
+        |       CAST(count(*) + 4 AS BIGINT) AS span_tokens
+        |FROM r GROUP BY doc_a, doc_b, diag, runkey
+        |HAVING count(*) + 4 >= 8"""),
+
     // Per-doc duplicated-token coverage (the curation gate over
     // q_dup_spans): span intervals from both pair sides union per doc
     // via the islands window — integer geometry, one final division.

@@ -376,6 +376,28 @@ class DedupSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("duplicateSpansAgainst: cross pairs only, corpus-side frequency cap") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val batch = Seq((3L, "x a b c d e f g h y")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpansAgainst(corpus, batch, "doc_id", "text",
+        gramN = 3, minSpanTokens = 5, maxGramFreq = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // both corpus docs match the batch doc; the corpus-corpus pair
+    // (1,2) — a full dup — must NOT appear (handled at ITS ingest)
+    assert(out == Set((1L, 3L, 1L, 2L, 8L), (2L, 3L, 1L, 2L, 8L)))
+    // cap comes from the corpus index: a footer on 30 corpus docs is
+    // boilerplate even though today's batch sees it once
+    val crowd = (1L to 30L).map(i => (i, s"u$i common footer line alpha beta"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((99L, "z common footer line alpha beta")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpansAgainst(crowd, b2, "doc_id", "text",
+      gramN = 3, minSpanTokens = 5, maxGramFreq = 20).isEmpty)
+  }
+
   test("spanCoverage unions overlapping spans without double counting") {
     import spark.implicits._
     // doc 3 shares [1,8] with doc 1 and [3,12] with doc 2 (union = all
