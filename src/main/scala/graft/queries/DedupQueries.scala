@@ -110,6 +110,27 @@ object DedupQueries {
         |FROM co JOIN sizes s1 ON s1.id = co.id1 JOIN sizes s2 ON s2.id = co.id2
         |WHERE common / (s1.sz + s2.sz - common) >= 0.5"""),
 
+    // Prefix-filtered exact Jaccard join at tau = 1/2: the oracle is
+    // the UNFILTERED textbook all-pairs query (no prefix anywhere), so
+    // the hash match PROVES the prefix filter lossless — the BloomJoin
+    // proof pattern. Threshold applied as integer cross-multiplication
+    // on both sides; the output jaccard is the one IEEE division.
+    "q_prefix_jaccard" -> QueryDef(
+      (s, dir) => Dedup.prefixJaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, tauNum = 1, tauDen = 2),
+      s"""WITH $ShingleCtes,
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+        |co AS (
+        |  SELECT a.id AS id1, b.id AS id2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id1, id2, common, s1.sz AS sz1, s2.sz AS sz2,
+        |       CAST(common AS DOUBLE) / (s1.sz + s2.sz - common) AS jaccard
+        |FROM co JOIN sizes s1 ON s1.id = co.id1 JOIN sizes s2 ON s2.id = co.id2
+        |WHERE common * 3 >= s1.sz + s2.sz"""),
+
     // The composite curation pipeline — what this engine exists for:
     //   exact dedup (min-id representative per text)
     //   → near-dup removal (drop the higher id of each ≥0.5-Jaccard pair)
@@ -413,6 +434,48 @@ object DedupQueries {
         |       CAST(count(*) + 4 AS BIGINT) AS span_tokens
         |FROM r GROUP BY doc_a, doc_b, diag, runkey
         |HAVING count(*) + 4 >= 8"""),
+
+    // Intra-doc repetition profile: longest verbatim self-repeated
+    // span per doc (positional 2-grams here — the synthetic docs are
+    // 10–99 tokens, so bigram-level repeats are the live signal; real
+    // corpora run the 5-gram default), per-doc gram-frequency cap
+    // replayed, hyper-repetition reported exactly via max_gram_freq.
+    "q_self_repetition" -> QueryDef(
+      (s, dir) => Dedup.selfRepetitionProfile(
+        Tables.documents(s, dir), "doc_id", "text",
+        gramN = 2, minSpanTokens = 2, maxGramFreqInDoc = 20),
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+        |  FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, [{'pos': i, 'gram': array_to_string(t[i:i+1], ' ')}
+        |                  for i in generate_series(1, len(t) - 1)] AS gs
+        |  FROM toks WHERE len(t) >= 2
+        |), g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
+        |pf AS (SELECT doc_id, gram, count(*) AS f FROM g GROUP BY 1, 2),
+        |gm AS (SELECT doc_id, CAST(max(f) AS BIGINT) AS mgf FROM pf GROUP BY 1),
+        |gc AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN pf USING (doc_id, gram) WHERE pf.f <= 20),
+        |m AS (
+        |  SELECT a.doc_id, a.pos AS p1, b.pos - a.pos AS diag
+        |  FROM gc a JOIN gc b ON a.doc_id = b.doc_id AND a.gram = b.gram AND a.pos < b.pos),
+        |r AS (
+        |  SELECT doc_id, diag, p1,
+        |         p1 - row_number() OVER (PARTITION BY doc_id, diag ORDER BY p1) AS runkey
+        |  FROM m),
+        |sp AS (
+        |  SELECT doc_id, CAST(count(*) + 1 AS BIGINT) AS span_tokens
+        |  FROM r GROUP BY doc_id, diag, runkey
+        |  HAVING count(*) + 1 >= 2),
+        |sa AS (SELECT doc_id, max(span_tokens) AS mrt,
+        |              count(*) AS nrs FROM sp GROUP BY 1),
+        |tl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+        |SELECT tl.doc_id, n_tokens,
+        |       coalesce(mgf, 0) AS max_gram_freq,
+        |       coalesce(mrt, 0) AS max_rep_tokens,
+        |       coalesce(nrs, 0) AS n_rep_spans,
+        |       CASE WHEN n_tokens > 0 THEN CAST(coalesce(mrt, 0) AS DOUBLE) / n_tokens
+        |            ELSE 0.0 END AS rep_frac
+        |FROM tl LEFT JOIN gm USING (doc_id) LEFT JOIN sa USING (doc_id)"""),
 
     // Per-doc duplicated-token coverage (the curation gate over
     // q_dup_spans): span intervals from both pair sides union per doc

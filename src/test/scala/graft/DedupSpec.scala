@@ -398,6 +398,59 @@ class DedupSpec extends SparkSpec {
       gramN = 3, minSpanTokens = 5, maxGramFreq = 20).isEmpty)
   }
 
+  test("prefixJaccardPairs ≡ exact all-pairs Jaccard at the same threshold") {
+    import spark.implicits._
+    // near-dup pair (1,2), a shared-boilerplate-but-below-threshold pair
+    // (1,3)/(2,3), an unrelated doc, and a short doc (single shingle)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown cat sleeps under the warm sun all day long"),
+      (4L, "completely different content with no overlap at all here"),
+      (5L, "tiny doc")
+    ).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val pref = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 1, 2)
+      .collect().map(key).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, minJaccard = 0.5)
+      .collect().map(key).toSet
+    assert(pref == exact)
+    assert(pref.exists { case (id1, id2, _, _, _) => (id1, id2) == (1L, 2L) })
+    // equal shingle sets at tau = 1 (prefix length 1) still pair up
+    val eq = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val full = Dedup.prefixJaccardPairs(eq, "doc_id", "text", 3, 1, 1).collect()
+    assert(full.length == 1 && full.head.getDouble(5) == 1.0)
+  }
+
+  test("selfRepetitionProfile: repeats, tandem periodicity, cap flag, short doc") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1: "p q r s" repeated at positions 1 and 6 → max span 4 on diag 5
+      (1L, "p q r s x p q r s"),
+      // doc 2: tandem repeat "a b a b a b a b" → islands on diags 2/4/6;
+      // diag 2 covers p1 1..5 → span 6 (the period-2 signal)
+      (2L, "a b a b a b a b"),
+      // doc 3: no token appears twice
+      (3L, "m n o p q"),
+      // doc 4: shorter than gramN
+      (4L, "z"),
+      // doc 5: one token repeated 30 times — above the cap, so no span
+      // rows, but max_gram_freq reports the 29 repeated bigrams exactly
+      (5L, Seq.fill(30)("w").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.selfRepetitionProfile(docs, "doc_id", "text",
+        gramN = 2, minSpanTokens = 2, maxGramFreqInDoc = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(out(1L) == ((9L, 2L, 4L, 1L, 4.0 / 9)))
+    assert(out(2L) == ((8L, 4L, 6L, 3L, 6.0 / 8)))
+    assert(out(3L) == ((5L, 1L, 0L, 0L, 0.0)))
+    assert(out(4L) == ((1L, 0L, 0L, 0L, 0.0)))
+    assert(out(5L) == ((30L, 29L, 0L, 0L, 0.0)))
+  }
+
   test("spanCoverage unions overlapping spans without double counting") {
     import spark.implicits._
     // doc 3 shares [1,8] with doc 1 and [3,12] with doc 2 (union = all
