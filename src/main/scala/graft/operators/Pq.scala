@@ -118,15 +118,51 @@ object Pq {
     * RECONSTRUCTED vector. Queries broadcast; the corpus side ships
     * codes only. */
   def adcTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int): DataFrame = {
-    val codes = encode(corpus, idCol, vecCol)
-      .withColumnRenamed(idCol, "neighbor_id")
+              idCol: String, vecCol: String, k: Int): DataFrame =
+    adcFromCodes(encode(corpus, idCol, vecCol).withColumnRenamed(idCol, "neighbor_id"),
+      queries, idCol, vecCol, k)
+
+  /** ADC search against an ALREADY-ENCODED code table (neighbor_id,
+    * code_0..3, recon_norm) — the scan that reads the stored index. */
+  private def adcFromCodes(codes: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int): DataFrame = {
     val scored = codes
       .join(broadcast(queryLuts(queries, idCol, vecCol)),
         col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_sim", adcDot / (col("qnorm") * col("recon_norm")))
       .select(col("query_id"), col("neighbor_id"), col("adc_sim"))
     TopK.perGroupNativeRanked(scored, Seq("query_id"), "adc_sim",
+      Seq("neighbor_id"), k, rankName = "rank")
+  }
+
+  /** Incremental ANN ingest over the STORED PQ code index: each new
+    * batch vector searches the standing corpus through `corpusCodes` —
+    * the ~20 B/row table [[encode]] wrote ONCE when those vectors
+    * ingested (the PQ analogue of [[Dedup.lshCandidatesAgainst]]'s
+    * signature reuse) — then the exact cosine re-ranks only the
+    * per-query shortlist via a keyed fetch from the vector table. Per
+    * batch, the corpus cost is one code-table scan + `shortlist`
+    * vector fetches per query; the raw corpus vectors are never
+    * scanned, and nothing corpus×corpus ever runs. Anti-join the batch
+    * against `cos_sim ≥ τ` rows to admit only semantically novel
+    * vectors. Output: (query_id = batch id, neighbor_id = corpus id,
+    * cos_sim, rank ≤ k).
+    */
+  def adcIngestTopK(corpusCodes: DataFrame, corpus: DataFrame,
+                    batch: DataFrame, idCol: String, vecCol: String,
+                    k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val cand = adcFromCodes(corpusCodes.withColumnRenamed(idCol, "neighbor_id"),
+        batch, idCol, vecCol, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cvec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val qvec = batch.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = cand
+      .join(cvec, Seq("neighbor_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .withColumn("cos_sim", Similarity.cosine(col("qvec"), col("cvec")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    TopK.perGroupNativeRanked(scored, Seq("query_id"), "cos_sim",
       Seq("neighbor_id"), k, rankName = "rank")
   }
 

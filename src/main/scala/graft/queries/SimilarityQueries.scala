@@ -120,7 +120,61 @@ object SimilarityQueries {
       |  JOIN cb b3 ON b3.m = 3 AND b3.code = x.code_3
       |  WHERE x.vec_id <> q.query_id)"""
 
+  /** [[PqAdcCtes]] for the INGEST posture: queries = the new batch
+    * (vec_id % 13 = 0), ADC candidates restricted to the standing
+    * corpus (vec_id % 13 ≠ 0) — no corpus×corpus and no batch×batch
+    * pairs, mirroring Pq.adcIngestTopK's stored-index search. */
+  private val PqIngestAdcCtes =
+    s"""$PqCtes,
+      |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qnorm
+      |      FROM e WHERE vec_id % 13 = 0),
+      |adc AS (
+      |  SELECT q.query_id, x.vec_id AS neighbor_id,
+      |         (((list_dot_product(list_slice(q.qv, 1, 16), b0.c)
+      |            + list_dot_product(list_slice(q.qv, 17, 32), b1.c))
+      |            + list_dot_product(list_slice(q.qv, 33, 48), b2.c))
+      |            + list_dot_product(list_slice(q.qv, 49, 64), b3.c))
+      |           / (q.qnorm * x.recon_norm) AS adc_sim
+      |  FROM pqcodes x CROSS JOIN q
+      |  JOIN cb b0 ON b0.m = 0 AND b0.code = x.code_0
+      |  JOIN cb b1 ON b1.m = 1 AND b1.code = x.code_1
+      |  JOIN cb b2 ON b2.m = 2 AND b2.code = x.code_2
+      |  JOIN cb b3 ON b3.m = 3 AND b3.code = x.code_3
+      |  WHERE x.vec_id % 13 <> 0)"""
+
   val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Incremental ANN ingest: the new batch (vec_id % 13 = 0) searches
+    // the standing corpus through its STORED PQ code table (encoded
+    // once at the corpus's own ingest), shortlist 50, exact cosine
+    // re-rank on the shortlist only — the semantic-novelty gate a
+    // 100 TB pipeline runs per arriving batch. Oracle replays encode +
+    // ADC + shortlist + re-rank restricted to batch×corpus.
+    "q_ann_ingest" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.filter(col("vec_id") % 13 =!= 0)
+        val storedCodes = graft.operators.Pq.encode(corpus, "vec_id", "embedding")
+        graft.operators.Pq.adcIngestTopK(
+          storedCodes, corpus, emb.filter(col("vec_id") % 13 === 0),
+          "vec_id", "embedding", k = 10, shortlist = 50)
+      },
+      s"""WITH $PqIngestAdcCtes,
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY adc_sim DESC, neighbor_id) AS rk
+        |    FROM adc)
+        |  WHERE rk <= 50),
+        |rescored AS (
+        |  SELECT s.query_id, s.neighbor_id, $CosineSql AS cos_sim
+        |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
+        |               JOIN e ce ON ce.vec_id = s.neighbor_id)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM rescored)
+        |WHERE rank <= 10"""),
 
     // PQ codes for every vector — 64-dim float (256 B) → 4 nibbles
     // (2 B packed) + the reconstruction norm ADC needs. Pure narrow

@@ -73,4 +73,19 @@ class PqSpec extends SparkSpec {
     assert(rr >= adc, "exact rerank can only add recall")
     assert(ivfpq >= 0.45, s"IVFADC recall@10 = $ivfpq")
   }
+
+  test("adcIngestTopK over the stored code table ≡ adcTopKRerank(corpus, batch)") {
+    val corpus = emb.filter(col("vec_id") % 13 =!= 0)
+    val batch = emb.filter(col("vec_id") % 13 === 0)
+    val stored = Pq.encode(corpus, "vec_id", "embedding")
+    val ingest = Pq.adcIngestTopK(stored, corpus, batch,
+        "vec_id", "embedding", k = 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val direct = Pq.adcTopKRerank(corpus, batch,
+        "vec_id", "embedding", k = 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(ingest == direct, "stored-index search must equal encode-inline search")
+    // every neighbor comes from the corpus, every query from the batch
+    assert(ingest.forall { case (q, n, _, _) => q % 13 == 0 && n % 13 != 0 })
+  }
 }
