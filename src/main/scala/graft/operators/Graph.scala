@@ -197,4 +197,46 @@ object Graph {
       .join(perNode, nodes(idCol) === perNode("n"), "left")
       .select(col(idCol), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
+
+  /** Multi-source BFS shortest hop counts over an UNDIRECTED edge set,
+    * bounded rounds — the reachability-with-distance primitive beside
+    * [[Dedup.connectedComponents]]' reachability and [[pageRank]]'s
+    * centrality (lineage depth from seed docs, blast radius of a
+    * contaminated set, hop-bounded neighborhoods).
+    *
+    * FRONTIER expansion, not the textbook whole-set relaxation: round i
+    * joins only the nodes FIRST REACHED in round i−1 against the edge
+    * set (in unweighted BFS a node's first discovery round IS its
+    * distance, so settled nodes never need another look). Per round the
+    * join touches |edges incident to the frontier| — on a 100 TB graph
+    * whole-set min-folding re-grinds every settled node every round,
+    * while the frontier shrinks as the wave passes. The oracle replays
+    * the TEXTBOOK min-fold, so the hash match proves frontier ≡
+    * min-fold. Each frontier is localCheckpoint'd (small by
+    * construction); `reached` stays a flat union of ≤ maxHops
+    * checkpointed frontiers.
+    *
+    * @return (idCol, dist BIGINT) — one row per node within `maxHops`
+    *         of any source; unreached nodes are absent
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, idCol: String,
+              maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50,
+      s"maxHops must be in [1, 50], got $maxHops")
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).localCheckpoint(false)
+    var frontier = sources.select(col(idCol).as("nid")).distinct()
+      .localCheckpoint(false)
+    var reached = frontier.select(col("nid"), lit(0L).as("dist"))
+    for (i <- 1 to maxHops) {
+      val next = sym.join(frontier, sym("src") === frontier("nid"))
+        .select(col("dst").as("nid")).distinct()
+        .join(reached.select(col("nid")), Seq("nid"), "left_anti")
+        .localCheckpoint(false)
+      reached = reached.union(next.select(col("nid"), lit(i.toLong).as("dist")))
+      frontier = next
+    }
+    reached.select(col("nid").as(idCol), col("dist"))
+  }
 }

@@ -68,6 +68,26 @@ object GraphQueries {
        |SELECT n AS item, label FROM l$iters"""
   }
 
+  /** Unrolled textbook BFS min-fold rounds d1..d`hops`: each round
+    * relaxes EVERY reached node (min of neighbor dist + 1 and own
+    * dist) — deliberately the naive formulation the engine's frontier
+    * expansion must equal. */
+  private def bfsSql(hops: Int): String = {
+    val rounds = (1 to hops).map { i =>
+      s"""d$i AS (
+         |  SELECT nid, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT sym.dst AS nid, d${i - 1}.dist + 1 AS dist
+         |    FROM sym JOIN d${i - 1} ON d${i - 1}.nid = sym.src
+         |    UNION ALL
+         |    SELECT nid, dist FROM d${i - 1}
+         |  ) GROUP BY nid)"""
+    }.mkString(",\n")
+    s"""WITH $EdgeCtes,
+       |d0 AS (SELECT n AS nid, CAST(0 AS BIGINT) AS dist FROM nodes WHERE n % 97 = 0),
+       |$rounds
+       |SELECT nid AS item, dist FROM d$hops"""
+  }
+
   private def edges(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.Caching.persistTracked(
       Graph.coOccurrenceEdges(
@@ -135,6 +155,20 @@ object GraphQueries {
       s"""WITH $EdgeCtes,
         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY 1)
         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
-        |FROM deg GROUP BY degree""")
+        |FROM deg GROUP BY degree"""),
+
+    // Multi-source BFS hop distances from the item % 97 seed set,
+    // 4 bounded rounds. The ENGINE expands frontiers (settled nodes
+    // never rejoin); the oracle runs the TEXTBOOK whole-set min-fold —
+    // the hash match is the equivalence proof (the q_triangles
+    // discipline). All-integer distances.
+    "q_bfs_hops" -> QueryDef(
+      (s, dir) => {
+        val e = edges(s, dir)
+        Graph.bfsHops(e,
+          Graph.edgeNodes(e, "item").filter(col("item") % 97 === 0),
+          "item", maxHops = 4)
+      },
+      bfsSql(4))
   )
 }

@@ -120,4 +120,17 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("bfsHops: multi-source min distance, hop bound, unreached absent") {
+    // path 1–2–3–4–5 plus a disconnected pair 10–11; sources {1, 5}
+    val e = edgesOf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    def run(hops: Int) = Graph.bfsHops(e, nodesOf(1L, 5L), "item", maxHops = hops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 3 is 2 hops from BOTH sources; 2 and 4 take the nearer one
+    assert(run(2) == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+    // the hop bound truncates the wave, it never relabels
+    assert(run(1) == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L))
+    // extra rounds past convergence change nothing (frontier drains)
+    assert(run(10) == run(2))
+  }
 }
