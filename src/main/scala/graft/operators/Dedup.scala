@@ -555,6 +555,51 @@ object Dedup {
         coalesce(col("label"), col("nid")).as("cluster_id"))
   }
 
+  /** Incremental connected-components MAINTENANCE — the cluster-closure
+    * analogue of the ingest family ([[lshCandidatesAgainst]],
+    * [[ngramJaccardAgainst]], [[duplicateSpansAgainst]]): fold a new
+    * batch into a STANDING min-id cluster assignment without re-running
+    * CC over the corpus. Existing components contract to their
+    * cluster_id super-node (each already the min id of its members, so
+    * min-label over super-nodes IS min-label over the union), the new
+    * edges map endpoints through the assignment, and CC runs only on
+    * the CONTRACTED graph — sized by the batch's merges, not by the
+    * corpus. Final labels compose through one keyed join; components
+    * the batch never touched keep their label without being read.
+    *
+    * Correctness contract: output ≡ [[connectedComponents]] from
+    * scratch on (old edges ∪ new edges) — q_incremental_cc's oracle
+    * replays the FULL recursive closure, so the hash match is the
+    * equivalence proof.
+    *
+    * @param labels   standing assignment (idCol, cluster_id) — the
+    *                 previous CC output over the corpus
+    * @param newEdges pair list (id1, id2) incident to the batch
+    *                 (batch–batch and batch–corpus; ids must appear in
+    *                 `labels` or `newNodes`)
+    * @param newNodes one row per BATCH node id, disjoint from `labels`
+    *                 (unmatched batch docs become singleton clusters)
+    */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
+                            newNodes: DataFrame, idCol: String): DataFrame = {
+    val base = labels.select(col(idCol).as("nid"), col("cluster_id").as("label"))
+      .union(newNodes.select(col(idCol).as("nid"), col(idCol).as("label")))
+    val contracted = newEdges
+      .join(base.select(col("nid").as("id1"), col("label").as("_l1")), Seq("id1"))
+      .join(base.select(col("nid").as("id2"), col("label").as("_l2")), Seq("id2"))
+      .filter(col("_l1") =!= col("_l2"))
+      .select(least(col("_l1"), col("_l2")).as("id1"),
+        greatest(col("_l1"), col("_l2")).as("id2"))
+      .distinct()
+    val superNodes = contracted.select(col("id1").as("nid"))
+      .union(contracted.select(col("id2").as("nid"))).distinct()
+    val remap = connectedComponents(contracted, superNodes, "nid")
+      .select(col("nid").as("label"), col("cluster_id").as("_new"))
+    base.join(remap, Seq("label"), "left")
+      .select(col("nid").as(idCol),
+        coalesce(col("_new"), col("label")).as("cluster_id"))
+  }
+
   /** Exact substring-containment pairs — the news-wire/boilerplate case
     * Jaccard under-scores (a 50-token article inside a 5000-token page
     * has Jaccard ≈ 0.01 yet is a pure duplicate). A doc is "contained"

@@ -43,6 +43,31 @@ object PipelineQueries {
       |  FROM toks
       |), p AS (SELECT doc_id, unnest(ps, recursive := true) FROM p0)""".stripMargin
 
+  /** From-scratch recursive-closure CC over the full ≥0.5-Jaccard pair
+    * graph — shared verbatim by q_dedup_clusters (engine: fixpoint
+    * min-label) and q_incremental_cc (engine: contracted-graph
+    * maintenance): one oracle, two engine paths, each hash match an
+    * equivalence proof. */
+  private val DedupClustersSql =
+    s"""WITH RECURSIVE $Shingle3Ctes,
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |co AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id1, id2 FROM co
+      |  JOIN sizes s1 ON s1.doc_id = co.id1 JOIN sizes s2 ON s2.doc_id = co.id2
+      |  WHERE common / (s1.sz + s2.sz - common) >= 0.5),
+      |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+      |          UNION ALL SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+      |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Benchmark decontamination: training docs (doc_id % 97 <> 0)
@@ -133,24 +158,38 @@ object PipelineQueries {
         graft.operators.Dedup.connectedComponents(
           pairs, docs.select(col("doc_id")), "doc_id")
       },
-      s"""WITH RECURSIVE $Shingle3Ctes,
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |co AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id1, id2 FROM co
-        |  JOIN sizes s1 ON s1.doc_id = co.id1 JOIN sizes s2 ON s2.doc_id = co.id2
-        |  WHERE common / (s1.sz + s2.sz - common) >= 0.5),
-        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-        |          UNION ALL SELECT id2, id1 FROM pairs),
-        |reach AS (
-        |  SELECT doc_id AS id, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
-        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY id"""),
+      DedupClustersSql),
+
+    // Incremental cluster maintenance: the standing corpus's CC
+    // assignment absorbs the % 13 batch — batch–batch and batch–corpus
+    // ≥0.5-Jaccard pairs contract through the assignment, CC runs only
+    // on the contracted merge graph, labels compose back through one
+    // keyed join. The oracle is the FROM-SCRATCH closure over ALL
+    // docs (same SQL as q_dedup_clusters), so the hash match proves
+    // incremental ≡ re-run — the maintenance contract a 100 TB corpus
+    // needs at every ingest.
+    "q_incremental_cc" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+        val batch = docs.filter(col("doc_id") % 13 === 0)
+        val standing = graft.operators.Dedup.connectedComponents(
+          graft.operators.Dedup
+            .ngramJaccardPairs(corpus, "doc_id", "text", shingleN = 3, minJaccard = 0.5)
+            .select(col("id1"), col("id2")),
+          corpus.select(col("doc_id")), "doc_id")
+        val batchPairs = graft.operators.Dedup
+          .ngramJaccardPairs(batch, "doc_id", "text", shingleN = 3, minJaccard = 0.5)
+          .select(col("id1"), col("id2"))
+        val crossPairs = graft.operators.Dedup
+          .ngramJaccardAgainst(corpus, batch, "doc_id", "text",
+            shingleN = 3, minJaccard = 0.5)
+          .select(col("corpus_id").as("id1"), col("new_id").as("id2"))
+        graft.operators.Dedup.incrementalComponents(
+          standing, batchPairs.union(crossPairs),
+          batch.select(col("doc_id")), "doc_id")
+      },
+      DedupClustersSql),
 
     // Corpus-relative quality gate: keep docs at or above the corpus
     // 25th percentile of token count. The exact-percentile threshold is

@@ -398,6 +398,27 @@ class DedupSpec extends SparkSpec {
       gramN = 3, minSpanTokens = 5, maxGramFreq = 20).isEmpty)
   }
 
+  test("incrementalComponents: batch merges standing clusters; ≡ from-scratch CC") {
+    import spark.implicits._
+    // standing: {1,2} labeled 1, {3} labeled 3, {5} labeled 5
+    val standing = Seq((1L, 1L), (2L, 1L), (3L, 3L), (5L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val batch = Seq(10L, 11L).toDF("doc_id")
+    // batch doc 10 bridges clusters 1 and 3; 11 stays a singleton
+    val newEdges = Seq((10L, 2L), (10L, 3L)).toDF("id1", "id2")
+    val inc = Dedup.incrementalComponents(standing, newEdges, batch, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 10L -> 1L, 11L -> 11L))
+    // equivalence: composing through the contraction equals CC from
+    // scratch on (old edges ∪ new edges ∪ all nodes)
+    val oldEdges = Seq((1L, 2L)).toDF("id1", "id2")
+    val allNodes = Seq(1L, 2L, 3L, 5L, 10L, 11L).toDF("doc_id")
+    val scratch = Dedup.connectedComponents(
+        oldEdges.union(newEdges), allNodes, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == scratch)
+  }
+
   test("prefixJaccardPairs ≡ exact all-pairs Jaccard at the same threshold") {
     import spark.implicits._
     // near-dup pair (1,2), a shared-boilerplate-but-below-threshold pair
