@@ -243,4 +243,37 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       s"rank window added a second exchange:\n$p")
   }
+
+  test("q_prefix_jaccard: shingle-keyed candidate join only; prefix window keyed per doc") {
+    val p = planOf("q_prefix_jaccard")
+    assert(!p.contains("CartesianProduct"), s"all-pairs product in the prefix path:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi join in the prefix path:\n$p")
+    // the prefix-selection window partitions by doc, never globally
+    assert(p.contains("windowspecdefinition(id#"), s"prefix window lost its key:\n$p")
+    // the distinct (id, shingle) frame is cached once and feeds df,
+    // sizes, the prefix window and both verification joins
+    assert(p.contains("InMemoryTableScan"), s"shingle frame not shared:\n$p")
+    Caching.release()
+  }
+
+  test("q_self_repetition: per-doc keyed self-join; islands window on (doc, diagonal)") {
+    val p = planOf("q_self_repetition")
+    assert(!p.contains("CartesianProduct"), s"all-pairs product in the repetition path:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+    assert(p.contains("windowspecdefinition(id#"), s"islands window lost its keys:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"gram frame not shared:\n$p")
+    Caching.release()
+  }
+
+  test("q_ann_ingest: code-table scan + broadcast batch LUTs; exact rerank only via keyed joins") {
+    val p = planOf("q_ann_ingest")
+    assert(p.contains("TopKPerKeyExec"), s"native heap shortlist lost:\n$p")
+    // the ADC scan is codes × broadcast query LUTs (inequality join →
+    // BroadcastNestedLoopJoin is EXPECTED here and bounded by |batch|);
+    // what must never appear is a partitioned cartesian product
+    assert(!p.contains("CartesianProduct"), s"partitioned all-pairs product:\n$p")
+    // the rerank fetches vectors through keyed equi-joins
+    assert(p.contains("Join") && p.contains("neighbor_id"),
+      s"keyed rerank fetch lost:\n$p")
+  }
 }
