@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.operators.{Profile, ZOrder}
+import graft.operators.{Cms, Hll, Profile, ZOrder}
 
 /** Table-profiling surface: one-scan per-column profile and equi-width
   * histogram over `lineitem`. The oracle SQL is GENERATED from the same
@@ -74,6 +74,76 @@ object ProfileQueries {
           ZOrder.zkey2(col("l_partkey"), col("l_suppkey")).as("zkey")),
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       ${ZOrder.zkey2Sql("l_partkey", "l_suppkey")} AS zkey
-        |FROM lineitem""")
+        |FROM lineitem"""),
+
+    // Portable HLL distinct-order estimate per returnflag beside the
+    // exact count — the ONLY hash-verified cardinality sketch in the
+    // registry (q_events_hourly_hll's HLL++ is rows-only by design:
+    // engine-private registers). All-integer register state, one final
+    // IEEE division; see operators/Hll for the 2⁵⁵-scaled harmonic.
+    "q_hll_card" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.groupBy(col("l_returnflag"))
+          .agg(count_distinct(col("l_orderkey")).as("n_exact"))
+          .join(Hll.cardinality(li, Seq("l_returnflag"), col("l_orderkey")),
+            Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_exact"), col("regs_hit"),
+            col("harmonic"), col("hll_estimate"))
+      },
+      s"""WITH h AS (
+        |  SELECT l_returnflag,
+        |         CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, h // 18014398509481984 AS reg,
+        |         CAST(CASE WHEN h % 18014398509481984 = 0 THEN 55
+        |              ELSE 55 - length(bin(h % 18014398509481984)) END AS BIGINT) AS rho
+        |  FROM h),
+        |m AS (SELECT l_returnflag, reg, max(rho) AS mx FROM r GROUP BY 1, 2),
+        |s AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS BIGINT) AS regs_hit,
+        |         CAST(sum(1::BIGINT << CAST(55 - mx AS INT)) + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS harmonic
+        |  FROM m GROUP BY 1),
+        |x AS (SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+        |      FROM lineitem GROUP BY 1)
+        |SELECT s.l_returnflag, x.n_exact, s.regs_hit, s.harmonic,
+        |       CAST('${Hll.EstNumerator.toString}' AS DOUBLE) / CAST(s.harmonic AS DOUBLE) AS hll_estimate
+        |FROM s JOIN x ON x.l_returnflag = s.l_returnflag"""),
+
+    // Count-min point estimates for EVERY distinct partkey vs exact —
+    // counter values are pure sums (no merge-order dependence), so the
+    // sketch estimates themselves hash-verify; overcount ≥ 0 is the
+    // CMS one-sided guarantee, pinned per-row in CmsSpec.
+    "q_cms_freq" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val sketch = Cms.counters(li, col("l_partkey"))
+        val est = Cms.pointEstimates(sketch,
+          li.select(col("l_partkey")).distinct(), "l_partkey")
+        li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_exact"))
+          .join(est, Seq("l_partkey"))
+          .select(col("l_partkey"), col("n_exact"), col("cms_estimate"),
+            (col("cms_estimate") - col("n_exact")).as("overcount"))
+      },
+      s"""WITH seeds AS (SELECT unnest(generate_series(0, ${Cms.D - 1})) AS seed),
+        |hx AS (
+        |  SELECT seed,
+        |         CAST(concat('0x', substr(md5(concat('cms', CAST(seed AS VARCHAR), ':', CAST(l_partkey AS VARCHAR))), 1, 15)) AS BIGINT) % ${Cms.W} AS bucket
+        |  FROM lineitem CROSS JOIN seeds),
+        |counters AS (SELECT seed, bucket, CAST(count(*) AS BIGINT) AS c FROM hx GROUP BY 1, 2),
+        |items AS (SELECT DISTINCT l_partkey FROM lineitem),
+        |ib AS (
+        |  SELECT l_partkey, seed,
+        |         CAST(concat('0x', substr(md5(concat('cms', CAST(seed AS VARCHAR), ':', CAST(l_partkey AS VARCHAR))), 1, 15)) AS BIGINT) % ${Cms.W} AS bucket
+        |  FROM items CROSS JOIN seeds),
+        |est AS (
+        |  SELECT l_partkey, CAST(min(c) AS BIGINT) AS cms_estimate
+        |  FROM ib JOIN counters USING (seed, bucket) GROUP BY 1),
+        |x AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_exact FROM lineitem GROUP BY 1)
+        |SELECT x.l_partkey, x.n_exact, est.cms_estimate,
+        |       CAST(est.cms_estimate - x.n_exact AS BIGINT) AS overcount
+        |FROM x JOIN est USING (l_partkey)""")
   )
 }
