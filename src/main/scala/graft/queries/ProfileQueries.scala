@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.operators.{Cms, Hll, Profile, ZOrder}
+import graft.operators.{Cms, Hll, Kmv, Profile, ZOrder}
 
 /** Table-profiling surface: one-scan per-column profile and equi-width
   * histogram over `lineitem`. The oracle SQL is GENERATED from the same
@@ -144,6 +144,76 @@ object ProfileQueries {
         |x AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_exact FROM lineitem GROUP BY 1)
         |SELECT x.l_partkey, x.n_exact, est.cms_estimate,
         |       CAST(est.cms_estimate - x.n_exact AS BIGINT) AS overcount
-        |FROM x JOIN est USING (l_partkey)""")
+        |FROM x JOIN est USING (l_partkey)"""),
+
+    // KMV/theta distinct estimate per returnflag beside the exact
+    // count — the third portable sketch: unlike HLL the state is the
+    // k smallest hashes themselves (selected on the native bounded-heap
+    // operator), so the SAME sketch also answers set algebra below.
+    "q_kmv_card" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.groupBy(col("l_returnflag"))
+          .agg(count_distinct(col("l_orderkey")).as("n_exact"))
+          .join(Kmv.estimateDistinct(
+            Kmv.sketch(li, Seq("l_returnflag"), col("l_orderkey")),
+            Seq("l_returnflag")), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_exact"), col("n_sk"),
+            col("theta"), col("kmv_estimate"))
+      },
+      s"""WITH hv AS (
+        |  SELECT DISTINCT l_returnflag AS tag,
+        |         CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |sk AS (
+        |  SELECT tag, h FROM (
+        |    SELECT tag, h, row_number() OVER (PARTITION BY tag ORDER BY h) AS rn FROM hv)
+        |  WHERE rn <= ${Kmv.K}),
+        |thetas AS (SELECT tag, CAST(count(*) AS BIGINT) AS n_sk, max(h) AS theta FROM sk GROUP BY 1),
+        |x AS (SELECT l_returnflag AS tag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+        |      FROM lineitem GROUP BY 1)
+        |SELECT x.tag AS l_returnflag, x.n_exact, t.n_sk, t.theta,
+        |       CASE WHEN t.n_sk < ${Kmv.K} THEN CAST(t.n_sk AS DOUBLE)
+        |            ELSE CAST('${Kmv.EstNumerator.toString}' AS DOUBLE) / CAST(t.theta AS DOUBLE) END AS kmv_estimate
+        |FROM x JOIN thetas t ON t.tag = x.tag"""),
+
+    // Theta-sketch set algebra: pairwise order-set overlap between
+    // returnflags from the ≤ k-row sketches alone — intersection/union
+    // cardinalities and Jaccard without rescanning lineitem. Every
+    // count is an integer; the two estimate columns share one
+    // (H / θ*) division, replayed exactly.
+    "q_kmv_overlap" -> QueryDef(
+      (s, dir) => Kmv.overlap(
+        Kmv.sketch(Tables.lineitem(s, dir), Seq("l_returnflag"), col("l_orderkey")),
+        "l_returnflag"),
+      s"""WITH hv AS (
+        |  SELECT DISTINCT l_returnflag AS tag,
+        |         CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |sk AS (
+        |  SELECT tag, h FROM (
+        |    SELECT tag, h, row_number() OVER (PARTITION BY tag ORDER BY h) AS rn FROM hv)
+        |  WHERE rn <= ${Kmv.K}),
+        |thetas AS (SELECT tag, CAST(count(*) AS BIGINT) AS n_sk, max(h) AS theta FROM sk GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.tag AS tag_a, b.tag AS tag_b, least(a.theta, b.theta) AS theta_min
+        |  FROM thetas a JOIN thetas b ON a.tag < b.tag),
+        |ac AS (
+        |  SELECT p.tag_a, p.tag_b, p.theta_min,
+        |         CAST(count(*) AS BIGINT) AS n_a_lt, CAST(count(sb.h) AS BIGINT) AS n_common
+        |  FROM pairs p
+        |  JOIN sk sa ON sa.tag = p.tag_a AND sa.h < p.theta_min
+        |  LEFT JOIN sk sb ON sb.tag = p.tag_b AND sb.h = sa.h
+        |  GROUP BY 1, 2, 3),
+        |bc AS (
+        |  SELECT p.tag_a, p.tag_b, CAST(count(*) AS BIGINT) AS n_b_lt
+        |  FROM pairs p JOIN sk sb ON sb.tag = p.tag_b AND sb.h < p.theta_min
+        |  GROUP BY 1, 2)
+        |SELECT ac.tag_a, ac.tag_b, ac.n_common,
+        |       CAST(ac.n_a_lt + bc.n_b_lt - ac.n_common AS BIGINT) AS n_either,
+        |       CAST(ac.n_common AS DOUBLE) * (CAST('${Kmv.HashSpace.toString}' AS DOUBLE) / CAST(ac.theta_min AS DOUBLE)) AS inter_est,
+        |       CAST(ac.n_a_lt + bc.n_b_lt - ac.n_common AS DOUBLE) * (CAST('${Kmv.HashSpace.toString}' AS DOUBLE) / CAST(ac.theta_min AS DOUBLE)) AS union_est,
+        |       CAST(ac.n_common AS DOUBLE) / CAST(ac.n_a_lt + bc.n_b_lt - ac.n_common AS DOUBLE) AS jaccard_est
+        |FROM ac JOIN bc USING (tag_a, tag_b)""")
   )
 }

@@ -265,6 +265,29 @@ class PlanAuditSpec extends SparkSpec {
     Caching.release()
   }
 
+  test("q_kmv_overlap: one native-heap sketch build, shared by all four consumers") {
+    // tree walk, not string match: InMemoryTableScan REPRINTS the cached
+    // build at every scan site, so string-counting TopKPerKeyExec
+    // overcounts; plan.collect does not descend into the cache
+    val exec = SparkEntry.queries("q_kmv_overlap")(spark, sf001)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val all = nodes(exec)
+    val scans = all.collect { case s: InMemoryTableScanExec => s }
+    assert(scans.size >= 4, s"sketch cache not shared by all consumers:\n$exec")
+    assert(all.collect { case t: graft.plans.TopKPerKeyExec => t }.isEmpty,
+      s"heap selection re-planned outside the cached sketch:\n$exec")
+    assert(scans.head.relation.cachedPlan.toString.contains("TopKPerKeyExec"),
+      "cached sketch build lost the native heap")
+    Caching.release()
+  }
+
   test("q_ann_ingest: code-table scan + broadcast batch LUTs; exact rerank only via keyed joins") {
     val p = planOf("q_ann_ingest")
     assert(p.contains("TopKPerKeyExec"), s"native heap shortlist lost:\n$p")

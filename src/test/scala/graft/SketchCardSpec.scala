@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Cms, Hll}
+import graft.operators.{Cms, Hll, Kmv}
 
 /** Portable HLL + count-min sketch invariants: the properties a row
   * hash cannot see (mergeability, one-sided error, register bounds)
@@ -52,6 +52,63 @@ class SketchCardSpec extends SparkSpec {
     // 500 items in 4×2048 buckets: expect ≥95% collision-free rows
     val exactFrac = joined.filter(col("cms_estimate") === col("n")).count() / 500.0
     assert(exactFrac >= 0.95, s"only $exactFrac of estimates exact")
+  }
+
+  test("Kmv: sketch bounded at K, exact below K, estimate within 15% above it") {
+    val li = Tables.lineitem(spark, sf001)
+    val sk = Kmv.sketch(li, Seq("l_returnflag"), col("l_orderkey"))
+    val sizes = sk.groupBy(col("l_returnflag")).count().collect()
+    assert(sizes.forall(_.getAs[Long]("count") <= Kmv.K))
+    // small set → sketch is the whole set and the estimate is exact
+    val small = (1L to 100L).toDF("k").withColumn("g", lit("x"))
+    val se = Kmv.estimateDistinct(
+      Kmv.sketch(small, Seq("g"), col("k")), Seq("g")).collect().head
+    assert(se.getAs[Long]("n_sk") == 100 && se.getAs[Double]("kmv_estimate") == 100.0)
+    // real cardinality (~1.1k per flag at sf0.001) → unbiased ±1/√(k−2)
+    val joined = Kmv.estimateDistinct(sk, Seq("l_returnflag"))
+      .join(li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_exact")), Seq("l_returnflag"))
+      .collect()
+    joined.foreach { r =>
+      val e = r.getAs[Long]("n_exact"); val a = r.getAs[Double]("kmv_estimate")
+      assert(math.abs(a - e) <= 0.15 * e, s"${r.get(0)}: exact=$e est=$a")
+    }
+  }
+
+  test("Kmv: shard sketches merge by re-trimming the union of hash lists") {
+    val li = Tables.lineitem(spark, sf001)
+    def trim(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TopK.perGroupNative(
+        df.withColumn("negh", -col("h")), Seq("l_returnflag"), "negh",
+        Seq.empty, Kmv.K).drop("negh")
+    val merged = trim(
+      Kmv.sketch(li.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"), col("l_orderkey"))
+        .unionByName(Kmv.sketch(li.filter(col("l_orderkey") % 2 =!= 0),
+          Seq("l_returnflag"), col("l_orderkey")))
+        .distinct())
+    val direct = Kmv.sketch(li, Seq("l_returnflag"), col("l_orderkey"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "re-trimmed shard union diverges from the direct sketch")
+  }
+
+  test("Kmv: pairwise overlap estimates track exact set algebra") {
+    val li = Tables.lineitem(spark, sf001)
+    val ov = Kmv.overlap(
+      Kmv.sketch(li, Seq("l_returnflag"), col("l_orderkey")), "l_returnflag")
+      .collect()
+    assert(ov.length == 3, s"expected 3 flag pairs, got ${ov.length}")
+    val sets = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    ov.foreach { r =>
+      val a = sets(r.getAs[String]("tag_a")); val b = sets(r.getAs[String]("tag_b"))
+      val exactJ = (a & b).size.toDouble / (a | b).size
+      val exactI = (a & b).size.toDouble
+      assert(math.abs(r.getAs[Double]("jaccard_est") - exactJ) <= 0.15,
+        s"jaccard ${r.getAs[Double]("jaccard_est")} vs exact $exactJ")
+      assert(math.abs(r.getAs[Double]("inter_est") - exactI) <= 0.25 * exactI,
+        s"intersection ${r.getAs[Double]("inter_est")} vs exact $exactI")
+    }
   }
 
   test("Cms: shard sketches merge by summing counters") {
