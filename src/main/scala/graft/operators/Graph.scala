@@ -29,18 +29,23 @@ object Graph {
     */
   def coOccurrenceEdges(baskets: DataFrame, basketCol: String, itemCol: String,
                         minSupport: Long, maxBasketSize: Option[Int] = None): DataFrame = {
-    val items0 = baskets
+    import graft.functions.PairsGenerator.pairs
+    // collect_set dedups in the partial agg (map-side), PairsGenerator
+    // canonicalizes (x < y) and emits pairs map-side: TWO keyed
+    // shuffles total (basket gather + pair count) vs the textbook
+    // distinct + window-cap + self-join's four — the q_assoc_rules_gen
+    // measurement (4.6 → 1.2 s at 1M baskets) applied to the graph
+    // family's shared edge build (the q_degree_dist oracle still runs
+    // the self-join formulation; its hash match is the equivalence
+    // proof)
+    val sets = baskets
       .select(col(basketCol).cast("long").as("bid"), col(itemCol).as("item"))
-      .distinct()
-    val items = maxBasketSize match {
-      case Some(cap) =>
-        items0.withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("bid"))))
-          .filter(col("_bsz") <= cap).drop("_bsz")
-      case None => items0
+      .groupBy(col("bid")).agg(collect_set(col("item")).as("items"))
+    val capped = maxBasketSize match {
+      case Some(cap) => sets.filter(size(col("items")) <= cap)
+      case None => sets
     }
-    val a = items.select(col("bid"), col("item").as("src"))
-    val b = items.select(col("bid"), col("item").as("dst"))
-    a.join(b, Seq("bid")).filter(col("src") < col("dst"))
+    capped.select(pairs(col("items")).as(Seq("src", "dst")))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
       .filter(col("weight") >= minSupport)
   }

@@ -128,16 +128,16 @@ object ProfileQueries {
             (col("cms_estimate") - col("n_exact")).as("overcount"))
       },
       s"""WITH seeds AS (SELECT unnest(generate_series(0, ${Cms.D - 1})) AS seed),
-        |hx AS (
-        |  SELECT seed,
-        |         CAST(concat('0x', substr(md5(concat('cms', CAST(seed AS VARCHAR), ':', CAST(l_partkey AS VARCHAR))), 1, 15)) AS BIGINT) % ${Cms.W} AS bucket
-        |  FROM lineitem CROSS JOIN seeds),
+        |hv AS (
+        |  SELECT CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |hx AS (SELECT seed, (h >> (seed * 11)) % ${Cms.W} AS bucket FROM hv CROSS JOIN seeds),
         |counters AS (SELECT seed, bucket, CAST(count(*) AS BIGINT) AS c FROM hx GROUP BY 1, 2),
-        |items AS (SELECT DISTINCT l_partkey FROM lineitem),
-        |ib AS (
-        |  SELECT l_partkey, seed,
-        |         CAST(concat('0x', substr(md5(concat('cms', CAST(seed AS VARCHAR), ':', CAST(l_partkey AS VARCHAR))), 1, 15)) AS BIGINT) % ${Cms.W} AS bucket
-        |  FROM items CROSS JOIN seeds),
+        |items AS (SELECT DISTINCT l_partkey,
+        |          CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |          FROM lineitem),
+        |ib AS (SELECT l_partkey, seed, (h >> (seed * 11)) % ${Cms.W} AS bucket
+        |       FROM items CROSS JOIN seeds),
         |est AS (
         |  SELECT l_partkey, CAST(min(c) AS BIGINT) AS cms_estimate
         |  FROM ib JOIN counters USING (seed, bucket) GROUP BY 1),
