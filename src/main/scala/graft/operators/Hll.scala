@@ -59,13 +59,17 @@ object Hll {
       .agg(max(col("rho")).as("mx"))
   }
 
-  /** Merge two register frames over the same keys — the distributed
-    * rollup: max is associative and idempotent, so shard sketches
-    * combine without rescanning raw data. */
-  def merge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
-    a.unionByName(b)
-      .groupBy(keyCols.map(col) :+ col("reg"): _*)
+  /** Roll register frames up to coarser keys (drop dimensions, e.g.
+    * (type, day) sketches → per-type): max is associative and
+    * idempotent, so pre-aggregated shard/partition/day sketches combine
+    * without rescanning raw data — the 100 TB maintenance contract. */
+  def mergeAll(regs: DataFrame, keyCols: Seq[String]): DataFrame =
+    regs.groupBy(keyCols.map(col) :+ col("reg"): _*)
       .agg(max(col("mx")).as("mx"))
+
+  /** Merge two register frames over the same keys. */
+  def merge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    mergeAll(a.unionByName(b), keyCols)
 
   /** Collapse registers to (keys…, regs_hit, harmonic, hll_estimate):
     * S = Σ 2^(55−mx) + (m − hit)·2⁵⁵ exactly in BIGINT, then the one

@@ -146,6 +146,47 @@ object ProfileQueries {
         |       CAST(est.cms_estimate - x.n_exact AS BIGINT) AS overcount
         |FROM x JOIN est USING (l_partkey)"""),
 
+    // HLL ROLLUP — the way the sketch is actually used at 100 TB: daily
+    // per-type register frames (what an ingest job would persist beside
+    // each partition) merged to per-type registers by max, WITHOUT
+    // rescanning events; the oracle replays the daily→merged path, so
+    // the hash match proves rollup ≡ direct on real data. Same output
+    // contract as q_hll_card.
+    "q_hll_merge" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val daily = Hll.registers(
+          ev.withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+          Seq("event_type", "day"), col("user_id"))
+        ev.groupBy(col("event_type"))
+          .agg(count_distinct(col("user_id")).as("n_exact"))
+          .join(Hll.estimate(Hll.mergeAll(daily, Seq("event_type")),
+            Seq("event_type")), Seq("event_type"))
+          .select(col("event_type"), col("n_exact"), col("regs_hit"),
+            col("harmonic"), col("hll_estimate"))
+      },
+      s"""WITH h AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, day, h // 18014398509481984 AS reg,
+        |         CAST(CASE WHEN h % 18014398509481984 = 0 THEN 55
+        |              ELSE 55 - length(bin(h % 18014398509481984)) END AS BIGINT) AS rho
+        |  FROM h),
+        |daily AS (SELECT event_type, day, reg, max(rho) AS mx FROM r GROUP BY 1, 2, 3),
+        |m AS (SELECT event_type, reg, max(mx) AS mx FROM daily GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS BIGINT) AS regs_hit,
+        |         CAST(sum(1::BIGINT << CAST(55 - mx AS INT)) + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS harmonic
+        |  FROM m GROUP BY 1),
+        |x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |      FROM events GROUP BY 1)
+        |SELECT s.event_type, x.n_exact, s.regs_hit, s.harmonic,
+        |       CAST('${Hll.EstNumerator.toString}' AS DOUBLE) / CAST(s.harmonic AS DOUBLE) AS hll_estimate
+        |FROM s JOIN x ON x.event_type = s.event_type"""),
+
     // KMV/theta distinct estimate per returnflag beside the exact
     // count — the third portable sketch: unlike HLL the state is the
     // k smallest hashes themselves (selected on the native bounded-heap
