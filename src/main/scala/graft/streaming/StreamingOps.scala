@@ -248,4 +248,63 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  // ------------------------- streaming cardinality: HLL registers ----
+
+  final case class HllRegs(mx: Seq[Long])
+  final case class HllEstimate(event_type: String, regs_hit: Long,
+                               harmonic: Long, hll_estimate: Double)
+
+  /** JVM replica of [[graft.operators.Dedup.portableHash64]]'s column
+    * expression (md5 hex, first 15 chars base-16): StreamingHllSpec
+    * pins the streamed registers EQUAL to the batch sketch, which only
+    * holds if this hash is bit-identical to the SQL one. */
+  private[graft] def portableHash64Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) >>> 4
+  }
+
+  /** Per-event-type distinct-user cardinality over an unbounded stream
+    * with BOUNDED state: the [[graft.operators.Hll]] register array (64
+    * longs per key, ever) maintained in a typed ValueState, one updated
+    * estimate row per key per micro-batch. A windowed count-distinct
+    * holds every key it has seen; this holds 512 bytes per group key no
+    * matter how many users flow through — the streaming face of the
+    * batch sketch, and the two agree EXACTLY (same hash, same integer
+    * registers, same single division; pinned by StreamingHllSpec).
+    */
+  class HllProcessor extends StatefulProcessor[String, Ev, HllEstimate] {
+    @transient private var state: ValueState[HllRegs] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[HllRegs]("hll", Encoders.product[HllRegs],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[HllEstimate] = {
+      val m = graft.operators.Hll.M
+      val regs = Option(state.get()).map(_.mx.toArray).getOrElse(new Array[Long](m))
+      rows.foreach { e =>
+        val h = portableHash64Jvm(e.user_id.toString)
+        val reg = (h >>> 54).toInt
+        val rest = h & ((1L << 54) - 1)
+        val rho = if (rest == 0) 55L else 55L - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+        if (rho > regs(reg)) regs(reg) = rho
+      }
+      state.update(HllRegs(regs.toSeq))
+      val hit = regs.count(_ > 0)
+      val harmonic = regs.filter(_ > 0).map(mx => 1L << (55 - mx).toInt).sum +
+        (m - hit).toLong * (1L << 55)
+      Iterator.single(HllEstimate(key, hit.toLong, harmonic,
+        graft.operators.Hll.EstNumerator / harmonic.toDouble))
+    }
+  }
+
+  def distinctUsersSketch(events: Dataset[Ev]): Dataset[HllEstimate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new HllProcessor, TimeMode.None(), OutputMode.Update())
+  }
 }

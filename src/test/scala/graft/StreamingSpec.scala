@@ -182,6 +182,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming HLL: streamed registers agree EXACTLY with the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = util.Try(spark.conf.get("spark.sql.streaming.stateStore.providerClass")).toOption
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 400 users across 2 types, split over two micro-batches so the
+      // register state must survive the batch boundary
+      val batch1 = (1L to 250L).map(u => Ev(u, ts(0), if (u % 2 == 0) "click" else "view", 0.0))
+      val batch2 = (200L to 400L).map(u => Ev(u, ts(1), if (u % 2 == 0) "click" else "view", 0.0))
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.distinctUsersSketch(ms.toDS())
+        .writeStream.format("memory").queryName("hll_stream").outputMode("update").start()
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+      q.stop()
+      // update mode: harmonic only decreases as registers grow — min is
+      // the final state per key
+      val streamed = spark.table("hll_stream")
+        .groupBy("event_type").agg(min("harmonic").as("harmonic"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.Hll.cardinality(
+        (batch1 ++ batch2).toDF(), Seq("event_type"), col("user_id"))
+        .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("harmonic")).toMap
+      assert(streamed == batch,
+        s"streamed registers diverge from batch sketch: $streamed vs $batch")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream join attributes clicks to impressions within the window") {
     import java.sql.Timestamp
     import spark.implicits._
