@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, PairsGenerator, SketchAggs}
+import graft.functions.{CosineSimilarity, PairsGenerator, PortableHash60, SketchAggs}
 
 /** Session extension wiring: registers the engine's custom Catalyst
   * expressions as SQL functions, so the pure-SQL surface has the same
@@ -47,6 +47,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         requireArity("cosine_similarity", args, _ == 2)
         CosineSimilarity(args(0), args(1))
+      }),
+    (FunctionIdentifier("portable_hash60"),
+      info("portable_hash60", "_FUNC_(s) - md5-derived 60-bit hash, bit-identical to CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) in DuckDB"),
+      (args: Seq[Expression]) => {
+        requireArity("portable_hash60", args, _ == 1)
+        PortableHash60(args.head)
       }),
     (FunctionIdentifier("pairs"),
       info("pairs", "_FUNC_(arr) - generates every canonical (x < y) pair from an array"),

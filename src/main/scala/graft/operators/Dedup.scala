@@ -45,7 +45,7 @@ object Dedup {
     * use `portable = true` only where cross-engine reproducibility
     * matters more than throughput. */
   def portableHash64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.PortableHash60(c.cast("string"))
 
   /** MinHash signatures: (id, sig ARRAY<LONG>[numHashes]).
     *

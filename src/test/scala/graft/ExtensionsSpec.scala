@@ -47,6 +47,11 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairRows == Set(("a", "b"), ("a", "c"), ("b", "c")))
 
+    val ph = s.sql(
+      "SELECT portable_hash60('42') AS h, conv(substring(md5('42'), 1, 15), 16, 10) AS c")
+      .collect().head
+    assert(ph.getLong(0) == ph.getString(1).toLong, "portable_hash60 != composed md5 form")
+
     val sig = s.sql(
       """SELECT minhash_agg(xxhash64(t), 8) AS sig FROM (SELECT explode(array('x','y','z')) AS t)""")
       .collect().head.getAs[scala.collection.Seq[Long]]("sig")
