@@ -104,11 +104,19 @@ object Graph {
     * (key −label < every real key) keeps isolated nodes at their own
     * label without a left join.
     *
+    * checkpointInterval DEFAULTS TO 1 and must stay there for any real
+    * round count: each round references the previous `labels` TWICE
+    * (neighbor join + sentinel union), so an uncheckpointed chain
+    * doubles the plan per round — measured 1.9/2.8/5.5/14.1 s for
+    * rounds 1–4 at sf0.1 before, linear 2.7 s (4 rounds) after. The
+    * lazy localCheckpoint makes both references share one RDD with no
+    * extra driver action (the CC loop discipline).
+    *
     * @return (idCol, label BIGINT) — community = shared label
     */
   def labelPropagation(edges: DataFrame, nodes: DataFrame, idCol: String,
                        iterations: Int = 4,
-                       checkpointInterval: Int = 8): DataFrame = {
+                       checkpointInterval: Int = 1): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     val sym = edges.select(col("src"), col("dst"))

@@ -265,6 +265,22 @@ class PlanAuditSpec extends SparkSpec {
     Caching.release()
   }
 
+  test("q_cms_freq: counter table broadcast to the estimate join; map-side combine in the build") {
+    val p = planOf("q_cms_freq")
+    assert(p.contains("BroadcastHashJoin"), s"counter table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
+    // the build's partial aggregate combines to ≤ d·w rows per task
+    // BEFORE the exchange — the constant-state contract
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"sketch build lost its map-side combine:\n$p")
+  }
+
+  test("q_hll_card: register build is one two-level keyed agg, no Expand") {
+    val p = planOf("q_hll_card")
+    assert(!p.contains("Expand"), s"multi-distinct Expand crept into the sketch path:\n$p")
+    assert(p.contains("partial_max"), s"register max lost its map-side combine:\n$p")
+  }
+
   test("q_kmv_overlap: one native-heap sketch build, shared by all four consumers") {
     // tree walk, not string match: InMemoryTableScan REPRINTS the cached
     // build at every scan site, so string-counting TopKPerKeyExec

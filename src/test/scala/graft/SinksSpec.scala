@@ -24,6 +24,19 @@ class SinksSpec extends SparkSpec {
     assert(out.collect().length == out.count())
   }
 
+  test("orc sink round-trips with predicate pushdown at the scan") {
+    val out = SparkEntry.queries("q_join_broadcast")(spark, sf001)
+    val base = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    out.write.orc(s"$base/orc")
+    val back = spark.read.orc(s"$base/orc")
+    assert(back.orderBy("r_name", "n_name").collect().map(_.toSeq).toSeq ==
+      out.orderBy("r_name", "n_name").collect().map(_.toSeq).toSeq)
+    // ORC scans carry search arguments like parquet carries PushedFilters
+    val plan = back.filter(col("n_cust") > 2L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_cust), GreaterThan(n_cust,2)]"),
+      s"filter did not reach the ORC scan:\n$plan")
+  }
+
   test("hive-partitioned layout prunes non-matching partitions at the scan") {
     // the 100 TB ingest posture: partition the lake by a low-cardinality
     // routing column so per-stratum queries touch only their directories
