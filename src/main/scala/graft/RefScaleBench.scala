@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{AssocRules, TopK}
+import graft.operators.{AssocRules, Dedup, TopK}
 import graft.sources.{BillingReader, DataGen}
 
 /** Apples-to-apples run at the reference authors' own scale: 1,000,000
@@ -61,6 +61,35 @@ object RefScaleBench {
     time2("q3-rules-generator") {
       AssocRules.rulesFromBasketArrays(baskets.select(col("billId"), col("items")), "items").count()
     }
+
+    // ------------------------------------------------ dedup at doc scale
+    // The reference has no dedup surface; these rows put the curation
+    // operators on the same apples-to-apples footing (seeded corpus,
+    // known duplicate structure, raw ingest through each stage). Docs
+    // default to n/5 (200k at the reference's 1M lines) — ~12M token
+    // shingles through the MinHash agg, the heaviest stage.
+    val nDocs = args.drop(1).headOption.map(_.toLong).getOrElse(n / 5L)
+    time("gen-docs")(DataGen.documents(spark, nDocs)
+      .write.parquet(s"$dir/docs"))
+    val docs = spark.read.parquet(s"$dir/docs")
+    def released(f: => Long): Long = try f finally Caching.release()
+    time2("d-exact-dedup") { released {
+      Dedup.exact(docs, "doc_id", Seq("text")).count()
+    }}
+    time2("d-minhash-sigs") { released {
+      Dedup.minhashSignatures(docs, "doc_id", "text").count()
+    }}
+    time2("d-lsh-pipeline") { released {
+      Dedup.lshCandidates(
+        Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id").count()
+    }}
+    time2("d-lsh-clusters") { released {
+      val pairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+        .filter(col("est_jaccard") >= 0.7)
+        .select(col("id1"), col("id2"))
+      Dedup.connectedComponents(pairs, docs.select(col("doc_id")), "doc_id").count()
+    }}
     spark.stop()
   }
 }

@@ -420,20 +420,22 @@ object PipelineQueries {
     // promise an EXPECTED count; quotas need a rank). The md5-hash
     // order key is collision-free in practice (60-bit space) and
     // IDENTICAL on both engines, with doc_id as the total tie-break.
-    // Per-stratum rank is the inherent cost of a quota — the window
-    // partitions by lang, so skew is bounded by the largest stratum
-    // (the TopK native heap is the drop-in if a stratum outgrows a
-    // task's sort budget).
+    // Runs on the native bounded-heap top-k (heap orders DESC, so the
+    // key is the negated hash): each map task forwards ≤ 25 rows per
+    // stratum and only the survivors are ranked — no full per-stratum
+    // sort, so a billion-doc stratum costs the same task memory as a
+    // thousand-doc one. Ranks match the window formulation row for row
+    // because the (hash, doc_id) order is total (TopKNativeSpec's
+    // equivalence, re-proven here by the unchanged window-based oracle).
     "q_sample_quota" -> QueryDef(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val h = graft.operators.Dedup.portableHash64(
           concat(lit("quota-v1:"), col("doc_id").cast("string")))
-        val w = Window.partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"), h.as("hkey"))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 25)
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), (-h).as("neg_h"))
+        graft.operators.TopK
+          .perGroupNativeRanked(base, Seq("lang"), "neg_h", Seq("doc_id"), 25,
+            rankName = "rk")
           .select(col("doc_id"), col("lang"), col("rk"))
       },
       """SELECT doc_id, lang, rk FROM (

@@ -57,6 +57,56 @@ object DataGen {
       .as[String]
   }
 
+  /** Seeded synthetic document corpus with CONTROLLED duplicate
+    * structure, for dedup benchmarking at arbitrary scale (the
+    * reference's generator only makes billing lines; dedup needs a
+    * corpus whose true duplicate rate is known by construction).
+    *
+    * Per 100 docs: `exactPct` are verbatim copies of a shared template,
+    * `nearPct` are copies with ~5% of token positions substituted
+    * (near-duplicates a shingle/MinHash pass must still catch), the
+    * rest are unique. Templates live in a pool of `n/20` so duplicate
+    * clusters have expected size ≥ 2 at every n. Token stream is
+    * deterministic from (template, position, seed); length 30..89
+    * tokens is template-keyed, so copies agree on length.
+    *
+    * Mechanics mirror [[baskets]]: pure column expressions over
+    * `spark.range(n)` — no RNG state, no driver loop, identical data
+    * under any partitioning/retry, generation cost linear in n across
+    * however many tasks `range` plans.
+    *
+    * @return (doc_id BIGINT, kind STRING in {unique,exact,near}, text)
+    */
+  def documents(spark: SparkSession, n: Long, vocabSize: Int = 5000,
+                exactPct: Int = 10, nearPct: Int = 10,
+                seed: Long = 42L): DataFrame = {
+    require(exactPct >= 0 && nearPct >= 0 && exactPct + nearPct <= 100,
+      s"duplicate percentages must fit in [0,100]: exact=$exactPct near=$nearPct")
+    val pool = math.max(1L, n / 20L)
+    def h(tag: String, cols: org.apache.spark.sql.Column*) =
+      xxhash64(cols :+ lit(tag) :+ lit(seed): _*)
+    spark.range(n).select(col("id").as("doc_id"))
+      .withColumn("_roll", pmod(h("roll", col("doc_id")), lit(100L)))
+      .withColumn("kind",
+        when(col("_roll") < exactPct, lit("exact"))
+          .when(col("_roll") < exactPct + nearPct, lit("near"))
+          .otherwise(lit("unique")))
+      // unique docs template on their own id in a disjoint namespace
+      .withColumn("_tpl",
+        when(col("kind") === "unique", col("doc_id") + lit(n))
+          .otherwise(pmod(h("tpl", col("doc_id")), lit(pool))))
+      .withColumn("_len", pmod(h("len", col("_tpl")), lit(60L)) + 30L)
+      .withColumn("text", array_join(transform(
+        sequence(lit(1L), col("_len")),
+        i => concat(lit("w"),
+          // near-dups substitute ~1 in 20 positions with a doc-local token
+          when(col("kind") === "near" && pmod(h("mut", col("doc_id"), i), lit(20L)) === 0L,
+            pmod(h("sub", col("doc_id"), i), lit(vocabSize.toLong)))
+            .otherwise(pmod(h("tok", col("_tpl"), i), lit(vocabSize.toLong)))
+            .cast("string"))), " "))
+      .select(col("doc_id"), col("kind"), col("text"))
+  }
+
   /** Dialect-B priced lines (`2015-1-3,15 pane,12 uova`) — the reference
     * never shipped a generator for this dialect (SURVEY §1.1 ⚠); costs
     * are deterministic 1..20 per (billing, item). */
