@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** In-engine k-means (Lloyd) steps over an embedding column — the
@@ -27,15 +27,33 @@ object KMeansOps {
     * (q_ann_ivf's oracle replays it as `row_number() ... crank = 1`).
     */
   def assignCells(emb: DataFrame, idCol: String, vecCol: String,
-                  centroids: Seq[(Int, Array[Float])]): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val cdf = broadcast(centroids.toDF("cell", "center"))
+                  centroids: Seq[(Int, Array[Float])]): DataFrame =
+    assignCells(emb, idCol, vecCol, centroidsDf(emb.sparkSession, centroids))
+
+  /** DataFrame-shaped assignment: `centroids` is any small
+    * (cell, center ARRAY<DOUBLE>) relation — a literal table on round 1,
+    * the PREVIOUS round's computed means afterwards. The frame is
+    * broadcast, so when it is itself a k·dim aggregation over the corpus
+    * (the iterate path) Spark materializes it as a broadcast-build job —
+    * the corpus never re-partitions and nothing ever reaches the driver.
+    */
+  def assignCells(emb: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame): DataFrame = {
     val scored = emb.select(col(idCol), col(vecCol).as("_v"))
-      .crossJoin(cdf)
+      .crossJoin(broadcast(centroids))
       .withColumn("csim", Similarity.cosine(col("_v"), col("center")))
     TopK.perGroupNative(scored, Seq(idCol), "csim", Seq("cell"), 1)
       .select(col(idCol), col("_v"), col("cell"))
+  }
+
+  /** Frozen float centroids, widened to the (cell, center ARRAY<DOUBLE>)
+    * broadcast shape. Float→double widening is exact, so assignment
+    * against the widened table is bit-identical to the float path. */
+  def centroidsDf(spark: SparkSession,
+                  centroids: Seq[(Int, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    centroids.map { case (i, a) => (i, a.map(_.toDouble)) }
+      .toDF("cell", "center")
   }
 
   /** One Lloyd update step: assign every vector to its nearest centroid,
@@ -50,7 +68,12 @@ object KMeansOps {
     * map-side-combines down to k·dim groups before the shuffle.
     */
   def lloydStep(emb: DataFrame, idCol: String, vecCol: String,
-                centroids: Seq[(Int, Array[Float])]): DataFrame = {
+                centroids: Seq[(Int, Array[Float])]): DataFrame =
+    lloydStep(emb, idCol, vecCol, centroidsDf(emb.sparkSession, centroids))
+
+  /** DataFrame-centroid Lloyd step — the body of [[lloydIterate]]. */
+  def lloydStep(emb: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
     val fp = 1073741824.0 // 2^30
     assignCells(emb, idCol, vecCol, centroids)
       .select(col("cell").cast("long").as("cell"),
@@ -63,5 +86,38 @@ object KMeansOps {
         (col("sfx").cast("double") / (col("n").cast("double") * lit(fp)))
           .as("c_new"),
         col("n"))
+  }
+
+  /** Long-form (cell, pos, c_new) → the (cell, center ARRAY<DOUBLE>)
+    * broadcast shape for the next round. k rows; array_sort on the
+    * (pos, c_new) structs gives the components a deterministic order.
+    * A cell that lost every member simply vanishes — the next
+    * assignment ranks over the surviving cells only, both engines
+    * agree by construction. */
+  def centroidsFromLong(longForm: DataFrame): DataFrame =
+    longForm.groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c_new")))),
+        s => s.getField("c_new")).as("center"))
+
+  /** `rounds` Lloyd iterations from the given frozen seed, entirely
+    * lazy: each round's centroid table is the previous round's k·dim
+    * aggregation, re-entering as a broadcast build. No driver action,
+    * no collect, no checkpoint — at k·dim ≪ corpus the plan depth grows
+    * by a constant per round while every pass over the data stays one
+    * scan + one map-side-combined aggregation. Returns the final round
+    * in long form (cell, pos, c_new, n). */
+  def lloydIterate(emb: DataFrame, idCol: String, vecCol: String,
+                   init: Seq[(Int, Array[Float])], rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var cents = centroidsDf(emb.sparkSession, init)
+    var longForm = lloydStep(emb, idCol, vecCol, cents)
+    var r = 1
+    while (r < rounds) {
+      cents = centroidsFromLong(longForm)
+      longForm = lloydStep(emb, idCol, vecCol, cents)
+      r += 1
+    }
+    longForm
   }
 }

@@ -518,6 +518,60 @@ object SimilarityQueries {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM ex GROUP BY cell, pos"""),
 
+    // Multi-round Lloyd fit (2 rounds from the frozen seed) — the full
+    // in-engine training loop, hash-verified end to end. Round 2's
+    // centroid table is round 1's k·dim aggregation re-entering as a
+    // broadcast build (KMeansOps.lloydIterate — no collect, no driver
+    // action between rounds). Bit-exact across engines because every
+    // centroid component is a fixed-point-exact mean (integer sums, one
+    // IEEE division) and CosineSimilarity now fuses mixed FLOAT-data /
+    // DOUBLE-centroid loops with the same widen-then-fold order DuckDB
+    // replays via list_dot_product.
+    "q_kmeans_fit" -> QueryDef(
+      (s, dir) =>
+        graft.operators.KMeansOps.lloydIterate(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          graft.operators.IvfCentroids.cells, rounds = 2),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents0 AS (${graft.operators.IvfCentroids.duckdbValues}),
+        |asgn1 AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT e.vec_id, e.v, cents0.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.v, cents0.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents0.c, cents0.c))) DESC,
+        |             cents0.cell) AS crank
+        |    FROM e CROSS JOIN cents0)
+        |  WHERE crank = 1),
+        |ex1 AS (
+        |  SELECT cell,
+        |         unnest([{'pos': i - 1, 'x': v[i]} for i in generate_series(1, 64)],
+        |                recursive := true)
+        |  FROM asgn1),
+        |upd1 AS (
+        |  SELECT cell, pos,
+        |         CAST(SUM(CAST(floor(x * 1073741824.0) AS BIGINT)) AS DOUBLE)
+        |           / (CAST(count(*) AS DOUBLE) * 1073741824.0) AS c
+        |  FROM ex1 GROUP BY cell, pos),
+        |cents1 AS (SELECT cell, list(c ORDER BY pos) AS c FROM upd1 GROUP BY cell),
+        |asgn2 AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT e.vec_id, e.v, cents1.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.v, cents1.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents1.c, cents1.c))) DESC,
+        |             cents1.cell) AS crank
+        |    FROM e CROSS JOIN cents1)
+        |  WHERE crank = 1),
+        |ex2 AS (
+        |  SELECT cell,
+        |         unnest([{'pos': i - 1, 'x': v[i]} for i in generate_series(1, 64)],
+        |                recursive := true)
+        |  FROM asgn2)
+        |SELECT CAST(cell AS BIGINT) AS cell, CAST(pos AS BIGINT) AS pos,
+        |       CAST(SUM(CAST(floor(x * 1073741824.0) AS BIGINT)) AS DOUBLE)
+        |         / (CAST(count(*) AS DOUBLE) * 1073741824.0) AS c_new,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM ex2 GROUP BY cell, pos"""),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup removal bounded
     // by the frozen IVF cells — candidates only WITHIN a cell (Σ|cell|²
     // work, the semantic-space analogue of the LSH bucket join), exact

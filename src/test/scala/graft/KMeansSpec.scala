@@ -48,6 +48,49 @@ class KMeansSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("lloydIterate(rounds=1) is bit-identical to lloydStep") {
+    val emb = Tables.embeddings(spark, sf001)
+    val one = KMeansOps.lloydStep(emb, "vec_id", "embedding", IvfCentroids.cells)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))).toMap
+    val it = KMeansOps.lloydIterate(emb, "vec_id", "embedding", IvfCentroids.cells, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))).toMap
+    assert(it == one)
+  }
+
+  test("lloydIterate(rounds=2) == lloydStep re-fed the round-1 means, bit-exact") {
+    // the iterate path keeps everything lazy (broadcast-built centroid
+    // sub-plan); this pins it to the explicit two-step composition
+    val emb = Tables.embeddings(spark, sf001)
+    val r1 = KMeansOps.lloydStep(emb, "vec_id", "embedding", IvfCentroids.cells)
+    val manual = KMeansOps.lloydStep(emb, "vec_id", "embedding",
+      KMeansOps.centroidsFromLong(r1))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))).toMap
+    val it = KMeansOps.lloydIterate(emb, "vec_id", "embedding", IvfCentroids.cells, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))).toMap
+    assert(it == manual)
+  }
+
+  test("the second Lloyd round keeps tightening the quantizer") {
+    val emb = Tables.embeddings(spark, sf001)
+    def inertiaOf(longForm: org.apache.spark.sql.DataFrame): Double =
+      KMeansOps.assignCells(emb, "vec_id", "embedding",
+        KMeansOps.centroidsFromLong(longForm))
+        .join(KMeansOps.centroidsFromLong(longForm), "cell")
+        .select(aggregate(
+          zip_with(col("_v"), col("center"), (a, b) =>
+            (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+        .agg(sum(col("d2"))).collect().head.getDouble(0)
+    val r1 = KMeansOps.lloydIterate(emb, "vec_id", "embedding", IvfCentroids.cells, 1)
+    val r2 = KMeansOps.lloydIterate(emb, "vec_id", "embedding", IvfCentroids.cells, 2)
+    val i1 = inertiaOf(r1); val i2 = inertiaOf(r2)
+    assert(i2 < i1, s"round 2 did not improve inertia: $i1 -> $i2")
+  }
+
   test("one Lloyd step on the corpus decreases k-means inertia") {
     val emb = Tables.embeddings(spark, sf001)
     def inertia(cents: Seq[(Int, Array[Float])]): Double = {
