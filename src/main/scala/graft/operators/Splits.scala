@@ -75,6 +75,54 @@ object Splits {
         explode(sequence(lit(1L), col("_copies"))).as("copy_idx"): _*)
   }
 
+  /** Deterministic PPS (probability-proportional-to-size) systematic
+    * sampling per stratum — the weighted draw the mixing family lacks:
+    * [[stratifiedSample]] keeps a fixed-RATE subset,
+    * [[graft.operators.TextPipeline.capTokenBudget]] cuts a running
+    * total, THIS draws exactly k slots per stratum with inclusion
+    * probability proportional to each row's weight (classic systematic
+    * sampling over the portable-hash-ordered stream).
+    *
+    * All-integer selection: with W the stratum's total weight and a row
+    * owning cumulative interval (cum−w, cum] in hash order, the row is
+    * drawn `n_draws = (cum·k) div W − ((cum−w)·k) div W` times — the
+    * number of the k equally-spaced slot boundaries landing in its
+    * interval. Σ n_draws = k per stratum (the sum telescopes to
+    * (W·k) div W = k), a row heavier than W/k is drawn with
+    * multiplicity (the VarOpt-style certainty item, reported rather
+    * than silently clamped), and the hash order makes the draw a
+    * reproducible shuffle: stable under re-partitioning, retries, and
+    * engine swaps. No floats anywhere, so the sample is
+    * oracle-hash-verifiable (q_sample_pps).
+    *
+    * Scale shape: ONE window exchange (the ordered cumulative sum and
+    * the stratum total share the partitionBy(strata) exchange+sort),
+    * per-group serial state bounded by the largest stratum — the
+    * [[graft.operators.TextPipeline.capTokenBudget]] contract. Rows
+    * with weight ≤ 0 are dropped up front (also guards the W=0
+    * stratum, whose division would throw under ANSI). Overflow bound:
+    * cum·k must fit a BIGINT — k ≤ 10⁵ is safe past 10¹³ tokens per
+    * stratum.
+    *
+    * Output: input columns + `weight` + `n_draws`.
+    */
+  def samplePps(df: DataFrame, idCol: String, strataCol: String,
+                weight: Column, k: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = Dedup.portableHash64(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val byStratum = Window.partitionBy(col(strataCol))
+    val inOrder = byStratum.orderBy(h.asc, col(idCol).asc)
+    df.withColumn("_w", weight.cast("long"))
+      .filter(col("_w") > 0)
+      .withColumn("_cum", sum(col("_w")).over(inOrder))
+      .withColumn("_tot", sum(col("_w")).over(byStratum))
+      .withColumn("n_draws",
+        expr(s"((_cum * $k) div _tot) - (((_cum - _w) * $k) div _tot)"))
+      .filter(col("n_draws") >= 1)
+      .select(df.columns.map(col) :+ col("_w").as("weight") :+ col("n_draws"): _*)
+  }
+
   /** train/valid/test label: buckets [0,trainPct) → train,
     * [trainPct, trainPct+validPct) → valid, rest → test. */
   def assign(df: DataFrame, idCol: String, salt: String,

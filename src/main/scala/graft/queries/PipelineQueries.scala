@@ -229,6 +229,36 @@ object PipelineQueries {
         |  FROM n)
         |SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800"""),
 
+    // PPS systematic sampling: exactly 25 weighted draws per source,
+    // inclusion probability proportional to token count — the weighted
+    // mixture draw beside the rate (q_sample_stratified), count
+    // (q_sample_quota), and budget (q_token_budget) primitives. The
+    // all-integer slot rule makes the sample itself hash-verifiable;
+    // n_draws > 1 marks certainty items heavier than W/k.
+    "q_sample_pps" -> QueryDef(
+      (s, dir) => Splits.samplePps(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "source",
+          size(graft.functions.TextFns.tokens(col("text"))), k = 25,
+          salt = "graft-v1")
+        .select(col("doc_id"), col("source"),
+          col("weight").as("n_tokens"), col("n_draws")),
+      s"""WITH $ToksCte,
+        |n AS (
+        |  SELECT d.doc_id, d.source, CAST(len(t.t) AS BIGINT) AS w,
+        |         CAST(concat('0x', substr(md5('graft-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+        |  WHERE len(t.t) > 0),
+        |c AS (
+        |  SELECT doc_id, source, w,
+        |         CAST(sum(w) OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum,
+        |         CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS tot
+        |  FROM n)
+        |SELECT doc_id, source, w AS n_tokens,
+        |       CAST((cum * 25) // tot - ((cum - w) * 25) // tot AS BIGINT) AS n_draws
+        |FROM c
+        |WHERE (cum * 25) // tot - ((cum - w) * 25) // tot >= 1"""),
+
     // Incremental near-dup ingest check: the "new batch" (doc_id % 10 >=
     // 8) is scored against the existing corpus only — cost scales with
     // the increment, never corpus².

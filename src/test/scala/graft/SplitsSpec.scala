@@ -36,4 +36,48 @@ class SplitsSpec extends SparkSpec {
       Splits.assign(docs, "doc_id", "s1", trainPct = 90, validPct = 10)
     }
   }
+
+  test("PPS sampling draws exactly k slots per stratum") {
+    val d = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"), col("text"))
+    val draws = Splits.samplePps(d, "doc_id", "source",
+        size(graft.functions.TextFns.tokens(col("text"))), k = 10, salt = "s1")
+      .groupBy("source").agg(sum(col("n_draws")).as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = d.select("source").distinct().count()
+    assert(draws.size == strata)
+    assert(draws.values.forall(_ == 10L), s"uneven strata: $draws")
+  }
+
+  test("PPS sampling is stable under repartitioning") {
+    val d = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"), col("text"))
+    val w = size(graft.functions.TextFns.tokens(col("text")))
+    val a = Splits.samplePps(d, "doc_id", "source", w, 10, "s1")
+      .select("doc_id", "n_draws").orderBy("doc_id").collect()
+    val b = Splits.samplePps(d.repartition(7), "doc_id", "source", w, 10, "s1")
+      .select("doc_id", "n_draws").orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("PPS certainty items: a dominant weight is drawn with multiplicity") {
+    import spark.implicits._
+    // one row owns 90% of the stratum's weight: with k=10 slots of size
+    // W/10 it must swallow ~9 boundaries; light rows share the rest
+    val d = (Seq((1L, "g", 900L)) ++ (2L to 11L).map(i => (i, "g", 10L)))
+      .toDF("id", "grp", "w")
+    val out = Splits.samplePps(d, "id", "grp", col("w"), k = 10, salt = "s1")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_draws")).toMap
+    assert(out.values.sum == 10L)
+    assert(out(1L) >= 8L, s"heavy item under-drawn: $out")
+  }
+
+  test("PPS drops non-positive weights and all-zero strata entirely") {
+    import spark.implicits._
+    val d = Seq((1L, "a", 5L), (2L, "a", 0L), (3L, "z", 0L))
+      .toDF("id", "grp", "w")
+    val out = Splits.samplePps(d, "id", "grp", col("w"), k = 3, salt = "s1")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_draws")).toMap
+    assert(out == Map(1L -> 3L)) // zero-weight rows and the empty stratum vanish
+  }
 }
