@@ -42,7 +42,10 @@ object KMeansOps {
     val scored = emb.select(col(idCol), col(vecCol).as("_v"))
       .crossJoin(broadcast(centroids))
       .withColumn("csim", Similarity.cosine(col("_v"), col("center")))
-    TopK.perGroupNative(scored, Seq(idCol), "csim", Seq("cell"), 1)
+    // localGroups: each corpus row's k scored copies are contiguous in
+    // its partition (broadcast cross join) — no exchange, single pass
+    TopK.perGroupNative(scored, Seq(idCol), "csim", Seq("cell"), 1,
+        localGroups = true)
       .select(col(idCol), col("_v"), col("cell"))
   }
 

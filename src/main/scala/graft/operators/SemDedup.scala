@@ -44,7 +44,10 @@ object SemDedup {
     val scored = emb.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .crossJoin(cdf)
       .withColumn("csim", Similarity.cosine(col("_v"), col("center")))
-    TopK.perGroupNative(scored, Seq("_id"), "csim", Seq("cell"), 1)
+    // localGroups: per-corpus-row groups off a broadcast cross join —
+    // contiguous in one partition, exchange-free single heap pass
+    TopK.perGroupNative(scored, Seq("_id"), "csim", Seq("cell"), 1,
+        localGroups = true)
       .select(col("_id").as(idCol), col("cell"))
   }
 

@@ -139,7 +139,11 @@ object Similarity {
     val scored = df.select(col(idCol).as(outId), col(vecCol).as(outVec))
       .crossJoin(cdf)
       .withColumn("csim", cosine(col(outVec), col("center")))
-    TopK.perGroupNative(scored, Seq(outId), "csim", Seq("cell"), probes)
+    // localGroups: the group key is the STREAM side's unique row id and
+    // the join side is broadcast — rows per key are contiguous in one
+    // partition, so the heap runs exchange-free in a single pass
+    TopK.perGroupNative(scored, Seq(outId), "csim", Seq("cell"), probes,
+        localGroups = true)
       .select(col(outId), col(outVec), col("cell"))
   }
 

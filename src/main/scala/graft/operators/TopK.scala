@@ -35,9 +35,16 @@ object TopK {
     * rows per key per map partition. Same (orderCol desc, tieBreak asc)
     * semantics as [[perGroup]] minus the rank column; row sets are
     * identical when the tie-break is total (pinned in TopKNativeSpec).
+    *
+    * `localGroups = true` certifies each key's rows are CONTIGUOUS
+    * within one partition (the broadcast-cross-join assignment shape,
+    * keyed by the stream side's unique row id): the plan then runs one
+    * heap pass with no exchange and no final phase — see
+    * [[graft.plans.TopKPerKeyNode]] for the exact contract.
     */
   def perGroupNative(df: DataFrame, groupCols: Seq[String], orderCol: String,
-                     tieBreak: Seq[String], k: Int): DataFrame = {
+                     tieBreak: Seq[String], k: Int,
+                     localGroups: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     import org.apache.spark.sql.graftbridge.PlanBridge
@@ -48,7 +55,8 @@ object TopK {
     val keys = groupCols.map(UnresolvedAttribute.quoted)
     val order = SortOrder(UnresolvedAttribute.quoted(orderCol), Descending) +:
       tieBreak.map(c => SortOrder(UnresolvedAttribute.quoted(c), Ascending))
-    PlanBridge.wrapUnary(df, child => graft.plans.TopKPerKeyNode(keys, order, k, child))
+    PlanBridge.wrapUnary(df, child =>
+      graft.plans.TopKPerKeyNode(keys, order, k, child, localGroups))
   }
 
   /** Native top-k plus the rank column [[perGroup]] emits: the heap

@@ -42,9 +42,23 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * clustered partition) × k rows — already reduced by the partial
   * phase and divided by the shuffle fan-out; for k approaching group
   * size use the sort-based window path instead.
+  *
+  * `localGroups = true` is the caller-certified shortcut for the
+  * assignment shape (a cross join against a BROADCAST table, grouped by
+  * the STREAM side's unique row id): every key's rows are then emitted
+  * consecutively within one partition, so a single bounded-heap pass is
+  * already exact and the plan drops BOTH the key exchange and the final
+  * phase — at corpus scale that deletes a corpus-wide shuffle carrying
+  * the full vector payload. The flush bound stays safe because a run
+  * boundary can only fall BETWEEN contiguous key runs, never inside
+  * one. The contract is the caller's to uphold (contiguous keys, one
+  * partition per key — broadcast-cross-join output satisfies both; AQE
+  * partition coalescing concatenates whole partitions and preserves
+  * it). A violation silently yields more than k rows for a split key.
   */
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
-                          k: Int, child: LogicalPlan) extends UnaryNode {
+                          k: Int, child: LogicalPlan,
+                          localGroups: Boolean = false) extends UnaryNode {
   require(k >= 1, s"k must be >= 1, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -66,11 +80,18 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
   */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
+    case TopKPerKeyNode(keys, order, k, child, localGroups) =>
       val nkeys =
         keys.map(org.apache.spark.sql.graftbridge.ExprBridge.normalizeFloats)
-      val partial = TopKPerKeyExec(nkeys, order, k, planLater(child), partial = true)
-      TopKPerKeyExec(nkeys, order, k, partial, partial = false) :: Nil
+      if (localGroups) {
+        // caller-certified contiguous groups: one bounded-heap pass is
+        // exact, no exchange, no final phase (see node scaladoc)
+        TopKPerKeyExec(nkeys, order, k, planLater(child),
+          partial = true, localGroups = true) :: Nil
+      } else {
+        val partial = TopKPerKeyExec(nkeys, order, k, planLater(child), partial = true)
+        TopKPerKeyExec(nkeys, order, k, partial, partial = false) :: Nil
+      }
     case _ => Nil
   }
 }
@@ -82,7 +103,8 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * twice is correct because per-key top-k is an idempotent, associative
   * reduction on row sets. */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                          child: SparkPlan, partial: Boolean) extends UnaryExecNode {
+                          child: SparkPlan, partial: Boolean,
+                          localGroups: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -168,8 +190,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     copy(child = newChild)
 
   override def simpleString(maxFields: Int): String =
-    s"TopKPerKeyExec(${if (partial) "partial" else "final"}, k=$k, " +
-      s"keys=${keys.mkString("[", ", ", "]")})"
+    s"TopKPerKeyExec(${if (localGroups) "local" else if (partial) "partial" else "final"}, " +
+      s"k=$k, keys=${keys.mkString("[", ", ", "]")})"
 }
 
 /** Key-predicate pushdown: a deterministic filter that references only

@@ -25,6 +25,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Sort "), s"heap top-k must not sort:\n$p")
   }
 
+  test("kmeans/semdedup assignment: local-mode heap, no per-vector shuffle") {
+    // the cell-assignment shape (cross join against broadcast centroids,
+    // grouped by the stream row id) runs the heap exchange-free in
+    // localGroups mode — a corpus-wide shuffle carrying full vectors
+    // otherwise, ×2 in the two-round fit
+    for (q <- Seq("q_kmeans_step", "q_kmeans_fit", "q_semdedup")) {
+      val p = planOf(q)
+      assert(p.contains("TopKPerKeyExec(local"), s"$q lost local-mode assignment:\n$p")
+      assert(!p.contains("TopKPerKeyExec(final"),
+        s"$q re-grew a two-phase heap (per-vector shuffle):\n$p")
+    }
+  }
+
   test("q_join_broadcast: both dims broadcast, no shuffle join") {
     val p = planOf("q_join_broadcast")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)

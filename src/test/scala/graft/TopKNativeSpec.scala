@@ -125,4 +125,53 @@ class TopKNativeSpec extends SparkSpec {
     val window = TopK.perGroup(df, Seq(col("k")), col("score"), Seq(col("id")), 3).drop("rn")
     assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty)
   }
+
+  // the broadcast-cross-join assignment shape every localGroups caller
+  // certifies: stream-side unique key, each key's rows contiguous
+  private def assignmentShaped() = {
+    val stream = spark.range(0, 5000)
+      .select(col("id"), (col("id") % 97).cast("double").as("w"))
+    val small = spark.range(0, 16)
+      .select(col("id").as("cell"), ((col("id") * 3) % 7).cast("double").as("boost"))
+    stream.crossJoin(broadcast(small))
+      .withColumn("score", col("w") * col("boost") + col("cell"))
+  }
+
+  test("localGroups: exchange-free single heap pass, identical rows to two-phase") {
+    val scored = assignmentShaped()
+    val local = TopK.perGroupNative(scored, Seq("id"), "score", Seq("cell"), 3,
+      localGroups = true)
+    val twoPhase = TopK.perGroupNative(scored, Seq("id"), "score", Seq("cell"), 3)
+    assert(local.exceptAll(twoPhase).isEmpty && twoPhase.exceptAll(local).isEmpty)
+    assert(local.count() == 5000 * 3)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val all = nodes(local.queryExecution.executedPlan)
+    val heaps = all.collect { case t: graft.plans.TopKPerKeyExec => t }
+    assert(heaps.size == 1 && heaps.head.localGroups,
+      s"expected one local-mode heap:\n${local.queryExecution.executedPlan}")
+    assert(!all.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      s"localGroups plan must not shuffle:\n${local.queryExecution.executedPlan}")
+  }
+
+  test("localGroups stays exact when the key bound flushes between contiguous runs") {
+    // 5000 contiguous key runs against a 64-key heap bound: dozens of
+    // bound-triggered flushes, each falling BETWEEN runs — still exact
+    spark.conf.set("spark.graft.topk.maxKeysInMemory", "64")
+    try {
+      val scored = assignmentShaped()
+      val local = TopK.perGroupNative(scored, Seq("id"), "score", Seq("cell"), 3,
+        localGroups = true)
+      val window = TopK.perGroup(scored, Seq(col("id")), col("score"),
+        Seq(col("cell")), 3).drop("rn")
+      assert(local.exceptAll(window).isEmpty && window.exceptAll(local).isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.topk.maxKeysInMemory")
+    }
+  }
 }
