@@ -123,6 +123,46 @@ object Splits {
       .select(df.columns.map(col) :+ col("_w").as("weight") :+ col("n_draws"): _*)
   }
 
+  /** Deterministic negative sampling — the contrastive-pairs primitive
+    * (in-batch negatives don't exist in a batch engine; this is the
+    * corpus-wide equivalent): k pseudo-random negatives per anchor,
+    * drawn by portable hash of (salt, anchor, slot) mod corpus size
+    * into the doc-id-ranked corpus. A row's negatives depend only on
+    * (salt, its id, N) — reproducible across runs, engines, and
+    * partitionings. Self-hits are dropped rather than re-probed (≤ k
+    * negatives per anchor, expected shortfall k/N — re-probing would
+    * need data-dependent iteration for a ~1/N event).
+    *
+    * Scale shape: the corpus size enters as a 1-row broadcast (never a
+    * collect), candidates explode map-side (k narrow rows per anchor),
+    * and the draw is ONE keyed join on the rank. The rank itself is a
+    * row_number over the id order — the one global sort in the op
+    * (range-partitioned at scale, sorting only the id column); corpora
+    * with dense ids can substitute the id for the rank and skip it.
+    *
+    * Output: (anchor_id, slot, neg_id).
+    */
+  def negativeSample(docs: DataFrame, idCol: String, k: Int,
+                     salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ids = docs.select(col(idCol))
+    val nFrame = ids.agg(count(lit(1)).as("_n"))
+    val ranked = ids.withColumn("_rank",
+      row_number().over(Window.orderBy(col(idCol))).cast("long"))
+    val slots = ids.select(col(idCol).as("anchor_id"),
+        explode(sequence(lit(1), lit(k))).as("slot"))
+      .withColumn("_h", Dedup.portableHash64(concat(
+        lit(salt + ":"), col("anchor_id").cast("string"),
+        lit(":"), col("slot").cast("string"))))
+    slots.crossJoin(broadcast(nFrame))
+      .withColumn("_r", (col("_h") % col("_n")) + lit(1))
+      .join(ranked, col("_r") === col("_rank"))
+      .filter(col("anchor_id") =!= col(idCol))
+      .select(col("anchor_id"), col("slot").cast("long").as("slot"),
+        col(idCol).as("neg_id"))
+  }
+
   /** train/valid/test label: buckets [0,trainPct) → train,
     * [trainPct, trainPct+validPct) → valid, rest → test. */
   def assign(df: DataFrame, idCol: String, salt: String,

@@ -316,6 +316,24 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE h < CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000 ELSE 8000 END"""),
 
+    // Contrastive negative sampling: 4 deterministic pseudo-random
+    // negatives per anchor document (hash-mod-rank into the id-ordered
+    // corpus; self-hits dropped, expected shortfall 4/N). Corpus size
+    // rides a 1-row broadcast; the draw is one keyed join on the rank.
+    "q_contrastive_negs" -> QueryDef(
+      (s, dir) => Splits.negativeSample(
+        Tables.documents(s, dir), "doc_id", k = 4, salt = "graft-v1"),
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |ranked AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r FROM documents),
+        |slots AS (
+        |  SELECT d.doc_id AS anchor_id, i AS slot,
+        |         CAST(concat('0x', substr(md5('graft-v1:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents d CROSS JOIN generate_series(1, 4) AS g(i)),
+        |cand AS (SELECT anchor_id, slot, (h % n) + 1 AS r FROM slots CROSS JOIN nn)
+        |SELECT anchor_id, CAST(slot AS BIGINT) AS slot, ranked.doc_id AS neg_id
+        |FROM cand JOIN ranked USING (r)
+        |WHERE ranked.doc_id <> anchor_id"""),
+
     // PII redaction (operators/Redact): emails, IPv4s, phone-shaped digit
     // runs → typed placeholder tokens + per-category audit counts. The
     // synthetic documents carry no PII, so the scrub target is a

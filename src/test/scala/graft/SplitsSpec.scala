@@ -72,6 +72,33 @@ class SplitsSpec extends SparkSpec {
     assert(out(1L) >= 8L, s"heavy item under-drawn: $out")
   }
 
+  test("negative sampling: k per anchor minus self-hits, no self pairs, in-corpus") {
+    val d = Tables.documents(spark, sf001).select(col("doc_id"))
+    val negs = Splits.negativeSample(
+      Tables.documents(spark, sf001), "doc_id", k = 4, salt = "s1")
+    val n = d.count()
+    val rows = negs.collect()
+    assert(rows.length <= n * 4 && rows.length > n * 3) // shortfall only from self-hits
+    assert(rows.forall(r => r.getAs[Long]("anchor_id") != r.getAs[Long]("neg_id")))
+    val ids = d.collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => ids.contains(r.getAs[Long]("neg_id"))))
+    // every anchor appears with ≥ 3 of its 4 slots
+    val perAnchor = rows.groupBy(_.getAs[Long]("anchor_id")).map(_._2.length)
+    assert(perAnchor.size == n && perAnchor.forall(_ >= 3))
+  }
+
+  test("negative sampling is stable under repartitioning, re-rolls on salt") {
+    val d = Tables.documents(spark, sf001)
+    val a = Splits.negativeSample(d, "doc_id", 4, "s1")
+      .orderBy("anchor_id", "slot").collect()
+    val b = Splits.negativeSample(d.repartition(7), "doc_id", 4, "s1")
+      .orderBy("anchor_id", "slot").collect()
+    assert(a.toSeq == b.toSeq)
+    val c = Splits.negativeSample(d, "doc_id", 4, "s2")
+      .orderBy("anchor_id", "slot").collect()
+    assert(a.toSeq != c.toSeq)
+  }
+
   test("PPS drops non-positive weights and all-zero strata entirely") {
     import spark.implicits._
     val d = Seq((1L, "a", 5L), (2L, "a", 0L), (3L, "z", 0L))
