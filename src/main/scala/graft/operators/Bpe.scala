@@ -63,6 +63,30 @@ object Bpe {
         sum(col("w_merged")).as("n_merged"))
   }
 
+  /** Per-document tokenizer-quality metrics on the frozen merges — the
+    * standard tokenizer-eval pair: fertility (BPE tokens emitted per
+    * pre-token; 1.0 = every word is one token, higher = the vocabulary
+    * fits the corpus worse) and whole-word rate (fraction of pre-tokens
+    * the merge table covers with a single symbol — the complement of
+    * the OOV-ish tail that fragments). Both are ONE IEEE division from
+    * exact BIGINT counts, so the floats hash-verify (q_bpe_fertility).
+    * Same scale shape as [[tokenStats]]: the merge chain runs on the
+    * distinct dictionary only. */
+  def fertility(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val pre = preTokens(docs, idCol, textCol)
+    pre.join(dict(pre.select("w").distinct()).drop("_enc"), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("w_tokens")).as("n_tokens"),
+        sum(when(col("w_tokens") === 1, 1L).otherwise(0L)).as("n_whole"))
+      .select(col(idCol), col("n_words"), col("n_tokens"), col("n_whole"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_whole").cast("double") / col("n_words").cast("double"))
+          .as("whole_rate"))
+  }
+
   /** Corpus-wide BPE token frequencies (decoded token text), top `k`
     * by (freq desc, token asc). Frequencies are computed on the
     * dictionary weighted by word counts — the explode-to-symbols step

@@ -39,6 +39,22 @@ object BpeQueries {
          |       CAST(sum(length(s) - length(regexp_replace(s, '$puaClass', '', 'g'))) AS BIGINT) AS n_merged
          |FROM bpe_enc GROUP BY doc_id"""),
 
+    // Tokenizer-eval metrics per doc: fertility (tokens per pre-token)
+    // and whole-word coverage of the frozen merge table — each ONE IEEE
+    // division from exact BIGINT counts, so the floats hash-verify.
+    "q_bpe_fertility" -> QueryDef(
+      (s, dir) => Bpe.fertility(Tables.documents(s, dir)),
+      s"""WITH $preSql,
+         |${Bpe.duckEncodeCtes("pre", "w", Seq("doc_id"))}
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(length(s)) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN length(s) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_whole,
+         |       CAST(sum(length(s)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility,
+         |       CAST(sum(CASE WHEN length(s) = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS whole_rate
+         |FROM bpe_enc GROUP BY doc_id"""),
+
     // Corpus-wide decoded-token frequencies, top 100 by (freq desc,
     // token asc) — the "what did the tokenizer learn" view. The symbol
     // explode runs over the distinct-word dictionary only.

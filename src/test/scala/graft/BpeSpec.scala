@@ -109,6 +109,20 @@ class BpeSpec extends SparkSpec {
     assert(stats.exists(r => r.getLong(3) > 0))
   }
 
+  test("fertility: bounds hold and the frozen table covers some words whole") {
+    val rows = Bpe.fertility(Tables.documents(spark, sf001)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nt, nwh) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (fert, rate) = (r.getDouble(4), r.getDouble(5))
+      assert(nwh <= nw && nt >= nw)
+      assert(fert >= 1.0 && rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(fert - nt.toDouble / nw) == 0.0) // the one division
+    }
+    // single-char pre-tokens ("a", digits) are whole by construction
+    assert(rows.exists(_.getLong(3) > 0))
+  }
+
   test("vocabFreq: decoded multi-char tokens rank in the top 100") {
     val top = Bpe.vocabFreq(Tables.documents(spark, sf001), k = 100).collect()
     assert(top.length <= 100 && top.nonEmpty)
