@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * BINARY columns with typed metadata, processed in partition-sized
-  * batches. The Spark-side shape (schema, partitioning, batch iteration)
-  * is real and tested; the actual codec calls are STUBBED with a
-  * deterministic fake (`fakeDecode`) because no image/audio libraries
-  * ship in this environment — swap `decodeStub` for a real codec binding
-  * (JNI/JEP/ONNX) without touching the plan shape.
+  * batches. Two tiers of honesty here: PNG encode/decode and RIFF/WAVE
+  * container handling are REAL (the JDK ships both — see the "REAL
+  * container formats" section: synthesizeMedia / parseHeaders /
+  * decodePixels, all oracle-hash-verified), while the lib-dependent
+  * codecs (JPEG-class perceptual features, audio DSP, video frame
+  * decode) remain STUBBED with a deterministic fake (`decodeStub`)
+  * because those libraries don't ship in this environment — swap the
+  * stub for a JNI/JEP/ONNX binding without touching the plan shape.
   *
   * Scale notes: payloads stay columnar-compressed at rest and are never
   * collected; `withDecodedMeta` is a per-row projection; `mapMediaBatches`
@@ -93,4 +96,183 @@ object Multimodal {
       length(col(binCol)).cast("long").as("byte_len"),
       sha2(col(binCol), 256).as("payload_sha256"),
       (ceil(length(col(binCol)) / 256.0)).cast("long").as("n_chunks"))
+
+  // ---- REAL container formats (no external libraries) ------------------
+  //
+  // The pixel/FFT-class codecs above stay stubbed (no media libs ship
+  // here), but container-level work needs no library at all: the JDK
+  // encodes/decodes PNG (javax.imageio, headless-safe), and RIFF/WAVE
+  // is simple enough to emit spec-correct bytes by hand. These three
+  // operators work on REAL files: synthesizeMedia builds genuine PNGs
+  // (JDK encoder, CRCs and zlib streams included) and WAVs (hand-emitted
+  // RIFF/fmt/data chunks), parseHeaders reads actual IHDR / fmt-chunk
+  // bytes the way any spec-conforming reader would, and decodePixels
+  // runs the real JDK PNG decode. Because the synthetic pixel values are
+  // pure doc-id arithmetic, a DuckDB oracle replays the GENERATOR and a
+  // hash match proves the encode→decode round trip through the real
+  // codec (q_media_headers, q_media_decode).
+
+  /** Parsed container header; fields inapplicable to a format are None. */
+  final case class MediaHeader(media_id: Long, format: String,
+                               width: Option[Long], height: Option[Long],
+                               bit_depth: Option[Long], color_type: Option[Long],
+                               channels: Option[Long], sample_rate: Option[Long],
+                               n_samples: Option[Long], duration_ms: Option[Long])
+
+  /** Real decoded-pixel summary (JDK PNG decode): per-channel sums are
+    * exact integers, so they hash-verify against a generator replay. */
+  final case class MediaPixels(media_id: Long, width: Long, height: Long,
+                               sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic REAL media corpus from an id column: even ids become
+    * genuine PNGs (JDK encoder; w = 16 + id%48, h = 16 + (7·id)%32,
+    * pixel channels are (base + a·x + b·y) mod 256 with bases id%256,
+    * (2·id)%256, (3·id)%256), odd ids become spec-correct PCM16 WAVs
+    * (channels = 1 + (id div 2)%2, rate = 8000 + 1000·(id%8),
+    * n_samples = 500 + id%1000). Every parameter is integer arithmetic
+    * on the id, so an oracle replays the ground truth without decoding. */
+  def synthesizeMedia(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        if (id % 2 == 0) MediaRow(id, synthPng(id), "png")
+        else MediaRow(id, synthWav(id), "wav")
+      }
+    }
+  }
+
+  private def synthPng(id: Long): Array[Byte] = {
+    val w = (16 + id % 48).toInt; val h = (16 + (id * 7) % 32).toInt
+    val br = (id % 256).toInt; val bg = ((2 * id) % 256).toInt; val bb = ((3 * id) % 256).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (br + 3 * x + 5 * y) % 256
+        val g = (bg + 2 * x + y) % 256
+        val b = (bb + x + 7 * y) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def synthWav(id: Long): Array[Byte] = {
+    val channels = (1 + (id / 2) % 2).toInt
+    val rate = (8000 + 1000 * (id % 8)).toInt
+    val nSamples = (500 + id % 1000).toInt
+    val dataLen = nSamples * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16.toShort) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples * channels) {
+      bb.putShort((((id + 11 * i) % 2001) - 1000).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 33 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** REAL header parsing, straight off the payload bytes: PNG IHDR
+    * (big-endian, first chunk after the 8-byte signature) and RIFF/WAVE
+    * chunk walk (little-endian; reads `fmt ` fields, sizes `data`,
+    * derives n_samples and an integer-exact duration_ms = n_samples·1000
+    * div rate). Unrecognized/truncated payloads degrade to format
+    * "unknown" with all-None fields — a curation gate filters them
+    * instead of failing the job. Per-row projection, no shuffle. */
+  def parseHeaders(media: Dataset[MediaRow]): Dataset[MediaHeader] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.payload
+        if (isPng(b)) {
+          val bb = java.nio.ByteBuffer.wrap(b, 8, 25) // BE by default
+          val len = bb.getInt
+          val typ = new String(Array(bb.get, bb.get, bb.get, bb.get).map(_.toChar))
+          if (len == 13 && typ == "IHDR") {
+            val w = bb.getInt.toLong; val h = bb.getInt.toLong
+            val depth = (bb.get & 0xff).toLong; val ct = (bb.get & 0xff).toLong
+            MediaHeader(r.media_id, "png", Some(w), Some(h), Some(depth), Some(ct),
+              None, None, None, None)
+          } else unknown(r.media_id)
+        } else if (isWav(b)) {
+          var pos = 12
+          var channels, rate, bits = -1L
+          var dataLen = -1L
+          while (pos + 8 <= b.length) {
+            val ck = new String(b, pos, 4, "US-ASCII")
+            val sz = java.nio.ByteBuffer.wrap(b, pos + 4, 4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+            if (ck == "fmt " && sz >= 16) {
+              val f = java.nio.ByteBuffer.wrap(b, pos + 8, 16)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              f.getShort // audio format tag
+              channels = f.getShort.toLong
+              rate = f.getInt.toLong
+              f.getInt; f.getShort // byte rate, block align
+              bits = f.getShort.toLong
+            } else if (ck == "data") dataLen = sz.toLong
+            pos += 8 + sz + (sz & 1) // chunks are word-aligned
+          }
+          if (channels > 0 && rate > 0 && bits > 0 && dataLen >= 0) {
+            val n = dataLen / (channels * bits / 8)
+            MediaHeader(r.media_id, "wav", None, None, None, None,
+              Some(channels), Some(rate), Some(n), Some(n * 1000L / rate))
+          } else unknown(r.media_id)
+        } else unknown(r.media_id)
+      }
+    }
+  }
+
+  private def unknown(id: Long): MediaHeader =
+    MediaHeader(id, "unknown", None, None, None, None, None, None, None, None)
+
+  /** REAL pixel decode (JDK PNG reader) over the PNG subset: exact
+    * per-channel integer sums per image. The decoder context is per
+    * partition; payloads never leave the executor. Non-PNG rows are
+    * filtered out BEFORE decode (format routing off [[parseHeaders]] /
+    * the synthesis tag, the payloadMeta discipline). */
+  def decodePixels(media: Dataset[MediaRow]): Dataset[MediaPixels] = {
+    import media.sparkSession.implicits._
+    media.filter((r: MediaRow) => r.format == "png").mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        MediaPixels(r.media_id, w.toLong, h.toLong, sr, sg, sb)
+      }
+    }
+  }
 }

@@ -71,7 +71,48 @@ object MediaQueries {
         |SELECT media_id, width, height, scale,
         |       CAST(floor(width * scale) AS BIGINT) AS resized_w,
         |       CAST(floor(height * scale) AS BIGINT) AS resized_h
-        |FROM sc""")
+        |FROM sc"""),
+
+    // REAL container parsing end to end: even ids synthesize genuine
+    // PNGs (JDK encoder — CRCs, zlib, the works), odd ids spec-correct
+    // PCM16 WAVs; parseHeaders reads the actual IHDR / fmt-chunk BYTES.
+    // Every synthesis parameter is id arithmetic, so the oracle replays
+    // the ground truth and the hash match proves the real write→parse
+    // round trip (no stub anywhere on this path).
+    "q_media_headers" -> QueryDef(
+      (s, dir) => Multimodal.parseHeaders(
+          Multimodal.synthesizeMedia(Tables.documents(s, dir), "doc_id"))
+        .toDF(),
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+        |       CASE WHEN doc_id % 2 = 0 THEN CAST(16 + doc_id % 48 AS BIGINT) END AS width,
+        |       CASE WHEN doc_id % 2 = 0 THEN CAST(16 + (doc_id * 7) % 32 AS BIGINT) END AS height,
+        |       CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS BIGINT) END AS bit_depth,
+        |       CASE WHEN doc_id % 2 = 0 THEN CAST(2 AS BIGINT) END AS color_type,
+        |       CASE WHEN doc_id % 2 = 1 THEN CAST(1 + (doc_id // 2) % 2 AS BIGINT) END AS channels,
+        |       CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + 1000 * (doc_id % 8) AS BIGINT) END AS sample_rate,
+        |       CASE WHEN doc_id % 2 = 1 THEN CAST(500 + doc_id % 1000 AS BIGINT) END AS n_samples,
+        |       CASE WHEN doc_id % 2 = 1 THEN CAST((500 + doc_id % 1000) * 1000 // (8000 + 1000 * (doc_id % 8)) AS BIGINT) END AS duration_ms
+        |FROM documents"""),
+
+    // REAL pixel decode (JDK PNG reader) over the PNG subset: exact
+    // per-channel sums. The oracle never decodes — it replays the pixel
+    // GENERATOR arithmetically, so the hash match proves encode→decode
+    // losslessness through the real codec.
+    "q_media_decode" -> QueryDef(
+      (s, dir) => Multimodal.decodePixels(
+          Multimodal.synthesizeMedia(Tables.documents(s, dir), "doc_id"))
+        .toDF(),
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(16 + doc_id % 48 AS BIGINT) AS w,
+        |         CAST(16 + (doc_id * 7) % 32 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT media_id, w AS width, h AS height,
+        |  CAST(list_sum([ (media_id % 256 + 3 * (i % w) + 5 * (i // w)) % 256 for i in generate_series(0, w * h - 1) ]) AS BIGINT) AS sum_r,
+        |  CAST(list_sum([ ((2 * media_id) % 256 + 2 * (i % w) + (i // w)) % 256 for i in generate_series(0, w * h - 1) ]) AS BIGINT) AS sum_g,
+        |  CAST(list_sum([ ((3 * media_id) % 256 + (i % w) + 7 * (i // w)) % 256 for i in generate_series(0, w * h - 1) ]) AS BIGINT) AS sum_b
+        |FROM m""")
   )
 
 

@@ -61,4 +61,54 @@ class MultimodalSpec extends SparkSpec {
       assert(rw <= w && rh <= h)
     }
   }
+
+  test("real formats: parseHeaders reads JDK-encoded PNG and spec WAV bytes exactly") {
+    import spark.implicits._
+    val ids = Seq(4L, 7L).toDF("id") // one png (even), one wav (odd)
+    val parsed = Multimodal.parseHeaders(Multimodal.synthesizeMedia(ids, "id"))
+      .collect().map(hh => hh.media_id -> hh).toMap
+    val png = parsed(4L)
+    assert(png.format == "png")
+    assert(png.width.contains(16 + 4 % 48) && png.height.contains(16L + (4 * 7) % 32))
+    assert(png.bit_depth.contains(8L) && png.color_type.contains(2L))
+    assert(png.channels.isEmpty && png.sample_rate.isEmpty)
+    val wav = parsed(7L)
+    assert(wav.format == "wav")
+    assert(wav.channels.contains(1L + (7 / 2) % 2))
+    assert(wav.sample_rate.contains(8000L + 1000 * (7 % 8)))
+    assert(wav.n_samples.contains(500L + 7 % 1000))
+    assert(wav.duration_ms.contains((500L + 7 % 1000) * 1000 / (8000 + 1000 * (7 % 8))))
+    assert(wav.width.isEmpty && wav.height.isEmpty)
+  }
+
+  test("garbage and truncated payloads degrade to unknown, never throw") {
+    import spark.implicits._
+    val junk = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3), "png"),
+      Multimodal.MediaRow(2L, "RIFFxxxxWAVE".getBytes("US-ASCII"), "wav"),
+      Multimodal.MediaRow(3L, Array.emptyByteArray, "png")).toDS()
+    val out = Multimodal.parseHeaders(junk).collect()
+    assert(out.length == 3)
+    assert(out.forall(h => h.format == "unknown" && h.width.isEmpty && h.channels.isEmpty))
+  }
+
+  test("real PNG decode: pixel sums equal the generator, computed independently") {
+    import spark.implicits._
+    val ids = Seq(0L, 2L, 90L).toDF("id")
+    val decoded = Multimodal.decodePixels(Multimodal.synthesizeMedia(ids, "id"))
+      .collect().map(p => p.media_id -> p).toMap
+    for (id <- Seq(0L, 2L, 90L)) {
+      val w = (16 + id % 48).toInt; val h = (16 + id * 7 % 32).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += ((id % 256).toInt + 3 * x + 5 * y) % 256
+        sg += (((2 * id) % 256).toInt + 2 * x + y) % 256
+        sb += (((3 * id) % 256).toInt + x + 7 * y) % 256
+      }
+      val p = decoded(id)
+      assert((p.width, p.height) == (w.toLong, h.toLong))
+      assert((p.sum_r, p.sum_g, p.sum_b) == (sr, sg, sb),
+        s"decode diverged from generator for id=$id")
+    }
+  }
 }
