@@ -246,6 +246,36 @@ object Multimodal {
     }
   }
 
+  /** REAL resize on really-decoded pixels: nearest-neighbor with pure
+    * integer index math (src = (dst·srcDim) div dstDim — no float
+    * kernel, so the result is bit-reproducible and oracle-replayable),
+    * summarized as exact per-channel sums of the RESIZED raster. This is
+    * the executable counterpart of [[resizePlan]]'s column math: decode
+    * → transform → feature, all real, all verifiable. */
+  def resizePixels(media: Dataset[MediaRow], dstW: Int, dstH: Int): Dataset[MediaPixels] = {
+    import media.sparkSession.implicits._
+    require(dstW >= 1 && dstH >= 1, s"target box must be positive: ${dstW}x$dstH")
+    media.filter((r: MediaRow) => r.format == "png").mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < dstH) {
+          val sy = y * h / dstH
+          var x = 0
+          while (x < dstW) {
+            val p = img.getRGB(x * w / dstW, sy)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        MediaPixels(r.media_id, dstW.toLong, dstH.toLong, sr, sg, sb)
+      }
+    }
+  }
+
   private def unknown(id: Long): MediaHeader =
     MediaHeader(id, "unknown", None, None, None, None, None, None, None, None)
 

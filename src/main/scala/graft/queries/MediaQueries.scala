@@ -112,6 +112,27 @@ object MediaQueries {
         |  CAST(list_sum([ (media_id % 256 + 3 * (i % w) + 5 * (i // w)) % 256 for i in generate_series(0, w * h - 1) ]) AS BIGINT) AS sum_r,
         |  CAST(list_sum([ ((2 * media_id) % 256 + 2 * (i % w) + (i // w)) % 256 for i in generate_series(0, w * h - 1) ]) AS BIGINT) AS sum_g,
         |  CAST(list_sum([ ((3 * media_id) % 256 + (i % w) + 7 * (i // w)) % 256 for i in generate_series(0, w * h - 1) ]) AS BIGINT) AS sum_b
+        |FROM m"""),
+
+    // REAL resize on really-decoded pixels: integer nearest-neighbor
+    // (src = dst·srcDim div dstDim) to a 16×16 thumbnail, summarized as
+    // exact channel sums of the RESIZED raster. Oracle replays the
+    // generator at the mapped source indices — decode + transform both
+    // proven real by the hash match.
+    "q_media_resize_px" -> QueryDef(
+      (s, dir) => Multimodal.resizePixels(
+          Multimodal.synthesizeMedia(Tables.documents(s, dir), "doc_id"),
+          dstW = 16, dstH = 16)
+        .toDF(),
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(16 + doc_id % 48 AS BIGINT) AS w,
+        |         CAST(16 + (doc_id * 7) % 32 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT media_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(list_sum([ (media_id % 256 + 3 * (((i % 16) * w) // 16) + 5 * (((i // 16) * h) // 16)) % 256 for i in generate_series(0, 255) ]) AS BIGINT) AS sum_r,
+        |  CAST(list_sum([ ((2 * media_id) % 256 + 2 * (((i % 16) * w) // 16) + (((i // 16) * h) // 16)) % 256 for i in generate_series(0, 255) ]) AS BIGINT) AS sum_g,
+        |  CAST(list_sum([ ((3 * media_id) % 256 + (((i % 16) * w) // 16) + 7 * (((i // 16) * h) // 16)) % 256 for i in generate_series(0, 255) ]) AS BIGINT) AS sum_b
         |FROM m""")
   )
 

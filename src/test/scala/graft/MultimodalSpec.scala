@@ -92,6 +92,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(h => h.format == "unknown" && h.width.isEmpty && h.channels.isEmpty))
   }
 
+  test("real resize: 16x16 identity equals full decode; downscale picks NN indices") {
+    import spark.implicits._
+    // id 0 encodes a 16x16 image: identity resize must equal decodePixels
+    val ids0 = Seq(0L).toDF("id")
+    val full = Multimodal.decodePixels(Multimodal.synthesizeMedia(ids0, "id")).head()
+    val same = Multimodal.resizePixels(Multimodal.synthesizeMedia(ids0, "id"), 16, 16).head()
+    assert((same.sum_r, same.sum_g, same.sum_b) == (full.sum_r, full.sum_g, full.sum_b))
+    // a larger image: resized sums must equal the generator at mapped indices
+    val id = 6L
+    val w = (16 + id % 48).toInt; val h = (16 + id * 7 % 32).toInt
+    var sr = 0L
+    for (y <- 0 until 16; x <- 0 until 16)
+      sr += ((id % 256).toInt + 3 * (x * w / 16) + 5 * (y * h / 16)) % 256
+    val rz = Multimodal.resizePixels(
+      Multimodal.synthesizeMedia(Seq(id).toDF("id"), "id"), 16, 16).head()
+    assert(rz.sum_r == sr, s"NN index math diverged: ${rz.sum_r} vs $sr")
+  }
+
   test("real PNG decode: pixel sums equal the generator, computed independently") {
     import spark.implicits._
     val ids = Seq(0L, 2L, 90L).toDF("id")
