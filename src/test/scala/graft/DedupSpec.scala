@@ -281,8 +281,15 @@ class DedupSpec extends SparkSpec {
     * into per-stage jobs and every broadcast-hash build is its own
     * job, both inherent to the PLAN, not the algorithm.) Polled to
     * quiescence — the ExecutionListenerBus is async, but actions in
-    * `body` are blocking, so a stable count is complete. */
-  private def countProbeActions(body: => Unit): Int = {
+    * `body` are blocking, so a stable count is complete.
+    *
+    * `body` runs against an ISOLATED `newSession()` (same SparkContext,
+    * fresh session state): the ExecutionListenerManager is
+    * session-scoped, so suites running concurrently in the shared test
+    * JVM can't bump this counter — with the listener on the shared
+    * session the pin was flaky under `sbt test` parallelism. */
+  private def countProbeActions(body: org.apache.spark.sql.SparkSession => Unit): Int = {
+    val s2 = spark.newSession()
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private def bump(funcName: String): Unit =
@@ -295,25 +302,25 @@ class DedupSpec extends SparkSpec {
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              exception: Exception): Unit = bump(funcName)
     }
-    spark.listenerManager.register(listener)
+    s2.listenerManager.register(listener)
     try {
-      body
+      body(s2)
       var prev = -1; var cur = counter.get(); var waited = 0
       while (cur != prev && waited < 5000) {
         Thread.sleep(200); waited += 200; prev = cur; cur = counter.get()
       }
       cur
-    } finally spark.listenerManager.unregister(listener)
+    } finally s2.listenerManager.unregister(listener)
   }
 
   test("min-label CC: the convergence probe is the ONLY action per round") {
-    import spark.implicits._
     // path 1-2-3-4 + singleton: label fixpoint in round 3, confirmed in
     // round 4 — deterministic. One sum(_chg) probe per round, riding
     // the job that materializes the round's lazy checkpoint; the
     // pre-round-7 scheme ran a SECOND full pass per round (join +
     // isEmpty over the labels) on top of the eager checkpoint.
-    val probes = countProbeActions {
+    val probes = countProbeActions { s2 =>
+      import s2.implicits._
       Dedup.connectedComponents(
         Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2"),
         Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id"), "doc_id")
@@ -323,11 +330,11 @@ class DedupSpec extends SparkSpec {
   }
 
   test("star contraction: the set-diff probe is the ONLY action per round") {
-    import spark.implicits._
     // 9-node path: fixpoint in <= 4 rounds. One full-outer set-diff
     // probe per round + the initial isEmpty; the pre-round-7 scheme
     // cost 3 actions per round (2 counts + anti-join isEmpty).
-    val probes = countProbeActions {
+    val probes = countProbeActions { s2 =>
+      import s2.implicits._
       Dedup.connectedComponentsStar(
         (0L until 8L).map(i => (i, i + 1)).toDF("id1", "id2"),
         (0L to 8L).toDF("doc_id"), "doc_id")
