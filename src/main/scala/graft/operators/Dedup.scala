@@ -353,14 +353,35 @@ object Dedup {
     val byDoc = Window.partitionBy(col("id"))
     // ⌈τ·sz⌉ in integers: (num·sz + den − 1) div den
     val ceilTauSz = floor((lit(tauNum) * col("_w_sz") + lit(tauDen - 1)) / lit(tauDen))
-    val prefix = sh.join(dfreq, Seq("shingle"))
-      .withColumn("_rn", row_number().over(byDoc.orderBy(col("_df"), col("shingle"))))
-      .withColumn("_w_sz", count(lit(1)).over(byDoc))
-      .filter(col("_rn") <= col("_w_sz") - ceilTauSz + 1)
-      .select(col("id"), col("shingle"))
-    val cand = prefix.select(col("id").as("id1"), col("shingle"))
-      .join(prefix.select(col("id").as("id2"), col("shingle")), Seq("shingle"))
+    // persisted: BOTH sides of the candidate self-join read this frame —
+    // uncached, the window + df-join sub-plan executes twice
+    val prefix = graft.Caching.persistTracked(
+      sh.join(dfreq, Seq("shingle"))
+        .withColumn("_rn", row_number().over(byDoc.orderBy(col("_df"), col("shingle"))))
+        .withColumn("_w_sz", count(lit(1)).over(byDoc))
+        .filter(col("_rn") <= col("_w_sz") - ceilTauSz + 1)
+        .select(col("id"), col("shingle"), col("_w_sz"), col("_rn")))
+    // Two lossless PPJoin filters DURING the shingle join, before the
+    // distinct shuffle and the per-pair verification fan pay for the
+    // survivors (both integer cross-multiplications, both provably
+    // drop only pairs that cannot reach τ):
+    //  - length filter: common ≤ min(sz1, sz2), so τ·max > min kills;
+    //  - positional filter: positions follow the SAME canonical
+    //    (df, shingle) order in every doc, so for a pair's earliest
+    //    shared shingle at prefix positions (i, j) nothing before it is
+    //    shared in either doc and common ≤ min(sz1−i, sz2−j) + 1; a
+    //    true pair's earliest match always survives, so keeping pairs
+    //    with ANY surviving match loses nothing.
+    val tauSum = lit((tauDen + tauNum).toLong)
+    val cand = prefix.select(col("id").as("id1"), col("_w_sz").as("_sz1"),
+        col("_rn").as("_rn1"), col("shingle"))
+      .join(prefix.select(col("id").as("id2"), col("_w_sz").as("_sz2"),
+        col("_rn").as("_rn2"), col("shingle")), Seq("shingle"))
       .filter(col("id1") < col("id2"))
+      .filter(lit(tauNum.toLong) * greatest(col("_sz1"), col("_sz2")) <=
+        lit(tauDen.toLong) * least(col("_sz1"), col("_sz2")))
+      .filter((least(col("_sz1") - col("_rn1"), col("_sz2") - col("_rn2")) + 1) * tauSum >=
+        lit(tauNum.toLong) * (col("_sz1") + col("_sz2")))
       .select(col("id1"), col("id2")).distinct()
     val common = cand
       .join(sh.select(col("id").as("id1"), col("shingle")), Seq("id1"))
