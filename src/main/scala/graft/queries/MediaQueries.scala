@@ -133,7 +133,26 @@ object MediaQueries {
         |  CAST(list_sum([ (media_id % 256 + 3 * (((i % 16) * w) // 16) + 5 * (((i // 16) * h) // 16)) % 256 for i in generate_series(0, 255) ]) AS BIGINT) AS sum_r,
         |  CAST(list_sum([ ((2 * media_id) % 256 + 2 * (((i % 16) * w) // 16) + (((i // 16) * h) // 16)) % 256 for i in generate_series(0, 255) ]) AS BIGINT) AS sum_g,
         |  CAST(list_sum([ ((3 * media_id) % 256 + (((i % 16) * w) // 16) + 7 * (((i // 16) * h) // 16)) % 256 for i in generate_series(0, 255) ]) AS BIGINT) AS sum_b
-        |FROM m""")
+        |FROM m"""),
+
+    // REAL PCM16 audio decode over the WAV subset: every little-endian
+    // int16 of the data chunk read and folded into an exact sum + peak.
+    // Oracle replays the synthetic sample generator — the audio
+    // analogue of q_media_decode's pixel proof.
+    "q_media_audio" -> QueryDef(
+      (s, dir) => Multimodal.decodeAudio(
+          Multimodal.synthesizeMedia(Tables.documents(s, dir), "doc_id"))
+        .toDF(),
+      """WITH w AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(1 + (doc_id // 2) % 2 AS BIGINT) AS channels,
+        |         CAST(8000 + 1000 * (doc_id % 8) AS BIGINT) AS sample_rate,
+        |         CAST(500 + doc_id % 1000 AS BIGINT) AS n_samples
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT media_id, channels, sample_rate, n_samples,
+        |  CAST(list_sum([ (media_id + 11 * i) % 2001 - 1000 for i in generate_series(0, n_samples * channels - 1) ]) AS BIGINT) AS sum_samples,
+        |  CAST(list_max([ abs((media_id + 11 * i) % 2001 - 1000) for i in generate_series(0, n_samples * channels - 1) ]) AS BIGINT) AS peak_abs
+        |FROM w""")
   )
 
 

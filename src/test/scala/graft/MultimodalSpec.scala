@@ -110,6 +110,21 @@ class MultimodalSpec extends SparkSpec {
     assert(rz.sum_r == sr, s"NN index math diverged: ${rz.sum_r} vs $sr")
   }
 
+  test("real PCM16 decode: sample sum and peak equal the generator") {
+    import spark.implicits._
+    val id = 13L // wav: 2 channels, rate 13000, 513 frames
+    val out = Multimodal.decodeAudio(
+      Multimodal.synthesizeMedia(Seq(id).toDF("id"), "id")).head()
+    val c = 1 + (id / 2) % 2; val n = 500 + id % 1000
+    var sum = 0L; var peak = 0L
+    for (i <- 0L until n * c) {
+      val s = (id + 11 * i) % 2001 - 1000
+      sum += s; peak = math.max(peak, math.abs(s))
+    }
+    assert(out.channels == c && out.sample_rate == 8000 + 1000 * (id % 8))
+    assert(out.n_samples == n && out.sum_samples == sum && out.peak_abs == peak)
+  }
+
   test("real PNG decode: pixel sums equal the generator, computed independently") {
     import spark.implicits._
     val ids = Seq(0L, 2L, 90L).toDF("id")
