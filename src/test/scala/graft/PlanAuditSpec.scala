@@ -38,6 +38,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_sample_pps: one window exchange serves both the cumulative and total sums") {
+    val p = planOf("q_sample_pps")
+    // the ordered cum-sum and the stratum total must share the
+    // partitionBy(source) exchange — two Window nodes, no extra shuffle
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).size == 1,
+      s"PPS windows no longer share one stratum exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_contrastive_negs: corpus count broadcasts; the draw is one keyed join") {
+    val p = planOf("q_contrastive_negs")
+    assert(p.contains("BroadcastExchange"), s"corpus count must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"negative draw must stay a keyed rank join:\n$p")
+  }
+
+  test("media codec path: per-row batch seam, no shuffle anywhere") {
+    for (q <- Seq("q_media_headers", "q_media_decode", "q_media_audio")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q grew a shuffle — synth/parse/decode are per-row stages:\n$p")
+    }
+  }
+
   test("q_join_broadcast: both dims broadcast, no shuffle join") {
     val p = planOf("q_join_broadcast")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
