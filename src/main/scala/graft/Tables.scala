@@ -25,15 +25,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
-    * rebuild a micros timestamp with integer division (`div`, not `/` —
-    * epoch-nanos exceed 2^53 so double math would corrupt low bits).
-    * The driver data is µs-precision, so the truncation is lossless. */
+  /** The driver has regenerated `events.parquet` across rounds with two
+    * different physical types for `ts`, so adapt to whichever is on disk:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]); with `nanosAsLong` it surfaces as
+    *    LongType epoch-nanos → rebuild micros with integer division
+    *    (`div`, not `/` — epoch-nanos exceed 2^53, double math would
+    *    corrupt low bits; driver data is µs-precision so it's lossless).
+    *  - naive `timestamp[us]` (current data): surfaces as TIMESTAMP_NTZ →
+    *    cast to session-local TIMESTAMP. Every session we own pins
+    *    spark.sql.session.timeZone=UTC, so the cast is a lossless
+    *    reinterpretation matching DuckDB's naive timestamps.
+    *
+    * The `nanosAsLong` flag is harmless for non-nanos files. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
