@@ -187,9 +187,135 @@ object Multimodal {
     bb.array()
   }
 
+  /** Deterministic REAL JPEG corpus from an id column (JDK encoder —
+    * javax.imageio ships a headless JPEG codec, same as PNG). Dims reuse
+    * the PNG arithmetic (w = 16 + id%48, h = 16 + 7·id%32); pixels are
+    * NON-WRAPPING linear ramps (base div 2 + small·x + small·y, max 235)
+    * because JPEG is lossy and sawtooth wrap-arounds would ring — smooth
+    * planes keep the decode within a tight, spec-pinned error band.
+    * Every parameter is id arithmetic, so the oracle replays the header
+    * ground truth without decoding. */
+  def synthesizeJpeg(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id => MediaRow(id, synthJpeg(id), "jpeg") }
+    }
+  }
+
+  /** Expected (pre-encode) channel value at (x, y) for [[synthJpeg]] —
+    * shared by the encoder and the fidelity check so the ground truth
+    * has exactly one definition. */
+  private[graft] def jpegSrc(id: Long, c: Int, x: Int, y: Int): Int = c match {
+    // base div 2 ≤ 127; with x ≤ 62, y ≤ 46 each ramp tops out ≤ 251.
+    case 0 => ((id % 256) / 2 + x + y).toInt
+    case 1 => (((2 * id) % 256) / 2 + 2 * x).toInt
+    case _ => (((3 * id) % 256) / 2 + 2 * y).toInt
+  }
+
+  private def synthJpeg(id: Long): Array[Byte] = {
+    val w = (16 + id % 48).toInt; val h = (16 + (id * 7) % 32).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (jpegSrc(id, 0, x, y) << 16) | (jpegSrc(id, 1, x, y) << 8) | jpegSrc(id, 2, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Real JPEG decode + fidelity gate: decodes with the JDK codec,
+    * compares against the [[jpegSrc]] ground truth, and emits the exact
+    * integer total absolute error beside a pass/fail gate at `maxMeanErr`
+    * mean-abs-error per channel-sample. The gate (not the codec-dependent
+    * error value) is the oracle-portable column: a broken decode path
+    * flips it and the hash mismatch goes red. */
+  final case class JpegFidelity(media_id: Long, width: Long, height: Long,
+                                total_abs_err: Long, fidelity_ok: Boolean)
+
+  def decodeJpegFidelity(media: Dataset[MediaRow], maxMeanErr: Double): Dataset[JpegFidelity] = {
+    import media.sparkSession.implicits._
+    media.filter((r: MediaRow) => r.format == "jpeg").mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val w = img.getWidth; val h = img.getHeight
+        var err = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            err += math.abs(((p >> 16) & 0xff) - jpegSrc(r.media_id, 0, x, y)).toLong +
+                   math.abs(((p >> 8) & 0xff)  - jpegSrc(r.media_id, 1, x, y)).toLong +
+                   math.abs((p & 0xff)         - jpegSrc(r.media_id, 2, x, y)).toLong
+            x += 1
+          }
+          y += 1
+        }
+        JpegFidelity(r.media_id, w.toLong, h.toLong, err,
+          err <= maxMeanErr * (3.0 * w * h))
+      }
+    }
+  }
+
+  /** DSP features over the really-decoded PCM16 stream: zero crossings
+    * (sign flip between consecutive interleaved samples, 0 counted as
+    * non-negative), exact integer energy (sum of squares — BIGINT-safe:
+    * |s| ≤ 2^15 so n·2^30 stays far under 2^63), and RMS. The single
+    * float op is sqrt(sum_sq / n): IEEE-754 requires sqrt and division
+    * correctly rounded, so unlike ln() the value is bit-portable and the
+    * oracle replays it exactly. */
+  final case class AudioDsp(media_id: Long, n_samples: Long, zero_crossings: Long,
+                            sum_sq: Long, rms: Double)
+
+  def audioDsp(media: Dataset[MediaRow]): Dataset[AudioDsp] = {
+    import media.sparkSession.implicits._
+    media.filter((r: MediaRow) => r.format == "wav").mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.payload
+        var pos = 12
+        var dataOff = -1; var dataLen = -1
+        while (pos + 8 <= b.length) {
+          val ck = new String(b, pos, 4, "US-ASCII")
+          val sz = java.nio.ByteBuffer.wrap(b, pos + 4, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+          if (ck == "data") { dataOff = pos + 8; dataLen = sz }
+          pos += 8 + sz + (sz & 1)
+        }
+        require(dataOff >= 0, s"no data chunk: media_id=${r.media_id}")
+        val sb = java.nio.ByteBuffer.wrap(b, dataOff, dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val total = dataLen / 2
+        var sumSq = 0L; var zc = 0L
+        var prevNeg = false
+        var i = 0
+        while (i < total) {
+          val s = sb.getShort.toLong
+          sumSq += s * s
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          i += 1
+        }
+        AudioDsp(r.media_id, total.toLong, zc, sumSq,
+          math.sqrt(sumSq.toDouble / total))
+      }
+    }
+  }
+
   private def isPng(b: Array[Byte]): Boolean =
     b.length > 33 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
       b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
 
   private def isWav(b: Array[Byte]): Boolean =
     b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
@@ -217,6 +343,33 @@ object Multimodal {
             MediaHeader(r.media_id, "png", Some(w), Some(h), Some(depth), Some(ct),
               None, None, None, None)
           } else unknown(r.media_id)
+        } else if (isJpeg(b)) {
+          // Marker walk to the frame header (SOF0/1/2): FF xx, 2-byte
+          // big-endian segment length (incl. itself); standalone markers
+          // (RST0-7, TEM) carry no length. SOF payload = precision(1),
+          // height(2), width(2), n_components(1).
+          var pos = 2
+          var out: MediaHeader = null
+          while (out == null && pos + 4 <= b.length && (b(pos) & 0xff) == 0xff) {
+            val m = b(pos + 1) & 0xff
+            if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+              if (pos + 10 <= b.length) {
+                val prec = (b(pos + 4) & 0xff).toLong
+                val h = (((b(pos + 5) & 0xff) << 8) | (b(pos + 6) & 0xff)).toLong
+                val w = (((b(pos + 7) & 0xff) << 8) | (b(pos + 8) & 0xff)).toLong
+                val ncomp = (b(pos + 9) & 0xff).toLong
+                out = MediaHeader(r.media_id, "jpeg", Some(w), Some(h), Some(prec),
+                  None, Some(ncomp), None, None, None)
+              } else out = unknown(r.media_id)
+            } else if (m == 0xd9 || m == 0xda) {
+              out = unknown(r.media_id) // hit EOI/SOS without a frame header
+            } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+              pos += 2
+            } else {
+              pos += 2 + (((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff))
+            }
+          }
+          if (out != null) out else unknown(r.media_id)
         } else if (isWav(b)) {
           var pos = 12
           var channels, rate, bits = -1L

@@ -152,6 +152,66 @@ object MediaQueries {
         |SELECT media_id, channels, sample_rate, n_samples,
         |  CAST(list_sum([ (media_id + 11 * i) % 2001 - 1000 for i in generate_series(0, n_samples * channels - 1) ]) AS BIGINT) AS sum_samples,
         |  CAST(list_max([ abs((media_id + 11 * i) % 2001 - 1000) for i in generate_series(0, n_samples * channels - 1) ]) AS BIGINT) AS peak_abs
+        |FROM w"""),
+
+    // REAL JPEG container parsing: synthesizeJpeg writes genuine JPEGs
+    // through the JDK's headless codec (every id), parseHeaders walks
+    // the actual marker stream to SOF0 and reads precision / dims /
+    // component count off the frame header bytes. Synthesis parameters
+    // are id arithmetic, so the oracle replays the ground truth — the
+    // hash match proves the real encode→marker-walk round trip.
+    "q_media_jpeg_headers" -> QueryDef(
+      (s, dir) => Multimodal.parseHeaders(
+          Multimodal.synthesizeJpeg(Tables.documents(s, dir), "doc_id"))
+        .toDF(),
+      """SELECT doc_id AS media_id, 'jpeg' AS format,
+        |       CAST(16 + doc_id % 48 AS BIGINT) AS width,
+        |       CAST(16 + (doc_id * 7) % 32 AS BIGINT) AS height,
+        |       CAST(8 AS BIGINT) AS bit_depth,
+        |       CAST(NULL AS BIGINT) AS color_type,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(NULL AS BIGINT) AS sample_rate,
+        |       CAST(NULL AS BIGINT) AS n_samples,
+        |       CAST(NULL AS BIGINT) AS duration_ms
+        |FROM documents"""),
+
+    // REAL JPEG decode behind a fidelity gate: JPEG is lossy, so the
+    // decoded raster can't replay arithmetically like PNG — instead the
+    // engine decodes with the real codec, measures exact total abs error
+    // against the generator ground truth, and emits pass/fail at MAE ≤ 4
+    // per channel-sample (the synthetic ramps are smooth planes; spec-
+    // measured MAE is far below the gate). The gate column IS oracle-
+    // checked: a broken decode flips it and the hash goes red. The
+    // codec-dependent error value itself stays in the operator API for
+    // MultimodalSpec, out of the hashed projection.
+    "q_media_jpeg" -> QueryDef(
+      (s, dir) => Multimodal.decodeJpegFidelity(
+          Multimodal.synthesizeJpeg(Tables.documents(s, dir), "doc_id"),
+          maxMeanErr = 4.0)
+        .toDF().select(col("media_id"), col("width"), col("height"), col("fidelity_ok")),
+      """SELECT doc_id AS media_id,
+        |       CAST(16 + doc_id % 48 AS BIGINT) AS width,
+        |       CAST(16 + (doc_id * 7) % 32 AS BIGINT) AS height,
+        |       true AS fidelity_ok
+        |FROM documents"""),
+
+    // DSP features over the really-decoded PCM16 stream: zero-crossing
+    // count and exact integer energy, plus RMS — the one float op is
+    // sqrt(sum_sq / n), which IEEE 754 requires correctly rounded (unlike
+    // ln()), so even the float column hash-verifies. Oracle replays the
+    // sample generator.
+    "q_media_audio_dsp" -> QueryDef(
+      (s, dir) => Multimodal.audioDsp(
+          Multimodal.synthesizeMedia(Tables.documents(s, dir), "doc_id"))
+        .toDF(),
+      """WITH w AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST((500 + doc_id % 1000) * (1 + (doc_id // 2) % 2) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT media_id, n AS n_samples,
+        |  CAST(list_sum([ CASE WHEN ((media_id + 11 * i) % 2001 - 1000 < 0) <> ((media_id + 11 * (i - 1)) % 2001 - 1000 < 0) THEN 1 ELSE 0 END for i in generate_series(1, n - 1) ]) AS BIGINT) AS zero_crossings,
+        |  CAST(list_sum([ ((media_id + 11 * i) % 2001 - 1000) * ((media_id + 11 * i) % 2001 - 1000) for i in generate_series(0, n - 1) ]) AS BIGINT) AS sum_sq,
+        |  sqrt(CAST(list_sum([ ((media_id + 11 * i) % 2001 - 1000) * ((media_id + 11 * i) % 2001 - 1000) for i in generate_series(0, n - 1) ]) AS DOUBLE) / n) AS rms
         |FROM w""")
   )
 

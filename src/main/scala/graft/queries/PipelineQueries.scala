@@ -573,6 +573,53 @@ object PipelineQueries {
         |  FROM lineitem li WHERE NOT EXISTS (
         |    SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey))
         |SELECT chk AS "check", violations, violations = 0 AS passed
-        |FROM (SELECT * FROM colchecks UNION ALL SELECT * FROM uniq UNION ALL SELECT * FROM ri)""")
+        |FROM (SELECT * FROM colchecks UNION ALL SELECT * FROM uniq UNION ALL SELECT * FROM ri)"""),
+
+    // GPT-style sequence packing (concat-and-chop): every doc's tokens
+    // laid end to end in doc_id order, the stream chopped every 512
+    // tokens. The engine's global prefix sum is the scalable two-level
+    // scan (range repartition + per-partition pass + #partitions-row
+    // offset frame — NEVER a single-partition window); the oracle's
+    // whole-set window computes the same exclusive cumsum, so the hash
+    // match proves the distributed scan ≡ the textbook sequential one.
+    "q_pack_global" -> QueryDef(
+      (s, dir) => graft.operators.SeqPack.packSequences(
+          Tables.documents(s, dir).select(col("doc_id"),
+            size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", seqLen = 512L),
+      s"""WITH $ToksCte,
+        |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks WHERE len(t) > 0),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS tok_start
+        |  FROM n)
+        |SELECT doc_id, n_tokens, tok_start,
+        |       tok_start // 512 AS seq_first,
+        |       (tok_start + n_tokens - 1) // 512 AS seq_last,
+        |       (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS n_seqs
+        |FROM c"""),
+
+    // The shard-writer's manifest over the packed stream: docs per
+    // sequence and boundary-split docs per sequence. Each doc explodes
+    // into ≤ n_tokens/512 + 2 rows — bounded, no all-pairs anywhere.
+    "q_pack_manifest" -> QueryDef(
+      (s, dir) => graft.operators.SeqPack.sequenceManifest(
+        graft.operators.SeqPack.packSequences(
+          Tables.documents(s, dir).select(col("doc_id"),
+            size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", seqLen = 512L), seqLen = 512L),
+      s"""WITH $ToksCte,
+        |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks WHERE len(t) > 0),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS tok_start
+        |  FROM n),
+        |e AS (
+        |  SELECT CAST(unnest(generate_series(tok_start // 512, (tok_start + n_tokens - 1) // 512)) AS BIGINT) AS seq_id,
+        |         (tok_start + n_tokens - 1) // 512 > tok_start // 512 AS spans
+        |  FROM c)
+        |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN spans THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        |FROM e GROUP BY seq_id""")
   )
 }

@@ -144,4 +144,51 @@ class MultimodalSpec extends SparkSpec {
         s"decode diverged from generator for id=$id")
     }
   }
+
+  test("real JPEG: header parse reads SOF dims, decode stays inside the fidelity band") {
+    import spark.implicits._
+    val idSeq = Seq(0L, 1L, 7L, 90L, 255L)
+    val ids = idSeq.toDF("id")
+    val jpegs = Multimodal.synthesizeJpeg(ids, "id")
+    // marker walk: exact dims/precision/components off the real bytes
+    val heads = Multimodal.parseHeaders(jpegs).collect().map(h => h.media_id -> h).toMap
+    for (id <- idSeq) {
+      val h = heads(id)
+      assert(h.format == "jpeg", s"id=$id parsed as ${h.format}")
+      assert(h.width.contains(16 + id % 48) && h.height.contains(16 + id * 7 % 32))
+      assert(h.bit_depth.contains(8L) && h.channels.contains(3L))
+    }
+    // lossy decode: exact dims, error band well under the gate (MAE ≤ 4
+    // per channel-sample on smooth ramps), and gate = true everywhere
+    val fids = Multimodal.decodeJpegFidelity(jpegs, maxMeanErr = 4.0)
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- idSeq) {
+      val f = fids(id)
+      val n = 3L * f.width * f.height
+      assert(f.fidelity_ok, s"id=$id MAE=${f.total_abs_err.toDouble / n}")
+      assert(f.total_abs_err > 0, "JPEG decode bit-exact to source is implausible — check the codec actually ran")
+    }
+    // determinism across partitionings (the oracle-gate precondition)
+    val again = Multimodal.decodeJpegFidelity(
+      Multimodal.synthesizeJpeg(ids.repartition(4), "id"), maxMeanErr = 4.0)
+      .collect().map(f => f.media_id -> f.total_abs_err).toMap
+    assert(idSeq.forall(id => again(id) == fids(id).total_abs_err))
+  }
+
+  test("audio DSP: zero crossings, exact energy, and correctly-rounded RMS match the generator") {
+    import spark.implicits._
+    val idSeq = Seq(1L, 3L, 91L)
+    val out = Multimodal.audioDsp(Multimodal.synthesizeMedia(idSeq.toDF("id"), "id"))
+      .collect().map(a => a.media_id -> a).toMap
+    for (id <- idSeq) {
+      val ch = (1 + (id / 2) % 2).toInt
+      val n = (500 + id % 1000).toInt * ch
+      val samples = (0 until n).map(i => ((id + 11 * i) % 2001 - 1000).toInt)
+      val zc = (1 until n).count(i => (samples(i) < 0) != (samples(i - 1) < 0))
+      val sumSq = samples.map(s => s.toLong * s).sum
+      val a = out(id)
+      assert(a.n_samples == n && a.zero_crossings == zc && a.sum_sq == sumSq)
+      assert(a.rms == math.sqrt(sumSq.toDouble / n)) // bit-exact: sqrt is correctly rounded
+    }
+  }
 }
