@@ -310,6 +310,203 @@ object Multimodal {
     }
   }
 
+  // ---- REAL video: hand-emitted MJPEG AVI (RIFF container + JDK JPEG) --
+  //
+  // AVI is RIFF — the same chunk grammar as WAVE — and an MJPEG stream
+  // is one complete JPEG per '00dc' chunk, so a spec-correct video file
+  // needs no library the JDK doesn't already ship. This lifts the last
+  // honestly-stubbed modality: the container walk, the per-frame codec,
+  // and frame sampling (skipping chunk bytes WITHOUT decoding them) are
+  // all real.
+
+  /** Per-frame ground truth for [[synthesizeVideo]]: frame f of video
+    * `id` uses the [[jpegSrc]] ramps at shifted id (id + 131·f) — pure
+    * integer arithmetic, so the oracle replays headers and the fidelity
+    * gate without touching a codec. */
+  private[graft] def videoFrameId(id: Long, f: Int): Long = id + 131L * f
+
+  /** Deterministic REAL MJPEG AVI corpus: n_frames = 3 + id%6, frame
+    * dims reuse the JPEG arithmetic, fps fixed at 10. The RIFF tree
+    * (hdrl: avih + strl(strh/strf); movi: one '00dc' JPEG per frame) is
+    * emitted by hand, every frame through the JDK JPEG encoder. */
+  def synthesizeVideo(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id => MediaRow(id, synthAvi(id), "avi") }
+    }
+  }
+
+  private def encodeJpegFrame(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (jpegSrc(id, 0, x, y) << 16) | (jpegSrc(id, 1, x, y) << 8) | jpegSrc(id, 2, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def synthAvi(id: Long): Array[Byte] = {
+    val w = (16 + id % 48).toInt; val h = (16 + (id * 7) % 32).toInt
+    val nFrames = (3 + id % 6).toInt
+    val frames = (0 until nFrames).map(f => encodeJpegFrame(videoFrameId(id, f), w, h))
+    val moviBody = frames.map(fb => 8 + fb.length + (fb.length & 1)).sum + 4
+    val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); bb.putInt(riffBody); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlBody); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(100000)          // dwMicroSecPerFrame (10 fps)
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(nFrames)         // dwTotalFrames
+      .putInt(0).putInt(1)     // dwStreams = 1
+      .putInt(0)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    bb.putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(10)    // dwScale / dwRate = 10 fps
+      .putInt(0).putInt(nFrames)
+      .putInt(0).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40)              // biSize
+      .putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+    fourcc("MJPG")             // biCompression
+    bb.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(moviBody); fourcc("movi")
+    frames.foreach { fb =>
+      fourcc("00dc"); bb.putInt(fb.length); bb.put(fb)
+      if ((fb.length & 1) == 1) bb.put(0.toByte) // word alignment
+    }
+    bb.array()
+  }
+
+  private def isAvi(b: Array[Byte]): Boolean =
+    b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Parsed video header off the real avih bytes. */
+  final case class VideoHeader(media_id: Long, n_frames: Long, width: Long,
+                               height: Long, fps: Long)
+
+  /** REAL AVI header parse: walks the RIFF tree to the avih chunk and
+    * reads total frames / dims / frame interval. Garbage degrades to a
+    * zero-frame header, never throws. */
+  def parseVideoHeaders(media: Dataset[MediaRow]): Dataset[VideoHeader] = {
+    import media.sparkSession.implicits._
+    media.filter((r: MediaRow) => isAviRow(r)).mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.payload
+        var out = VideoHeader(r.media_id, 0L, 0L, 0L, 0L)
+        var pos = 12
+        var found = false
+        while (!found && pos + 8 <= b.length) {
+          val ck = new String(b, pos, 4, "US-ASCII")
+          val sz = java.nio.ByteBuffer.wrap(b, pos + 4, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+          if (ck == "LIST" && pos + 12 <= b.length &&
+              new String(b, pos + 8, 4, "US-ASCII") == "hdrl") {
+            pos += 12 // descend into the list
+          } else if (ck == "avih" && sz >= 40) {
+            val f = java.nio.ByteBuffer.wrap(b, pos + 8, 40)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val usPerFrame = f.getInt.toLong
+            f.getInt; f.getInt; f.getInt
+            val total = f.getInt.toLong
+            f.getInt; f.getInt; f.getInt
+            val w = f.getInt.toLong; val h = f.getInt.toLong
+            out = VideoHeader(r.media_id, total, w, h,
+              if (usPerFrame > 0) 1000000L / usPerFrame else 0L)
+            found = true
+          } else {
+            pos += 8 + sz + (sz & 1)
+          }
+        }
+        out
+      }
+    }
+  }
+
+  private def isAviRow(r: MediaRow): Boolean = isAvi(r.payload)
+
+  /** Sampled-frame decode summary: frames actually decoded vs skipped,
+    * and the fidelity gate over the DECODED subset. */
+  final case class VideoDecode(media_id: Long, n_frames: Long, n_decoded: Long,
+                               width: Long, height: Long, total_abs_err: Long,
+                               fidelity_ok: Boolean)
+
+  /** REAL sampled-frame video decode: walks the movi list, decodes every
+    * `everyN`-th '00dc' JPEG with the JDK codec (frames not sampled are
+    * SKIPPED at the byte level — the chunk size advances the cursor, no
+    * decode cost), and gates mean abs error per channel-sample against
+    * the [[videoFrameId]] ground truth. The gate column is the oracle-
+    * portable output; the raw error stays for the spec. */
+  def decodeVideoFrames(media: Dataset[MediaRow], everyN: Int,
+                        maxMeanErr: Double): Dataset[VideoDecode] = {
+    require(everyN >= 1, s"frame stride must be positive: $everyN")
+    import media.sparkSession.implicits._
+    media.filter((r: MediaRow) => isAviRow(r)).mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.payload
+        var pos = 12
+        var frameIdx = 0
+        var decoded = 0L
+        var err = 0L
+        var w = 0L; var h = 0L
+        while (pos + 8 <= b.length) {
+          val ck = new String(b, pos, 4, "US-ASCII")
+          val sz = java.nio.ByteBuffer.wrap(b, pos + 4, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+          if (ck == "LIST" && pos + 12 <= b.length &&
+              new String(b, pos + 8, 4, "US-ASCII") == "movi") {
+            pos += 12
+          } else if (ck == "00dc") {
+            if (frameIdx % everyN == 0) {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(b, pos + 8, sz))
+              w = img.getWidth.toLong; h = img.getHeight.toLong
+              val fid = videoFrameId(r.media_id, frameIdx)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  err += math.abs(((p >> 16) & 0xff) - jpegSrc(fid, 0, x, y)).toLong +
+                         math.abs(((p >> 8) & 0xff)  - jpegSrc(fid, 1, x, y)).toLong +
+                         math.abs((p & 0xff)         - jpegSrc(fid, 2, x, y)).toLong
+                  x += 1
+                }
+                y += 1
+              }
+              decoded += 1
+            }
+            frameIdx += 1
+            pos += 8 + sz + (sz & 1)
+          } else {
+            pos += 8 + sz + (sz & 1)
+          }
+        }
+        VideoDecode(r.media_id, frameIdx.toLong, decoded, w, h, err,
+          decoded > 0 && err <= maxMeanErr * (3.0 * w * h * decoded))
+      }
+    }
+  }
+
   private def isPng(b: Array[Byte]): Boolean =
     b.length > 33 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
       b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a

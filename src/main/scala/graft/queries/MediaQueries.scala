@@ -212,7 +212,43 @@ object MediaQueries {
         |  CAST(list_sum([ CASE WHEN ((media_id + 11 * i) % 2001 - 1000 < 0) <> ((media_id + 11 * (i - 1)) % 2001 - 1000 < 0) THEN 1 ELSE 0 END for i in generate_series(1, n - 1) ]) AS BIGINT) AS zero_crossings,
         |  CAST(list_sum([ ((media_id + 11 * i) % 2001 - 1000) * ((media_id + 11 * i) % 2001 - 1000) for i in generate_series(0, n - 1) ]) AS BIGINT) AS sum_sq,
         |  sqrt(CAST(list_sum([ ((media_id + 11 * i) % 2001 - 1000) * ((media_id + 11 * i) % 2001 - 1000) for i in generate_series(0, n - 1) ]) AS DOUBLE) / n) AS rms
-        |FROM w""")
+        |FROM w"""),
+
+    // REAL video container parsing: synthesizeVideo hand-emits
+    // spec-correct MJPEG AVIs (RIFF hdrl/movi tree, one JDK-encoded JPEG
+    // per '00dc' chunk); parseVideoHeaders walks the actual RIFF bytes
+    // to avih. Synthesis parameters are id arithmetic → full oracle
+    // replay of the write→parse round trip.
+    "q_media_video_headers" -> QueryDef(
+      (s, dir) => Multimodal.parseVideoHeaders(
+          Multimodal.synthesizeVideo(Tables.documents(s, dir), "doc_id"))
+        .toDF(),
+      """SELECT doc_id AS media_id,
+        |       CAST(3 + doc_id % 6 AS BIGINT) AS n_frames,
+        |       CAST(16 + doc_id % 48 AS BIGINT) AS width,
+        |       CAST(16 + (doc_id * 7) % 32 AS BIGINT) AS height,
+        |       CAST(10 AS BIGINT) AS fps
+        |FROM documents"""),
+
+    // REAL sampled-frame video decode: every 2nd '00dc' frame goes
+    // through the JDK JPEG decoder (skipped frames advance the cursor at
+    // the byte level — zero decode cost, the real point of frame
+    // sampling); mean abs error vs the per-frame generator gates
+    // fidelity. Frame counts, sampled counts, dims, and the gate all
+    // replay arithmetically.
+    "q_media_video" -> QueryDef(
+      (s, dir) => Multimodal.decodeVideoFrames(
+          Multimodal.synthesizeVideo(Tables.documents(s, dir), "doc_id"),
+          everyN = 2, maxMeanErr = 4.0)
+        .toDF().select(col("media_id"), col("n_frames"), col("n_decoded"),
+          col("width"), col("height"), col("fidelity_ok")),
+      """SELECT doc_id AS media_id,
+        |       CAST(3 + doc_id % 6 AS BIGINT) AS n_frames,
+        |       CAST((3 + doc_id % 6 + 1) // 2 AS BIGINT) AS n_decoded,
+        |       CAST(16 + doc_id % 48 AS BIGINT) AS width,
+        |       CAST(16 + (doc_id * 7) % 32 AS BIGINT) AS height,
+        |       true AS fidelity_ok
+        |FROM documents""")
   )
 
 

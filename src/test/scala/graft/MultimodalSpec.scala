@@ -191,4 +191,40 @@ class MultimodalSpec extends SparkSpec {
       assert(a.rms == math.sqrt(sumSq.toDouble / n)) // bit-exact: sqrt is correctly rounded
     }
   }
+
+  test("real video: hand-emitted MJPEG AVI round-trips through header parse and sampled decode") {
+    import spark.implicits._
+    val idSeq = Seq(0L, 1L, 5L, 92L)
+    val ids = idSeq.toDF("id")
+    val avis = Multimodal.synthesizeVideo(ids, "id")
+    val heads = Multimodal.parseVideoHeaders(avis).collect().map(h => h.media_id -> h).toMap
+    for (id <- idSeq) {
+      val h = heads(id)
+      assert(h.n_frames == 3 + id % 6 && h.fps == 10L)
+      assert(h.width == 16 + id % 48 && h.height == 16 + id * 7 % 32)
+    }
+    // stride 2 decodes ceil(n/2) frames; stride 1 decodes all; both pass the gate
+    val s2 = Multimodal.decodeVideoFrames(avis, everyN = 2, maxMeanErr = 4.0)
+      .collect().map(v => v.media_id -> v).toMap
+    val s1 = Multimodal.decodeVideoFrames(avis, everyN = 1, maxMeanErr = 4.0)
+      .collect().map(v => v.media_id -> v).toMap
+    for (id <- idSeq) {
+      val n = 3 + id % 6
+      assert(s2(id).n_frames == n && s2(id).n_decoded == (n + 1) / 2)
+      assert(s1(id).n_decoded == n)
+      assert(s2(id).fidelity_ok && s1(id).fidelity_ok,
+        s"id=$id MAE=${s1(id).total_abs_err.toDouble / (3.0 * s1(id).width * s1(id).height * n)}")
+      assert(s1(id).total_abs_err >= s2(id).total_abs_err,
+        "full decode must accumulate at least the sampled error")
+      assert(s1(id).total_abs_err > 0, "lossless JPEG decode is implausible — codec not exercised?")
+    }
+    // non-AVI payloads are routed out, and decode is partition-deterministic
+    val mixed = Multimodal.parseVideoHeaders(
+      Multimodal.synthesizeMedia(ids, "id")).collect()
+    assert(mixed.isEmpty, "png/wav payloads must not pass the AVI route")
+    val again = Multimodal.decodeVideoFrames(
+      Multimodal.synthesizeVideo(ids.repartition(3), "id"), everyN = 2, maxMeanErr = 4.0)
+      .collect().map(v => v.media_id -> v.total_abs_err).toMap
+    assert(idSeq.forall(id => again(id) == s2(id).total_abs_err))
+  }
 }

@@ -352,4 +352,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Join") && p.contains("neighbor_id"),
       s"keyed rerank fetch lost:\n$p")
   }
+
+  test("q_pack_global: two-level scan — one range exchange, offsets broadcast, window only on the tiny frame") {
+    val p = planOf("q_pack_global")
+    // the only full-data exchange is the range repartition the global
+    // order requires; its result is cached and shared by both consumers
+    assert("Exchange rangepartitioning".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("BroadcastExchange"),
+      s"partition offsets must broadcast, never shuffle the data side:\n$p")
+    // the single-partition window is the POINT here, but it may only sit
+    // above the #partitions-row totals agg — never above a raw scan
+    val winIdx = p.indexOf("Window ")
+    assert(winIdx >= 0 && p.indexOf("HashAggregate", winIdx) >= 0,
+      s"global window must ride the per-partition totals agg:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    Caching.release()
+  }
 }
