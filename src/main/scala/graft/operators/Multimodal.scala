@@ -310,6 +310,48 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual dHash over REALLY-decoded pixels, split into two
+    * 32-bit halves (bit 63 would overflow checked BIGINT shifts on the
+    * oracle side, and the halves are what a banded near-dup join buckets
+    * on anyway). Geometry: a 9×8 grayscale grid sampled off the decoded
+    * raster by integer nearest-neighbor (src = grid·dim div gridDim),
+    * gray = r+g+b (no division — comparisons only), bit k = y·8+x set
+    * when grid(x+1,y) > grid(x,y). Everything is integer arithmetic on
+    * exactly-decoded PNG pixels, so the oracle replays the generator —
+    * the hash match proves decode + downsample + gradient sign. */
+  final case class PerceptualHash(media_id: Long, dhash_lo: Long, dhash_hi: Long)
+
+  def perceptualHash(media: Dataset[MediaRow]): Dataset[PerceptualHash] = {
+    import media.sparkSession.implicits._
+    media.filter((r: MediaRow) => r.format == "png").mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val w = img.getWidth; val h = img.getHeight
+        val grid = new Array[Int](72) // 9 wide × 8 tall
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 9) {
+            val p = img.getRGB(gx * w / 9, gy * h / 8)
+            grid(gy * 9 + gx) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            gx += 1
+          }
+          gy += 1
+        }
+        var lo = 0L; var hi = 0L
+        var k = 0
+        while (k < 64) {
+          val y = k / 8; val x = k % 8
+          if (grid(y * 9 + x + 1) > grid(y * 9 + x)) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        PerceptualHash(r.media_id, lo, hi)
+      }
+    }
+  }
+
   // ---- REAL video: hand-emitted MJPEG AVI (RIFF container + JDK JPEG) --
   //
   // AVI is RIFF — the same chunk grammar as WAVE — and an MJPEG stream

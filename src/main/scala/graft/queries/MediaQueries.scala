@@ -26,6 +26,30 @@ object MediaQueries {
       |             CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS hh
       |      FROM documents)""".stripMargin
 
+  /** dHash oracle: PNG generator replayed through the 9×8 NN grid —
+    * gv is the grayscale grid row-major (i = gy·9 + gx), bit k compares
+    * grid[y·9+x+1] vs grid[y·9+x] (1-based list indexing). */
+  private val PhashCte =
+    """m AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(16 + doc_id % 48 AS BIGINT) AS w,
+      |         CAST(16 + (doc_id * 7) % 32 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |g AS (
+      |  SELECT media_id,
+      |    [ (media_id % 256 + 3 * (((i % 9) * w) // 9) + 5 * (((i // 9) * h) // 8)) % 256
+      |    + ((2 * media_id) % 256 + 2 * (((i % 9) * w) // 9) + (((i // 9) * h) // 8)) % 256
+      |    + ((3 * media_id) % 256 + (((i % 9) * w) // 9) + 7 * (((i // 9) * h) // 8)) % 256
+      |      for i in generate_series(0, 71) ] AS gv
+      |  FROM m),
+      |ph AS (
+      |  SELECT media_id,
+      |    CAST(list_sum([ CASE WHEN gv[(k // 8) * 9 + (k % 8) + 2] > gv[(k // 8) * 9 + (k % 8) + 1] THEN 1::BIGINT << k ELSE 0 END
+      |      for k in generate_series(0, 31) ]) AS BIGINT) AS dhash_lo,
+      |    CAST(list_sum([ CASE WHEN gv[((k + 32) // 8) * 9 + ((k + 32) % 8) + 2] > gv[((k + 32) // 8) * 9 + ((k + 32) % 8) + 1] THEN 1::BIGINT << (k) ELSE 0 END
+      |      for k in generate_series(0, 31) ]) AS BIGINT) AS dhash_hi
+      |  FROM g)""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Pre-decode metadata pass: size / content-hash / chunking, the
@@ -248,7 +272,35 @@ object MediaQueries {
         |       CAST(16 + doc_id % 48 AS BIGINT) AS width,
         |       CAST(16 + (doc_id * 7) % 32 AS BIGINT) AS height,
         |       true AS fidelity_ok
-        |FROM documents""")
+        |FROM documents"""),
+
+    // Perceptual dHash off really-decoded PNG pixels: 9×8 NN grayscale
+    // grid, gradient-sign bits, two 32-bit halves. The oracle replays
+    // the generator through the SAME grid geometry — the hash match
+    // covers decode, downsample, and gradient in one go.
+    "q_media_phash" -> QueryDef(
+      (s, dir) => Multimodal.perceptualHash(
+          Multimodal.synthesizeMedia(Tables.documents(s, dir), "doc_id"))
+        .toDF(),
+      s"""WITH $PhashCte
+        |SELECT media_id, dhash_lo, dhash_hi FROM ph"""),
+
+    // Exact perceptual-duplicate groups: images whose dHash collides
+    // entirely — one keyed agg on the hash halves (never an image-pair
+    // join), the scalable shape for exact near-dup collapse; canonical =
+    // lowest media_id, the dedup-clusters convention.
+    "q_media_phash_dup" -> QueryDef(
+      (s, dir) => {
+        val ph = Multimodal.perceptualHash(
+          Multimodal.synthesizeMedia(Tables.documents(s, dir), "doc_id")).toDF()
+        ph.groupBy(col("dhash_lo"), col("dhash_hi"))
+          .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("canonical_id"))
+          .filter(col("n_images") > 1)
+      },
+      s"""WITH $PhashCte
+        |SELECT dhash_lo, dhash_hi, CAST(count(*) AS BIGINT) AS n_images,
+        |       CAST(min(media_id) AS BIGINT) AS canonical_id
+        |FROM ph GROUP BY 1, 2 HAVING count(*) > 1""")
   )
 
 

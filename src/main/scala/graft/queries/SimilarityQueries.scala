@@ -601,6 +601,39 @@ object SimilarityQueries {
         |  WHERE list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) >= 0.4)
         |SELECT vec_id, CAST(cell AS BIGINT) AS cell
         |FROM asgn
-        |WHERE vec_id NOT IN (SELECT id2 FROM edges)""")
+        |WHERE vec_id NOT IN (SELECT id2 FROM edges)"""),
+
+    // Scalar int8 quantization with per-vector abs-max calibration (the
+    // faiss/llama.cpp Q8 shape, the MEMORY lever beside PQ): 4 B float →
+    // 1 B code per dim, scale = one IEEE division, codes =
+    // floor(x·scale + 0.5) — exact-rounded mult/add then exact floor, so
+    // the float-derived codes hash-verify. approx_sq_norm exercises the
+    // int8 serving kernel: exact BIGINT code dot, ONE float division by
+    // scale² — on the unit-normalized corpus it replays ≈1 bit-exactly.
+    "q_quant_int8" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Quant
+        Quant.int8Codes(Tables.embeddings(s, dir), "vec_id", "embedding")
+          .select(col("vec_id"), col("scale"),
+            aggregate(col("q"), lit(0L), (a, b) => a + b).as("sum_q"),
+            aggregate(col("q"), lit(0L), (a, b) => a + abs(b)).as("sum_abs_q"),
+            array_max(transform(col("q"), x => abs(x))).as("max_abs_q"),
+            Quant.dequantDot(col("q"), col("q"), col("scale"), col("scale"))
+              .as("approx_sq_norm"))
+      },
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max([abs(x) for x in v]) AS mx FROM e),
+        |s AS (SELECT vec_id, v,
+        |             CASE WHEN mx > 0 THEN CAST(127 AS DOUBLE) / mx ELSE CAST(0 AS DOUBLE) END AS scale
+        |      FROM m),
+        |q AS (SELECT vec_id, scale, [CAST(floor(x * scale + 0.5) AS BIGINT) for x in v] AS qs FROM s)
+        |SELECT vec_id, scale,
+        |       CAST(list_sum(qs) AS BIGINT) AS sum_q,
+        |       CAST(list_sum([abs(x) for x in qs]) AS BIGINT) AS sum_abs_q,
+        |       CAST(list_max([abs(x) for x in qs]) AS BIGINT) AS max_abs_q,
+        |       CASE WHEN scale > 0
+        |            THEN CAST(list_sum([qs[i] * qs[i] for i in generate_series(1, len(qs))]) AS DOUBLE) / (scale * scale)
+        |            ELSE CAST(0 AS DOUBLE) END AS approx_sq_norm
+        |FROM q""")
   )
 }

@@ -227,4 +227,30 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(v => v.media_id -> v.total_abs_err).toMap
     assert(idSeq.forall(id => again(id) == s2(id).total_abs_err))
   }
+
+  test("perceptual dHash: bits equal the generator replayed through the grid, independently") {
+    import spark.implicits._
+    val idSeq = Seq(0L, 2L, 46L, 90L)
+    val out = Multimodal.perceptualHash(
+        Multimodal.synthesizeMedia(idSeq.toDF("id"), "id"))
+      .collect().map(p => p.media_id -> p).toMap
+    for (id <- idSeq) {
+      val w = (16 + id % 48).toInt; val h = (16 + id * 7 % 32).toInt
+      def gray(gx: Int, gy: Int): Int = {
+        val x = gx * w / 9; val y = gy * h / 8
+        (((id % 256).toInt + 3 * x + 5 * y) % 256) +
+          ((((2 * id) % 256).toInt + 2 * x + y) % 256) +
+          ((((3 * id) % 256).toInt + x + 7 * y) % 256)
+      }
+      var lo = 0L; var hi = 0L
+      for (k <- 0 until 64) {
+        if (gray(k % 8 + 1, k / 8) > gray(k % 8, k / 8)) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+      }
+      assert((out(id).dhash_lo, out(id).dhash_hi) == (lo, hi), s"id=$id")
+    }
+    // only PNG rows route in (odd ids are WAVs)
+    assert(!out.contains(46L + 1))
+  }
 }
