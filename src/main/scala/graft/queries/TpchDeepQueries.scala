@@ -34,6 +34,98 @@ import graft.functions.ColFns._
   */
 object TpchDeepQueries {
 
+  /** TPC-H Q2/Q11 over the deterministic [[graft.sources.PartSuppGen]]
+    * synthesis — closes the "no partsupp table" coverage gap. The oracle
+    * regenerates partsupp as a pure-SQL CTE (id arithmetic only), so the
+    * hash match proves BOTH the generator parity and the query. */
+  private val PartsuppCte =
+    """ps AS (
+      |  SELECT p.p_partkey AS ps_partkey,
+      |         CAST((p.p_partkey + i.i * (sc.s // 4)) % sc.s AS BIGINT) AS ps_suppkey,
+      |         CAST(1 + (p.p_partkey * 7 + i.i * 13) % 9999 AS BIGINT) AS ps_availqty,
+      |         CAST(1 + (p.p_partkey * 11 + i.i * 17) % 1000 AS BIGINT) AS ps_supplycost
+      |  FROM part p
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+      |  CROSS JOIN (SELECT count(*) AS s FROM supplier) sc)""".stripMargin
+
+  private val partsuppDefs: Seq[(String, QueryDef)] = Seq(
+
+    // Q2 (min-cost supplier): suppliers/nations/regions are dimensions →
+    // broadcast; the per-part min and the min-match join are keyed on
+    // ps_partkey (the partsupp fact's natural key), so the only shuffles
+    // are partkey-clustered — the 100 TB shape. No LIMIT: the full
+    // min-cost set hash-verifies without an order.
+    "q_tpch_q2" -> QueryDef(
+      (s, dir) => {
+        val ps = graft.sources.PartSuppGen.partsupp(s, dir)
+        val nat = Tables.nation(s, dir)
+        val reg = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+        val snr = Tables.supplier(s, dir)
+          .join(broadcast(nat.join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_acctbal"), col("s_name"), col("n_name"))
+        val psEu = graft.Caching.persistTracked(
+          ps.join(broadcast(snr), ps("ps_suppkey") === snr("s_suppkey")))
+        // derived-from-same-frame join: alias the grouped key so the
+        // analyzer never sees two lineages of ps_partkey
+        val minCost = psEu.groupBy(col("ps_partkey").as("mc_partkey"))
+          .agg(min(col("ps_supplycost")).as("min_cost"))
+        val pSel = Tables.part(s, dir)
+          .filter(col("p_size") <= 15 && col("p_type") === "SMALL")
+          .select(col("p_partkey"), col("p_brand"))
+        psEu.join(minCost,
+            col("ps_partkey") === col("mc_partkey") &&
+              col("ps_supplycost") === col("min_cost"))
+          .join(pSel, col("ps_partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_brand"), col("ps_supplycost"))
+      },
+      s"""WITH $PartsuppCte
+        |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand, ps.ps_supplycost
+        |FROM part p
+        |JOIN ps ON ps.ps_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE p.p_size <= 15 AND p.p_type = 'SMALL' AND r.r_name = 'EUROPE'
+        |  AND ps.ps_supplycost = (
+        |    SELECT min(ps2.ps_supplycost) FROM ps ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        |    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')"""),
+
+    // Q11 (important stock): per-part value sums are exact BIGINTs (the
+    // generator keeps cost/qty integral — no decimal discipline needed),
+    // and the HAVING fraction is the all-integer cross-multiplication
+    // value·200 > total (= value > 0.5% of total). The global total
+    // rides a 1-row broadcast, the AssocRules global-count pattern.
+    "q_tpch_q11" -> QueryDef(
+      (s, dir) => {
+        val ps = graft.sources.PartSuppGen.partsupp(s, dir)
+        val suppIn = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val v = ps.join(broadcast(suppIn), ps("ps_suppkey") === col("s_suppkey"))
+          .groupBy(col("ps_partkey"))
+          .agg(sum(col("ps_supplycost") * col("ps_availqty")).as("value"))
+        val tot = v.agg(sum(col("value")).as("t"))
+        v.crossJoin(broadcast(tot))
+          .filter(col("value") * 200 > col("t"))
+          .select(col("ps_partkey"), col("value"))
+      },
+      s"""WITH $PartsuppCte,
+        |v AS (
+        |  SELECT ps.ps_partkey, CAST(sum(ps.ps_supplycost * ps.ps_availqty) AS BIGINT) AS value
+        |  FROM ps JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  WHERE n.n_name = 'NATION_7'
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(value) AS BIGINT) AS t FROM v)
+        |SELECT ps_partkey, value FROM v CROSS JOIN tot WHERE value * 200 > t""")
+  )
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Q7 (volume shipping): revenue shipped between two specific nations,
@@ -509,5 +601,5 @@ object TpchDeepQueries {
         |SELECT s_suppkey, s_name, total_qty
         |FROM supplier JOIN shipped ON s_suppkey = l_suppkey
         |WHERE s_nationkey < 5""")
-  )
+  ) ++ partsuppDefs
 }
