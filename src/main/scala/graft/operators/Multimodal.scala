@@ -142,25 +142,71 @@ object Multimodal {
     }
   }
 
-  private def synthPng(id: Long): Array[Byte] = {
-    val w = (16 + id % 48).toInt; val h = (16 + (id * 7) % 32).toInt
-    val br = (id % 256).toInt; val bg = ((2 * id) % 256).toInt; val bb = ((3 * id) % 256).toInt
+  // ImageIO.write/read scan the plugin registry on EVERY call — at one
+  // call per image (or per video frame) that lookup dominates the tiny-
+  // raster encodes here. Writers/readers are not thread-safe but are
+  // reusable, so cache one per (thread, format); object fields are
+  // per-executor statics, never serialized into closures.
+  private val writerTL: ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, javax.imageio.ImageWriter]())
+  private val readerTL: ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, javax.imageio.ImageReader]())
+
+  private def encodeImage(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+    val cache = writerTL.get()
+    var w = cache.get(format)
+    if (w == null) {
+      w = javax.imageio.ImageIO.getImageWritersByFormatName(format).next()
+      cache.put(format, w)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(img) // default params — byte-identical to ImageIO.write
+    ios.close()
+    bos.toByteArray
+  }
+
+  private def decodeImage(b: Array[Byte], off: Int, len: Int,
+                          format: String): java.awt.image.BufferedImage = {
+    val cache = readerTL.get()
+    var r = cache.get(format)
+    if (r == null) {
+      r = javax.imageio.ImageIO.getImageReadersByFormatName(format).next()
+      cache.put(format, r)
+    }
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(b, off, len))
+    r.setInput(iis)
+    val img = r.read(0)
+    iis.close()
+    img
+  }
+
+  /** Fill a TYPE_INT_RGB image through its backing int buffer — one
+    * array store per pixel instead of a setRGB call. */
+  private def fillRgb(w: Int, h: Int)(px: (Int, Int) => Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val data = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) {
-        val r = (br + 3 * x + 5 * y) % 256
-        val g = (bg + 2 * x + y) % 256
-        val b = (bb + x + 7 * y) % 256
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
-        x += 1
-      }
+      while (x < w) { data(y * w + x) = px(x, y); x += 1 }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    img
+  }
+
+  private def synthPng(id: Long): Array[Byte] = {
+    val w = (16 + id % 48).toInt; val h = (16 + (id * 7) % 32).toInt
+    val br = (id % 256).toInt; val bg = ((2 * id) % 256).toInt; val bb = ((3 * id) % 256).toInt
+    val img = fillRgb(w, h) { (x, y) =>
+      val r = (br + 3 * x + 5 * y) % 256
+      val g = (bg + 2 * x + y) % 256
+      val b = (bb + x + 7 * y) % 256
+      (r << 16) | (g << 8) | b
+    }
+    encodeImage(img, "png")
   }
 
   private def synthWav(id: Long): Array[Byte] = {
@@ -215,20 +261,9 @@ object Multimodal {
 
   private def synthJpeg(id: Long): Array[Byte] = {
     val w = (16 + id % 48).toInt; val h = (16 + (id * 7) % 32).toInt
-    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        img.setRGB(x, y,
-          (jpegSrc(id, 0, x, y) << 16) | (jpegSrc(id, 1, x, y) << 8) | jpegSrc(id, 2, x, y))
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
-    bos.toByteArray
+    encodeImage(fillRgb(w, h) { (x, y) =>
+      (jpegSrc(id, 0, x, y) << 16) | (jpegSrc(id, 1, x, y) << 8) | jpegSrc(id, 2, x, y)
+    }, "jpeg")
   }
 
   /** Real JPEG decode + fidelity gate: decodes with the JDK codec,
@@ -244,14 +279,15 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.filter((r: MediaRow) => r.format == "jpeg").mapPartitions { rows =>
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val img = decodeImage(r.payload, 0, r.payload.length, "jpeg")
         val w = img.getWidth; val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         var err = 0L
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            val p = img.getRGB(x, y)
+            val p = px(y * w + x)
             err += math.abs(((p >> 16) & 0xff) - jpegSrc(r.media_id, 0, x, y)).toLong +
                    math.abs(((p >> 8) & 0xff)  - jpegSrc(r.media_id, 1, x, y)).toLong +
                    math.abs((p & 0xff)         - jpegSrc(r.media_id, 2, x, y)).toLong
@@ -325,7 +361,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.filter((r: MediaRow) => r.format == "png").mapPartitions { rows =>
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val img = decodeImage(r.payload, 0, r.payload.length, "png")
         val w = img.getWidth; val h = img.getHeight
         val grid = new Array[Int](72) // 9 wide × 8 tall
         var gy = 0
@@ -379,22 +415,10 @@ object Multimodal {
     }
   }
 
-  private def encodeJpegFrame(id: Long, w: Int, h: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        img.setRGB(x, y,
-          (jpegSrc(id, 0, x, y) << 16) | (jpegSrc(id, 1, x, y) << 8) | jpegSrc(id, 2, x, y))
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
-    bos.toByteArray
-  }
+  private def encodeJpegFrame(id: Long, w: Int, h: Int): Array[Byte] =
+    encodeImage(fillRgb(w, h) { (x, y) =>
+      (jpegSrc(id, 0, x, y) << 16) | (jpegSrc(id, 1, x, y) << 8) | jpegSrc(id, 2, x, y)
+    }, "jpeg")
 
   private def synthAvi(id: Long): Array[Byte] = {
     val w = (16 + id % 48).toInt; val h = (16 + (id * 7) % 32).toInt
@@ -519,15 +543,16 @@ object Multimodal {
             pos += 12
           } else if (ck == "00dc") {
             if (frameIdx % everyN == 0) {
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(b, pos + 8, sz))
-              w = img.getWidth.toLong; h = img.getHeight.toLong
+              val img = decodeImage(b, pos + 8, sz, "jpeg")
+              val wi = img.getWidth; val hi = img.getHeight
+              w = wi.toLong; h = hi.toLong
+              val px = img.getRGB(0, 0, wi, hi, null, 0, wi)
               val fid = videoFrameId(r.media_id, frameIdx)
               var y = 0
-              while (y < img.getHeight) {
+              while (y < hi) {
                 var x = 0
-                while (x < img.getWidth) {
-                  val p = img.getRGB(x, y)
+                while (x < wi) {
+                  val p = px(y * wi + x)
                   err += math.abs(((p >> 16) & 0xff) - jpegSrc(fid, 0, x, y)).toLong +
                          math.abs(((p >> 8) & 0xff)  - jpegSrc(fid, 1, x, y)).toLong +
                          math.abs((p & 0xff)         - jpegSrc(fid, 2, x, y)).toLong
@@ -649,7 +674,7 @@ object Multimodal {
     require(dstW >= 1 && dstH >= 1, s"target box must be positive: ${dstW}x$dstH")
     media.filter((r: MediaRow) => r.format == "png").mapPartitions { rows =>
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val img = decodeImage(r.payload, 0, r.payload.length, "png")
         val w = img.getWidth; val h = img.getHeight
         var sr = 0L; var sg = 0L; var sb = 0L
         var y = 0
@@ -731,18 +756,15 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.filter((r: MediaRow) => r.format == "png").mapPartitions { rows =>
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val img = decodeImage(r.payload, 0, r.payload.length, "png")
         val w = img.getWidth; val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         var sr = 0L; var sg = 0L; var sb = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          i += 1
         }
         MediaPixels(r.media_id, w.toLong, h.toLong, sr, sg, sb)
       }

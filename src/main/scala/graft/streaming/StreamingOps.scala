@@ -307,4 +307,60 @@ object StreamingOps {
     events.groupByKey(_.event_type)
       .transformWithState(new HllProcessor, TimeMode.None(), OutputMode.Update())
   }
+
+  // ---------------------- streaming heavy hitters (Misra–Gries) -------
+
+  final case class MgEntry(item: String, cnt: Long)
+  final case class MgState(entries: List[MgEntry], n: Long)
+  final case class HeavyHitters(event_type: String, n: Long, candidates: List[String])
+
+  /** Per-key heavy hitters over an unbounded stream with BOUNDED state:
+    * the classic sequential Misra–Gries update (k counters, decrement-
+    * all on overflow) maintained in a typed ValueState — ≤ k entries per
+    * group key, EVER. The guarantee is the batch operator's
+    * ([[graft.functions.FreqSketch]]): after n rows, every item with
+    * true frequency > n/(k+1) is among the candidates (undercount ≤
+    * n/(k+1)); the candidate SETS of the streamed and merge-based batch
+    * paths may differ in the don't-care region, so the cross-check pins
+    * the guarantee, not set equality. */
+  class HeavyHittersProcessor(k: Int) extends StatefulProcessor[String, Ev, HeavyHitters] {
+    @transient private var state: ValueState[MgState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[MgState]("mg", Encoders.product[MgState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[HeavyHitters] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      Option(state.get()).foreach { st =>
+        st.entries.foreach(e => m.update(e.item, e.cnt)); n = st.n
+      }
+      rows.foreach { e =>
+        n += 1L
+        val item = e.user_id.toString
+        m.get(item) match {
+          case Some(c) => m.update(item, c + 1L)
+          case None =>
+            if (m.size < k) m.update(item, 1L)
+            else {
+              val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+              m.mapValuesInPlace((_, c) => c - 1L)
+              m.foreach { case (s, c) => if (c <= 0L) dead += s }
+              dead.foreach(m.remove)
+            }
+        }
+      }
+      state.update(MgState(m.toList.map(e => MgEntry(e._1, e._2)).sortBy(_.item), n))
+      Iterator.single(HeavyHitters(key, n, m.keys.toList.sorted))
+    }
+  }
+
+  def heavyHittersSketch(events: Dataset[Ev], k: Int): Dataset[HeavyHitters] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new HeavyHittersProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
 }

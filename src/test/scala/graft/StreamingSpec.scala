@@ -215,6 +215,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming heavy hitters: MG guarantee holds across micro-batches, state stays <= k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // skewed stream: user 7 is 30% of 'click' traffic, user 9 is 25% of
+    // 'view'; tail users are singletons. k = 9 → threshold n/10.
+    def skewed(tp: String, heavy: Long, heavyN: Int, tailStart: Long, tailN: Int) =
+      (0 until heavyN).map(_ => Ev(heavy, ts(0), tp, 0.0)) ++
+        (0 until tailN).map(i => Ev(tailStart + i, ts(0), tp, 0.0))
+    val b1 = skewed("click", 7L, 30, 100L, 35) ++ skewed("view", 9L, 25, 500L, 40)
+    val b2 = skewed("click", 7L, 30, 200L, 35) ++ skewed("view", 9L, 25, 600L, 35)
+    val saved = util.Try(spark.conf.get("spark.sql.streaming.stateStore.providerClass")).toOption
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.heavyHittersSketch(ms.toDS(), k = 9)
+        .writeStream.format("memory").queryName("hh_stream").outputMode("update").start()
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      // final emission per key = the one with max n (update mode)
+      val fin = spark.table("hh_stream").as[StreamingOps.HeavyHitters]
+        .collect().groupBy(_.event_type).map { case (t, rows) => t -> rows.maxBy(_.n) }
+      assert(fin("click").n == 130 && fin("view").n == 125)
+      // every >n/(k+1) item survives; state/candidates bounded by k
+      assert(fin("click").candidates.contains("7"), fin("click").candidates.toString)
+      assert(fin("view").candidates.contains("9"), fin("view").candidates.toString)
+      assert(fin.values.forall(_.candidates.size <= 9))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream join attributes clicks to impressions within the window") {
     import java.sql.Timestamp
     import spark.implicits._
