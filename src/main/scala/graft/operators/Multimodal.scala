@@ -388,6 +388,50 @@ object Multimodal {
     }
   }
 
+  /** REAL format transcode — the conversion stage of a media curation
+    * pipeline: decode the PNG with one real codec, re-encode JPEG with
+    * another, re-decode, and gate the end-to-end error against the
+    * ORIGINAL pixels. Emits the transcoded byte size beside the exact
+    * source size so the compression win is visible; the gate and the
+    * dims are the oracle-portable columns (PNG pixels are exactly the
+    * generator, so the oracle needs no codec). */
+  final case class Transcode(media_id: Long, width: Long, height: Long,
+                             src_bytes: Long, jpeg_bytes: Long,
+                             total_abs_err: Long, fidelity_ok: Boolean)
+
+  def transcodePngToJpeg(media: Dataset[MediaRow], maxMeanErr: Double): Dataset[Transcode] = {
+    import media.sparkSession.implicits._
+    media.filter((r: MediaRow) => r.format == "png").mapPartitions { rows =>
+      rows.map { r =>
+        val img = decodeImage(r.payload, 0, r.payload.length, "png")
+        val w = img.getWidth; val h = img.getHeight
+        // JPEG writers reject non-opaque/indexed sources; normalize to RGB
+        val rgb =
+          if (img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) img
+          else {
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            fillRgb(w, h)((x, y) => px(y * w + x) & 0xffffff)
+          }
+        val jpeg = encodeImage(rgb, "jpeg")
+        val back = decodeImage(jpeg, 0, jpeg.length, "jpeg")
+        val src = img.getRGB(0, 0, w, h, null, 0, w)
+        val out = back.getRGB(0, 0, w, h, null, 0, w)
+        var err = 0L
+        var i = 0
+        while (i < src.length) {
+          val a = src(i); val b = out(i)
+          err += math.abs(((a >> 16) & 0xff) - ((b >> 16) & 0xff)).toLong +
+                 math.abs(((a >> 8) & 0xff)  - ((b >> 8) & 0xff)).toLong +
+                 math.abs((a & 0xff)         - (b & 0xff)).toLong
+          i += 1
+        }
+        Transcode(r.media_id, w.toLong, h.toLong,
+          r.payload.length.toLong, jpeg.length.toLong, err,
+          err <= maxMeanErr * (3.0 * w * h))
+      }
+    }
+  }
+
   // ---- REAL video: hand-emitted MJPEG AVI (RIFF container + JDK JPEG) --
   //
   // AVI is RIFF — the same chunk grammar as WAVE — and an MJPEG stream

@@ -300,7 +300,24 @@ object MediaQueries {
       s"""WITH $PhashCte
         |SELECT dhash_lo, dhash_hi, CAST(count(*) AS BIGINT) AS n_images,
         |       CAST(min(media_id) AS BIGINT) AS canonical_id
-        |FROM ph GROUP BY 1, 2 HAVING count(*) > 1""")
+        |FROM ph GROUP BY 1, 2 HAVING count(*) > 1"""),
+
+    // REAL format transcode (PNG → JPEG through both JDK codecs, then
+    // re-decoded): the conversion stage of a media pipeline. The
+    // end-to-end error vs the ORIGINAL pixels is gated at MAE ≤ 16 per
+    // channel-sample (sawtooth source ramps ring under JPEG — wider
+    // band than the smooth-ramp q_media_jpeg, spec-measured under it);
+    // byte sizes stay codec-dependent and spec-side.
+    "q_media_transcode" -> QueryDef(
+      (s, dir) => Multimodal.transcodePngToJpeg(
+          Multimodal.synthesizeMedia(Tables.documents(s, dir), "doc_id"),
+          maxMeanErr = 16.0)
+        .toDF().select(col("media_id"), col("width"), col("height"), col("fidelity_ok")),
+      """SELECT doc_id AS media_id,
+        |       CAST(16 + doc_id % 48 AS BIGINT) AS width,
+        |       CAST(16 + (doc_id * 7) % 32 AS BIGINT) AS height,
+        |       true AS fidelity_ok
+        |FROM documents WHERE doc_id % 2 = 0""")
   )
 
 

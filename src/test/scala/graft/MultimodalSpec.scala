@@ -253,4 +253,25 @@ class MultimodalSpec extends SparkSpec {
     // only PNG rows route in (odd ids are WAVs)
     assert(!out.contains(46L + 1))
   }
+
+  test("transcode PNG->JPEG: real decode/re-encode round trip, bounded error, smaller bytes") {
+    import spark.implicits._
+    val idSeq = Seq(0L, 2L, 46L, 90L, 254L)
+    val out = Multimodal.transcodePngToJpeg(
+        Multimodal.synthesizeMedia(idSeq.toDF("id"), "id"), maxMeanErr = 16.0)
+      .collect().map(t => t.media_id -> t).toMap
+    for (id <- idSeq) {
+      val t = out(id)
+      assert(t.width == 16 + id % 48 && t.height == 16 + id * 7 % 32)
+      val mae = t.total_abs_err.toDouble / (3.0 * t.width * t.height)
+      assert(t.fidelity_ok, s"id=$id MAE=$mae")
+      assert(mae > 0.0 && mae < 16.0, s"id=$id MAE=$mae (sawtooth ramps ring, but must stay bounded)")
+      assert(t.jpeg_bytes > 0 && t.src_bytes > 0)
+    }
+    // determinism across partitionings (oracle-gate precondition)
+    val again = Multimodal.transcodePngToJpeg(
+        Multimodal.synthesizeMedia(idSeq.toDF("id").repartition(3), "id"), maxMeanErr = 16.0)
+      .collect().map(t => t.media_id -> (t.total_abs_err, t.jpeg_bytes)).toMap
+    assert(idSeq.forall(id => again(id) == ((out(id).total_abs_err, out(id).jpeg_bytes))))
+  }
 }
