@@ -353,6 +353,21 @@ class PlanAuditSpec extends SparkSpec {
       s"keyed rerank fetch lost:\n$p")
   }
 
+  test("q_tpch_q2/q11: dims broadcast onto the synthesized partsupp, no cartesian fact product") {
+    for (q <- Seq("q_tpch_q2", "q_tpch_q11")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastExchange"),
+        s"$q: supplier/nation/region dims must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: partsupp may never cross-product a non-scalar side:\n$p")
+      assert(!p.contains("SortMergeJoin") ||
+             "Exchange hashpartitioning\\(ps_partkey".r.findFirstIn(p).isDefined ||
+             !p.contains("Exchange hashpartitioning"),
+        s"$q: any shuffle join must be partkey-keyed:\n$p")
+      Caching.release()
+    }
+  }
+
   test("q_pack_global: two-level scan — one range exchange, offsets broadcast, window only on the tiny frame") {
     val p = planOf("q_pack_global")
     // the only full-data exchange is the range repartition the global
