@@ -337,18 +337,60 @@ object Dedup {
     * at τ=1/2). The distinct (id, shingle) frame feeds df counts,
     * sizes, the prefix window and both verification joins — persisted
     * through [[graft.Caching.persistTracked]].
+    *
+    * `maxShingleDf`: OPTIONAL safety valve for boilerplate-heavy corpora.
+    * The prefix principle bounds candidates by the RAREST shingles, but a
+    * stop-shingle that still lands inside many SHORT docs' prefixes can
+    * square its posting list in the candidate join. With a cap, shingles
+    * with df > cap are dropped from the universe FIRST and the result is
+    * the exact threshold join over the remaining shingle space — same
+    * contract as [[ngramJaccardAgainst]]'s cap, and explicitly LOSSY on
+    * pairs whose overlap lives only in capped-out boilerplate (a pair of
+    * pure-boilerplate docs stops being reported). Default None keeps the
+    * lossless PPJoin semantics the q_prefix_jaccard oracle proves.
     */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          shingleN: Int = 3, tauNum: Int = 1,
-                         tauDen: Int = 2): DataFrame = {
+                         tauDen: Int = 2,
+                         maxShingleDf: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be a rational in (0, 1], got $tauNum/$tauDen")
-    val sh = graft.Caching.persistTracked(
+    // Shingles are HASHED to 64-bit longs before anything shuffles:
+    // every downstream stage — the distinct, the df agg, the per-doc
+    // window sort, the prefix×prefix candidate join, both verification
+    // joins — then moves and compares fixed-width longs instead of
+    // ~25-byte strings. That's 2-3× less shuffle/sort volume and, more
+    // importantly, near-zero per-row allocation in the hottest plan of
+    // the suite (string-keyed sorts/joins churn the heap; this query is
+    // the one that degrades first under memory pressure). Cost: exact-
+    // up-to-xxhash64-collisions semantics, the same honesty class as
+    // the MinHash default; the q_prefix_jaccard oracle replays the
+    // PLAIN-TEXT all-pairs query, so a collision on the verified corpus
+    // would surface as a hash mismatch.
+    val shAll =
       docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
-        .select(col("id"), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("shingle"))
-        .distinct())
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+        .select(col("id"), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("_shs"))
+        .select(col("id"), xxhash64(col("_shs")).as("shingle"))
+        .distinct()
+    // (sh, dfreq): the working (id, shingle) frame and its per-shingle
+    // document frequencies. Capped: filter the universe before anything
+    // downstream sees it, so sizes/prefix/verification all agree on the
+    // same shingle space and the output Jaccard is exact over it.
+    val (sh, dfreq) = maxShingleDf match {
+      case Some(cap) =>
+        require(cap >= 1, s"maxShingleDf must be positive: $cap")
+        val pAll = graft.Caching.persistTracked(shAll)
+        val keep = pAll.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= cap)
+        val capped = graft.Caching.persistTracked(
+          pAll.join(keep.select(col("shingle"), col("_df")), Seq("shingle"))
+            .select(col("id"), col("shingle")))
+        (capped, keep)
+      case None =>
+        val p = graft.Caching.persistTracked(shAll)
+        (p, p.groupBy(col("shingle")).agg(count(lit(1)).as("_df")))
+    }
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val byDoc = Window.partitionBy(col("id"))
     // ⌈τ·sz⌉ in integers: (num·sz + den − 1) div den

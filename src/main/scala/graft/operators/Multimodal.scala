@@ -5,61 +5,53 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * BINARY columns with typed metadata, processed in partition-sized
-  * batches. Two tiers of honesty here: PNG encode/decode and RIFF/WAVE
-  * container handling are REAL (the JDK ships both — see the "REAL
-  * container formats" section: synthesizeMedia / parseHeaders /
-  * decodePixels, all oracle-hash-verified), while the lib-dependent
-  * codecs (JPEG-class perceptual features, audio DSP, video frame
-  * decode) remain STUBBED with a deterministic fake (`decodeStub`)
-  * because those libraries don't ship in this environment — swap the
-  * stub for a JNI/JEP/ONNX binding without touching the plan shape.
+  * batches. Every codec path here is REAL — the JDK ships PNG and JPEG
+  * (javax.imageio, headless-safe), and the RIFF containers (WAVE,
+  * MJPEG AVI) are simple enough to emit and parse spec-correct bytes by
+  * hand. Because the synthetic pixel/sample values are pure doc-id
+  * arithmetic, a DuckDB oracle replays the GENERATOR and a hash match
+  * proves the byte-level encode→decode round trip through the real
+  * codec; lossy paths (JPEG) gate on an error band instead.
   *
   * Scale notes: payloads stay columnar-compressed at rest and are never
-  * collected; `withDecodedMeta` is a per-row projection; `mapMediaBatches`
-  * is the mapPartitions pattern for codecs that amortize init (model
-  * load, decoder context) across a partition — the Scala analogue of
-  * Python's `mapInPandas` batch UDF.
+  * collected; every decoder runs inside mapPartitions so per-context
+  * init (ImageIO writer/reader lookup — cached per thread below)
+  * amortizes across a partition — the Scala analogue of Python's
+  * `mapInPandas` batch UDF.
   */
 object Multimodal {
 
   /** A media row: opaque payload + source metadata. */
   final case class MediaRow(media_id: Long, payload: Array[Byte], format: String)
 
-  /** Decoded, model-ready features (stub fields). Integral fields are
-    * Long so downstream outputs hash against BIGINT oracle columns. */
+  /** Decoded visual features. Integral fields are Long so downstream
+    * outputs hash against BIGINT oracle columns. byte_len is the REAL
+    * container size — codec-dependent (the JDK encoder picks it), so
+    * oracle-checked projections leave it out; it stays for size-cap
+    * filters and the specs. */
   final case class MediaFeatures(media_id: Long, byte_len: Long, format: String,
                                  width: Long, height: Long, n_frames: Long)
 
-  /** REAL CODEC GOES HERE. Deterministic fake: dimensions derived from
-    * the md5 of the payload bytes — the same 60-bit portable base hash
-    * as [[Dedup.portableHash64]] (first 15 hex chars of the digest as an
-    * integer), so a DuckDB oracle reproduces width/height/n_frames
-    * exactly. A production build replaces this one function with e.g. a
-    * libjpeg/ffmpeg binding. */
-  private def decodeStub(md: java.security.MessageDigest,
-                         payload: Array[Byte], format: String): (Long, Long, Long) = {
-    md.reset()
-    val d = md.digest(payload)
-    var h = 0L
-    var i = 0
-    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h = h >>> 4 // first 15 hex nibbles = 60 bits, always non-negative
-    val w = 64 + h % 1024
-    val ht = 64 + (h >> 10) % 1024
-    val frames = if (format == "video") 1 + (h >> 20) % 240 else 1L
-    (w, ht, frames)
-  }
-
-  /** Batch feature extraction: one decoder context per partition,
-    * amortized across the batch (the mapInPandas-equivalent shape). */
+  /** REAL visual feature extraction — dims/frame counts read from the
+    * actual container bytes, dispatched on magic numbers (the input's
+    * `format` label is untrusted): PNG → IHDR, MJPEG AVI → avih. Rows
+    * that are neither (audio, garbage) are DROPPED — audio features are
+    * [[audioDsp]]'s job. One decoder context per partition, amortized
+    * across the batch (the mapInPandas-equivalent shape). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init happens here (decoder context, model weights)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      rows.map { r =>
-        val (w, h, f) = decodeStub(md, r.payload, r.format)
-        MediaFeatures(r.media_id, r.payload.length.toLong, r.format, w, h, f)
+      rows.flatMap { r =>
+        val b = r.payload
+        if (isPng(b) && b.length >= 24) {
+          val bb = java.nio.ByteBuffer.wrap(b, 16, 8) // IHDR w/h, BE
+          Some(MediaFeatures(r.media_id, b.length.toLong, "png",
+            bb.getInt.toLong, bb.getInt.toLong, 1L))
+        } else if (isAvi(b)) {
+          aviMainHeader(b).map { case (frames, w, h, _) =>
+            MediaFeatures(r.media_id, b.length.toLong, "avi", w, h, frames)
+          }
+        } else None
       }
     }
   }
@@ -322,8 +314,11 @@ object Multimodal {
           val ck = new String(b, pos, 4, "US-ASCII")
           val sz = java.nio.ByteBuffer.wrap(b, pos + 4, 4)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-          if (ck == "data") { dataOff = pos + 8; dataLen = sz }
-          pos += 8 + sz + (sz & 1)
+          if (sz < 0) pos = b.length // malformed size would walk backward forever
+          else {
+            if (ck == "data") { dataOff = pos + 8; dataLen = sz }
+            pos += 8 + sz + (sz & 1)
+          }
         }
         require(dataOff >= 0, s"no data chunk: media_id=${r.media_id}")
         val sb = java.nio.ByteBuffer.wrap(b, dataOff, dataLen)
@@ -521,35 +516,44 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.filter((r: MediaRow) => isAviRow(r)).mapPartitions { rows =>
       rows.map { r =>
-        val b = r.payload
-        var out = VideoHeader(r.media_id, 0L, 0L, 0L, 0L)
-        var pos = 12
-        var found = false
-        while (!found && pos + 8 <= b.length) {
-          val ck = new String(b, pos, 4, "US-ASCII")
-          val sz = java.nio.ByteBuffer.wrap(b, pos + 4, 4)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-          if (ck == "LIST" && pos + 12 <= b.length &&
-              new String(b, pos + 8, 4, "US-ASCII") == "hdrl") {
-            pos += 12 // descend into the list
-          } else if (ck == "avih" && sz >= 40) {
-            val f = java.nio.ByteBuffer.wrap(b, pos + 8, 40)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            val usPerFrame = f.getInt.toLong
-            f.getInt; f.getInt; f.getInt
-            val total = f.getInt.toLong
-            f.getInt; f.getInt; f.getInt
-            val w = f.getInt.toLong; val h = f.getInt.toLong
-            out = VideoHeader(r.media_id, total, w, h,
-              if (usPerFrame > 0) 1000000L / usPerFrame else 0L)
-            found = true
-          } else {
-            pos += 8 + sz + (sz & 1)
-          }
+        aviMainHeader(r.payload) match {
+          case Some((total, w, h, fps)) => VideoHeader(r.media_id, total, w, h, fps)
+          case None => VideoHeader(r.media_id, 0L, 0L, 0L, 0L)
         }
-        out
       }
     }
+  }
+
+  /** Walk the RIFF tree to the avih main header: (totalFrames, w, h,
+    * fps). None when the tree has no well-formed avih — garbage
+    * degrades, never throws or hangs (negative sizes terminate). Shared
+    * by [[parseVideoHeaders]] and [[extractFeatures]]. */
+  private def aviMainHeader(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    var pos = 12
+    var out: Option[(Long, Long, Long, Long)] = None
+    while (out.isEmpty && pos + 8 <= b.length) {
+      val ck = new String(b, pos, 4, "US-ASCII")
+      val sz = java.nio.ByteBuffer.wrap(b, pos + 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      if (sz < 0) { // malformed size would walk backward forever
+        pos = b.length
+      } else if (ck == "LIST" && pos + 12 <= b.length &&
+          new String(b, pos + 8, 4, "US-ASCII") == "hdrl") {
+        pos += 12 // descend into the list
+      } else if (ck == "avih" && sz >= 40 && pos + 48 <= b.length) {
+        val f = java.nio.ByteBuffer.wrap(b, pos + 8, 40)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val usPerFrame = f.getInt.toLong
+        f.getInt; f.getInt; f.getInt
+        val total = f.getInt.toLong
+        f.getInt; f.getInt; f.getInt
+        val w = f.getInt.toLong; val h = f.getInt.toLong
+        out = Some((total, w, h, if (usPerFrame > 0) 1000000L / usPerFrame else 0L))
+      } else {
+        pos += 8 + sz + (sz & 1)
+      }
+    }
+    out
   }
 
   private def isAviRow(r: MediaRow): Boolean = isAvi(r.payload)
@@ -582,7 +586,9 @@ object Multimodal {
           val ck = new String(b, pos, 4, "US-ASCII")
           val sz = java.nio.ByteBuffer.wrap(b, pos + 4, 4)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-          if (ck == "LIST" && pos + 12 <= b.length &&
+          if (sz < 0) { // malformed size would walk backward forever
+            pos = b.length
+          } else if (ck == "LIST" && pos + 12 <= b.length &&
               new String(b, pos + 8, 4, "US-ASCII") == "movi") {
             pos += 12
           } else if (ck == "00dc") {
@@ -673,6 +679,8 @@ object Multimodal {
               out = unknown(r.media_id) // hit EOI/SOS without a frame header
             } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
               pos += 2
+            } else if (m == 0xff) {
+              pos += 1 // spec-legal 0xFF fill byte before a marker, not a segment
             } else {
               pos += 2 + (((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff))
             }
@@ -686,16 +694,19 @@ object Multimodal {
             val ck = new String(b, pos, 4, "US-ASCII")
             val sz = java.nio.ByteBuffer.wrap(b, pos + 4, 4)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-            if (ck == "fmt " && sz >= 16) {
-              val f = java.nio.ByteBuffer.wrap(b, pos + 8, 16)
-                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-              f.getShort // audio format tag
-              channels = f.getShort.toLong
-              rate = f.getInt.toLong
-              f.getInt; f.getShort // byte rate, block align
-              bits = f.getShort.toLong
-            } else if (ck == "data") dataLen = sz.toLong
-            pos += 8 + sz + (sz & 1) // chunks are word-aligned
+            if (sz < 0) pos = b.length // malformed size would walk backward forever
+            else {
+              if (ck == "fmt " && sz >= 16) {
+                val f = java.nio.ByteBuffer.wrap(b, pos + 8, 16)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                f.getShort // audio format tag
+                channels = f.getShort.toLong
+                rate = f.getInt.toLong
+                f.getInt; f.getShort // byte rate, block align
+                bits = f.getShort.toLong
+              } else if (ck == "data") dataLen = sz.toLong
+              pos += 8 + sz + (sz & 1) // chunks are word-aligned
+            }
           }
           if (channels > 0 && rate > 0 && bits > 0 && dataLen >= 0) {
             val n = dataLen / (channels * bits / 8)
@@ -759,16 +770,19 @@ object Multimodal {
           val ck = new String(b, pos, 4, "US-ASCII")
           val sz = java.nio.ByteBuffer.wrap(b, pos + 4, 4)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-          if (ck == "fmt " && sz >= 16) {
-            val f = java.nio.ByteBuffer.wrap(b, pos + 8, 16)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            f.getShort
-            channels = f.getShort.toLong
-            rate = f.getInt.toLong
-            f.getInt; f.getShort
-            bits = f.getShort.toLong
-          } else if (ck == "data") { dataOff = pos + 8; dataLen = sz }
-          pos += 8 + sz + (sz & 1)
+          if (sz < 0) pos = b.length // malformed size would walk backward forever
+          else {
+            if (ck == "fmt " && sz >= 16) {
+              val f = java.nio.ByteBuffer.wrap(b, pos + 8, 16)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              f.getShort
+              channels = f.getShort.toLong
+              rate = f.getInt.toLong
+              f.getInt; f.getShort
+              bits = f.getShort.toLong
+            } else if (ck == "data") { dataOff = pos + 8; dataLen = sz }
+            pos += 8 + sz + (sz & 1)
+          }
         }
         require(channels > 0 && rate > 0 && bits == 16 && dataOff >= 0,
           s"not a PCM16 WAV: media_id=${r.media_id}")

@@ -32,7 +32,9 @@ object SeqPack {
     val spark = df.sparkSession
     val nPart = if (partitions > 0) partitions
                 else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.select(col(orderCol), col(nTokCol))
+    // cast up front: the mapPartitions below reads getLong(1), which
+    // throws at runtime (not plan time) on an IntegerType input
+    val ranged = df.select(col(orderCol), col(nTokCol).cast("long").as(nTokCol))
       .repartitionByRange(nPart, col(orderCol))
       .sortWithinPartitions(orderCol)
     val schema = org.apache.spark.sql.types.StructType(
@@ -80,8 +82,11 @@ object SeqPack {
   /** Per-sequence occupancy: how many docs contribute to each packed
     * sequence and how many of them were split across a boundary —
     * the shard-writer's manifest. A doc explodes into one row per
-    * sequence it touches (bounded: n_seqs ≤ n_tokens/seqLen + 2). */
-  def sequenceManifest(packed: DataFrame, seqLen: Long): DataFrame = {
+    * sequence it touches (bounded: n_seqs ≤ n_tokens/seqLen + 2). The
+    * sequence geometry is already baked into seq_first/seq_last by
+    * [[packSequences]], so no seqLen parameter: passing a different one
+    * than the packing used could only be silently ignored. */
+  def sequenceManifest(packed: DataFrame): DataFrame = {
     val perSeq = packed.select(
       col("seq_first"), col("seq_last"),
       explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"),

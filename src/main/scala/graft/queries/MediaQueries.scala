@@ -10,21 +10,24 @@ import graft.operators.Multimodal
   */
 object MediaQueries {
 
-  /** The stub codec replayed in DuckDB: the payload is the document
-    * text's UTF-8 bytes, so md5(text) = md5(payload); the first 15 hex
-    * chars parse to the same 60-bit non-negative hash the Scala stub
-    * folds from the digest's leading 7.5 bytes (h >> n ≡ h // 2^n for
-    * non-negative h). */
+  /** REAL visual features replayed in DuckDB: even ids are genuine JDK
+    * PNGs, odd ids MJPEG AVIs — the generators' dims/frame counts are
+    * id arithmetic, and extractFeatures reads them back from the ACTUAL
+    * container bytes (IHDR / avih), so the hash match proves the real
+    * write→parse round trip. byte_len is excluded: the JDK encoders
+    * pick it, so it isn't generator-replayable. */
   private val FeaturesCte =
-    """SELECT doc_id AS media_id,
-      |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-      |       (['image', 'audio', 'video'])[doc_id % 3 + 1] AS format,
-      |       CAST(64 + hh % 1024 AS BIGINT) AS width,
-      |       CAST(64 + (hh // 1024) % 1024 AS BIGINT) AS height,
-      |       CAST(CASE WHEN doc_id % 3 + 1 = 3 THEN 1 + (hh // 1048576) % 240 ELSE 1 END AS BIGINT) AS n_frames
-      |FROM (SELECT doc_id, text,
-      |             CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS hh
-      |      FROM documents)""".stripMargin
+    """SELECT doc_id AS media_id, 'png' AS format,
+      |       CAST(16 + doc_id % 48 AS BIGINT) AS width,
+      |       CAST(16 + (doc_id * 7) % 32 AS BIGINT) AS height,
+      |       CAST(1 AS BIGINT) AS n_frames
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id AS media_id, 'avi' AS format,
+      |       CAST(16 + doc_id % 48 AS BIGINT) AS width,
+      |       CAST(16 + (doc_id * 7) % 32 AS BIGINT) AS height,
+      |       CAST(3 + doc_id % 6 AS BIGINT) AS n_frames
+      |FROM documents WHERE doc_id % 2 = 1""".stripMargin
 
   /** dHash oracle: PNG generator replayed through the 9×8 NN grid —
     * gv is the grayscale grid row-major (i = gy·9 + gx), bit k compares
@@ -64,33 +67,39 @@ object MediaQueries {
         |       CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
         |FROM documents"""),
 
-    // Batched decode via mapPartitions — oracle-verified: the stub codec
-    // derives dimensions from the md5-based 60-bit portable hash of the
-    // payload bytes, which DuckDB reproduces exactly (same family as the
-    // MinHash/SimHash sketches). The mapPartitions batch shape is
-    // unchanged; only the fake dimension derivation is portable.
+    // REAL batched visual decode via mapPartitions (graduated from the
+    // r1-era md5 stub in r10): dims and frame counts come off the
+    // actual PNG IHDR / AVI avih bytes, dispatched on container magic.
+    // byte_len is projected out — the JDK encoder picks it, so it
+    // isn't generator-replayable (it still feeds size-cap filters via
+    // the operator API).
     "q_media_features" -> QueryDef(
-      (s, dir) => features(s, dir),
+      (s, dir) => features(s, dir)
+        .select(col("media_id"), col("format"), col("width"), col("height"), col("n_frames")),
       s"""WITH h AS ($FeaturesCte)
-        |SELECT media_id, byte_len, format, width, height, n_frames FROM h"""),
+        |SELECT media_id, format, width, height, n_frames FROM h"""),
 
-    // Frame-sampling plumbing over the decoded features: one row per
-    // sampled frame index, generated BEFORE any per-frame decode so the
-    // expensive stage touches only the sample.
+    // Frame-sampling plumbing over the REALLY-decoded features: one row
+    // per sampled frame index, generated BEFORE any per-frame decode so
+    // the expensive stage touches only the sample (q_media_video is the
+    // stage that then decodes a stride; stride 2 here matches it).
     "q_media_frames" -> QueryDef(
-      (s, dir) => Multimodal.sampleFrames(features(s, dir), everyN = 30),
+      (s, dir) => Multimodal.sampleFrames(features(s, dir), everyN = 2),
       s"""WITH h AS ($FeaturesCte)
         |SELECT media_id, n_frames,
-        |       CAST(unnest(generate_series(0, n_frames - 1, 30)) AS BIGINT) AS frame_idx
+        |       CAST(unnest(generate_series(0, n_frames - 1, 2)) AS BIGINT) AS frame_idx
         |FROM h"""),
 
-    // Resize planning (pure column math on decoded dims): box-fit scale
-    // factors the real resizer would apply.
+    // Resize planning (pure column math on REALLY-decoded dims): box-fit
+    // scale factors the real resizer would apply. maxDim 24 sits inside
+    // the generator's 16..63 dim range so both branches (downscale and
+    // already-fits) are exercised; the one float op chain (divide, min,
+    // multiply, floor) is identical IEEE arithmetic on both engines.
     "q_media_resize" -> QueryDef(
-      (s, dir) => Multimodal.resizePlan(features(s, dir), maxDim = 512),
+      (s, dir) => Multimodal.resizePlan(features(s, dir), maxDim = 24),
       s"""WITH h AS ($FeaturesCte),
         |sc AS (SELECT media_id, width, height,
-        |              least(CAST(512 AS DOUBLE) / width, CAST(512 AS DOUBLE) / height, CAST(1 AS DOUBLE)) AS scale
+        |              least(CAST(24 AS DOUBLE) / width, CAST(24 AS DOUBLE) / height, CAST(1 AS DOUBLE)) AS scale
         |       FROM h)
         |SELECT media_id, width, height, scale,
         |       CAST(floor(width * scale) AS BIGINT) AS resized_w,
@@ -208,6 +217,12 @@ object MediaQueries {
     // checked: a broken decode flips it and the hash goes red. The
     // codec-dependent error value itself stays in the operator API for
     // MultimodalSpec, out of the hashed projection.
+    // JDK-COUPLING: the oracle asserts `true AS fidelity_ok`, so the
+    // gate is tied to the current JDK's JPEG codec error profile (also
+    // q_media_video / q_media_transcode below). A JDK upgrade with a
+    // different encoder could flip engine-side gates with no code
+    // change; MultimodalSpec's measured-MAE-margin assertions are the
+    // early-warning signal (bands of 4/16 MAE leave wide headroom).
     "q_media_jpeg" -> QueryDef(
       (s, dir) => Multimodal.decodeJpegFidelity(
           Multimodal.synthesizeJpeg(Tables.documents(s, dir), "doc_id"),
@@ -321,14 +336,13 @@ object MediaQueries {
   )
 
 
+  /** The real visual corpus: even ids genuine JDK PNGs, odd ids MJPEG
+    * AVIs, run through the real header decode. */
   private def features(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    import s.implicits._
-    val media = Tables.documents(s, dir).select(
-      col("doc_id").as("media_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("format"))
-      .as[Multimodal.MediaRow]
+    val docs = Tables.documents(s, dir)
+    val media = Multimodal
+      .synthesizeMedia(docs.filter(col("doc_id") % 2 === 0), "doc_id")
+      .union(Multimodal.synthesizeVideo(docs.filter(col("doc_id") % 2 === 1), "doc_id"))
     Multimodal.extractFeatures(media).toDF()
   }
 }

@@ -168,26 +168,32 @@ object PipelineQueries {
     // docs (same SQL as q_dedup_clusters), so the hash match proves
     // incremental ≡ re-run — the maintenance contract a 100 TB corpus
     // needs at every ingest.
+    //
+    // Candidate generation is ONE shared all-docs pass (persisted):
+    // corpus/merge pair sets are filters over it — they tile the full
+    // pair set exactly, so three separate shingle passes (corpus²,
+    // batch², corpus×batch) would triple the work this query benches
+    // (r9 measured ~8 s, ~2× its siblings, for exactly that reason).
+    // At a real ingest the standing assignment and corpus pairs are
+    // READ, not recomputed — the batch-proportional generation path is
+    // what q_incremental_dedup benches; here the self-contained query
+    // must rebuild the standing state it would normally load, and the
+    // incrementalComponents contraction is the part under proof.
     "q_incremental_cc" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val corpus = docs.filter(col("doc_id") % 13 =!= 0)
-        val batch = docs.filter(col("doc_id") % 13 === 0)
-        val standing = graft.operators.Dedup.connectedComponents(
+        val inBatch = (c: org.apache.spark.sql.Column) => c % 13 === 0
+        val pairs = graft.Caching.persistTracked(
           graft.operators.Dedup
-            .ngramJaccardPairs(corpus, "doc_id", "text", shingleN = 3, minJaccard = 0.5)
-            .select(col("id1"), col("id2")),
-          corpus.select(col("doc_id")), "doc_id")
-        val batchPairs = graft.operators.Dedup
-          .ngramJaccardPairs(batch, "doc_id", "text", shingleN = 3, minJaccard = 0.5)
-          .select(col("id1"), col("id2"))
-        val crossPairs = graft.operators.Dedup
-          .ngramJaccardAgainst(corpus, batch, "doc_id", "text",
-            shingleN = 3, minJaccard = 0.5)
-          .select(col("corpus_id").as("id1"), col("new_id").as("id2"))
+            .ngramJaccardPairs(docs, "doc_id", "text", shingleN = 3, minJaccard = 0.5)
+            .select(col("id1"), col("id2")))
+        val standing = graft.operators.Dedup.connectedComponents(
+          pairs.filter(!inBatch(col("id1")) && !inBatch(col("id2"))),
+          docs.filter(!inBatch(col("doc_id"))).select(col("doc_id")), "doc_id")
         graft.operators.Dedup.incrementalComponents(
-          standing, batchPairs.union(crossPairs),
-          batch.select(col("doc_id")), "doc_id")
+          standing,
+          pairs.filter(inBatch(col("id1")) || inBatch(col("id2"))),
+          docs.filter(inBatch(col("doc_id"))).select(col("doc_id")), "doc_id")
       },
       DedupClustersSql),
 
@@ -607,7 +613,7 @@ object PipelineQueries {
         graft.operators.SeqPack.packSequences(
           Tables.documents(s, dir).select(col("doc_id"),
             size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens")),
-          "doc_id", "n_tokens", seqLen = 512L), seqLen = 512L),
+          "doc_id", "n_tokens", seqLen = 512L)),
       s"""WITH $ToksCte,
         |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks WHERE len(t) > 0),
         |c AS (

@@ -499,21 +499,28 @@ object TpchDeepQueries {
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey"""),
 
-    // Q9 (product-type profit measure), adapted: profit on ECONOMY
-    // parts per supplier-nation and order year, with p_retailprice ×
-    // quantity standing in for the missing partsupp supplycost. The
-    // 5-way join: part (filtered, broadcastable) cuts lineitem first,
-    // then orders attaches the year and supplier→nation the group key.
-    // One decimal-exact sum over a ± expression (profit can be
-    // negative — the decimal cast is sign-correct).
+    // Q9 (product-type profit measure) in its TRUE partsupp form (since
+    // r10; p_retailprice stood in for supplycost before PartSuppGen):
+    // profit = revenue − ps_supplycost·quantity for lineitems whose
+    // (part, supplier) is a contracted partsupp pair. ps joined on BOTH
+    // keys — partsupp is 4×|part| rows, so the ECONOMY-filtered ps⋈part
+    // frame broadcasts into the fact; then orders attaches the year and
+    // supplier→nation the group key. One decimal-exact sum over a ±
+    // expression (profit can be negative — the decimal cast is
+    // sign-correct).
     "q_tpch_q9" -> QueryDef(
       (s, dir) => {
         val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-          col("p_retailprice") * col("l_quantity")
-        Tables.lineitem(s, dir)
+          col("ps_supplycost") * col("l_quantity")
+        val psEcon = graft.sources.PartSuppGen.partsupp(s, dir)
           .join(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
-            .select(col("p_partkey"), col("p_retailprice")),
-            col("l_partkey") === col("p_partkey"))
+            .select(col("p_partkey")),
+            col("ps_partkey") === col("p_partkey"))
+          .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(psEcon),
+            col("l_partkey") === col("ps_partkey") &&
+              col("l_suppkey") === col("ps_suppkey"))
           .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
             col("l_orderkey") === col("o_orderkey"))
           .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
@@ -524,9 +531,11 @@ object TpchDeepQueries {
             year(col("o_orderdate")).cast("long").as("o_year"))
           .agg(moneySum(profit, 4).as("sum_profit"))
       },
-      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+      s"""WITH $PartsuppCte
+        |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) - ps_supplycost * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
         |FROM lineitem
+        |JOIN ps       ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
         |JOIN part     ON l_partkey = p_partkey
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -534,72 +543,88 @@ object TpchDeepQueries {
         |WHERE p_type = 'ECONOMY'
         |GROUP BY n_name, year(o_orderdate)"""),
 
-    // Q16 (parts/supplier relationship), adapted: distinct suppliers
-    // able to ship each (brand, type, size-set) part class, with the
-    // "customer complaints" exclusion re-expressed as s_acctbal < 0;
-    // supplier↔part pairs come from lineitem (no partsupp). The
-    // exclusion is an anti join BEFORE the distinct agg; countDistinct
-    // above a fact⋈dim join is the pattern (exact here — the HLL
-    // variant for 100 TB is q_events_hourly_hll's posture).
+    // Q16 (parts/supplier relationship) in its TRUE partsupp form (since
+    // r10; supplier↔part pairs came from lineitem before PartSuppGen):
+    // distinct suppliers offering each (brand, type, size-set) part
+    // class, with the "customer complaints" exclusion re-expressed as
+    // s_acctbal < 0. The exclusion is an anti join BEFORE the distinct
+    // agg; countDistinct above a dim⋈dim join is the pattern (exact
+    // here — the HLL variant for 100 TB is q_events_hourly_hll's
+    // posture).
     "q_tpch_q16" -> QueryDef(
       (s, dir) => {
         val sizes = Seq(1, 4, 7, 10, 13, 16, 19, 22).map(lit(_))
         val badSupp = Tables.supplier(s, dir)
           .filter(col("s_acctbal") < lit(0.0)).select(col("s_suppkey"))
-        Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+        graft.sources.PartSuppGen.partsupp(s, dir)
+          .select(col("ps_partkey"), col("ps_suppkey"))
           .join(Tables.part(s, dir)
             .filter(col("p_brand") =!= "Brand#45" && col("p_size").isin(sizes: _*))
             .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")),
-            col("l_partkey") === col("p_partkey"))
-          .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+            col("ps_partkey") === col("p_partkey"))
+          .join(badSupp, col("ps_suppkey") === col("s_suppkey"), "left_anti")
           .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
       },
-      """SELECT p_brand, p_type, p_size,
-        |       count(DISTINCT l_suppkey) AS supplier_cnt
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
+      s"""WITH $PartsuppCte
+        |SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON ps_partkey = p_partkey
         |WHERE p_brand <> 'Brand#45'
         |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
-        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < CAST(0 AS DOUBLE))
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < CAST(0 AS DOUBLE))
         |GROUP BY p_brand, p_type, p_size"""),
 
-    // Q20 (potential part promotion), adapted: suppliers in the first
-    // five nations who shipped >50 units of PROMO parts in 1996 (the
-    // partsupp "excess stock" threshold re-expressed as shipped
-    // volume). The heavy agg runs FIRST (part filter broadcast into
-    // the fact, one keyed agg, HAVING cuts to a handful of keys), and
-    // only those keys join into the nation-filtered supplier scan —
-    // the Q18 reduction discipline applied through a dim-filtered
-    // fact. Completes the TPC-H sweep: only Q2/Q11 stay out of scope
-    // (both are pure partsupp queries with no faithful adaptation).
+    // Q20 (potential part promotion) in its TRUE partsupp form (since
+    // r10; the excess-stock threshold was re-expressed as shipped
+    // volume before PartSuppGen): suppliers in the first five nations
+    // holding excess stock of a PROMO part — ps_availqty > ½ the
+    // quantity they shipped of it in 1996. The heavy agg runs FIRST
+    // (the fact cut to one year, one keyed agg on (part, supp)), and
+    // the tiny qualifying frame joins the broadcast ps⋈part dim and
+    // then the nation-filtered supplier scan — the Q18 reduction
+    // discipline. The ½ threshold is the all-double comparison
+    // 2·availqty > qty on BOTH sides (sums of integral quantities are
+    // exact in double at any SF that fits an engine).
     "q_tpch_q20" -> QueryDef(
       (s, dir) => {
         val shipped = Tables.lineitem(s, dir)
           .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
             col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(moneySum(col("l_quantity"), 2).as("qty"))
+        val psPromo = graft.sources.PartSuppGen.partsupp(s, dir)
           .join(Tables.part(s, dir).filter(col("p_type") === "PROMO")
             .select(col("p_partkey")),
-            col("l_partkey") === col("p_partkey"))
-          .groupBy(col("l_suppkey"))
-          .agg(moneySum(col("l_quantity"), 2).as("total_qty"))
-          .filter(col("total_qty") > 50)
+            col("ps_partkey") === col("p_partkey"))
+          .select(col("ps_partkey"), col("ps_suppkey"), col("ps_availqty"))
+        val qual = shipped
+          .join(broadcast(psPromo),
+            col("l_partkey") === col("ps_partkey") &&
+              col("l_suppkey") === col("ps_suppkey"))
+          .filter(col("ps_availqty").cast("double") * 2.0 > col("qty"))
+          .select(col("ps_suppkey")).distinct()
         Tables.supplier(s, dir)
           .filter(col("s_nationkey") < 5)
-          .join(shipped, col("s_suppkey") === col("l_suppkey"))
-          .select(col("s_suppkey"), col("s_name"), col("total_qty"))
+          .join(qual, col("s_suppkey") === col("ps_suppkey"))
+          .select(col("s_suppkey"), col("s_name"))
       },
-      """WITH shipped AS (
-        |  SELECT l_suppkey,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  WHERE p_type = 'PROMO'
-        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      s"""WITH $PartsuppCte,
+        |shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate <  TIMESTAMP '1997-01-01'
-        |  GROUP BY l_suppkey
-        |  HAVING total_qty > 50
-        |)
-        |SELECT s_suppkey, s_name, total_qty
-        |FROM supplier JOIN shipped ON s_suppkey = l_suppkey
+        |  GROUP BY 1, 2),
+        |qual AS (
+        |  SELECT DISTINCT ps_suppkey
+        |  FROM shipped
+        |  JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |  JOIN part ON ps_partkey = p_partkey
+        |  WHERE p_type = 'PROMO' AND CAST(2 * ps_availqty AS DOUBLE) > qty)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN qual ON s_suppkey = ps_suppkey
         |WHERE s_nationkey < 5""")
   ) ++ partsuppDefs
 }

@@ -451,6 +451,46 @@ class DedupSpec extends SparkSpec {
     assert(full.length == 1 && full.head.getDouble(5) == 1.0)
   }
 
+  test("prefixJaccardPairs maxShingleDf: drops boilerplate-only pairs, keeps true pairs") {
+    import spark.implicits._
+    // 60 docs sharing exactly ONE boilerplate shingle (df 60) plus three
+    // unique shingles each — below-threshold pairs that still flood the
+    // candidate join uncapped; a true near-dup pair with no boilerplate;
+    // and two PURE-boilerplate duplicates whose only overlap is the
+    // capped-out shingle (the documented recall cost of the cap).
+    val boiler = (10L to 69L).map(i => (i, s"alpha$i beta$i gamma$i terms of service"))
+    val docs = (boiler ++ Seq(
+      (1L, "x y z w q r s t"),
+      (2L, "x y z w q r s t u"),
+      (100L, "terms of service"),
+      (101L, "terms of service"))).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 1, 2))
+    val capped = pairs(Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 1, 2,
+      maxShingleDf = Some(10)))
+    Caching.release()
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((100L, 101L)))
+    // boiler-boiler pairs share 1 of 7 shingles — below tau, absent both ways
+    assert(!uncapped.exists { case (a, b) => a >= 10 && a < 100 && b < 100 })
+    // cap drops the pure-boilerplate duplicate pair, keeps the true pair,
+    // and invents nothing
+    assert(capped == uncapped - ((100L, 101L)))
+  }
+
+  test("prefixJaccardPairs completes on 1000 mass-identical docs (posting-list square)") {
+    import spark.implicits._
+    // Worst case for the prefix principle: every shingle is in every
+    // doc, so every prefix posting list squares — the candidates ARE
+    // the answer (all pairs are exact duplicates). The path must grind
+    // through C(1000,2) verified pairs, not hang or OOM.
+    val crowd = (1L to 1000L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val n = Dedup.prefixJaccardPairs(crowd, "doc_id", "text", 3, 1, 2).count()
+    Caching.release()
+    assert(n == 499500L)
+  }
+
   test("selfRepetitionProfile: repeats, tandem periodicity, cap flag, short doc") {
     import spark.implicits._
     val docs = Seq(

@@ -6,34 +6,31 @@ import graft.operators.Multimodal.MediaRow
 
 class MultimodalSpec extends SparkSpec {
 
+  // Real visual corpus for the feature family: ids 2/4 genuine JDK
+  // PNGs, ids 1/3 MJPEG AVIs, plus one audio WAV and one garbage row
+  // that real feature extraction must DROP (visual features only).
   lazy val media = {
     import spark.implicits._
-    Seq(
-      MediaRow(1, "payload-one".getBytes("UTF-8"), "image"),
-      MediaRow(2, "payload-two-longer".getBytes("UTF-8"), "video"),
-      MediaRow(3, Array.emptyByteArray, "audio")).toDS()
+    Multimodal.synthesizeMedia(Seq(2L, 4L).toDF("id"), "id")
+      .union(Multimodal.synthesizeVideo(Seq(1L, 3L).toDF("id"), "id"))
+      .union(Multimodal.synthesizeMedia(Seq(7L).toDF("id"), "id")) // wav (odd)
+      .union(Seq(MediaRow(99L, "not a container".getBytes("UTF-8"), "mystery")).toDS())
   }
 
-  test("batched decode stub is deterministic and schema-stable") {
+  test("extractFeatures reads REAL container bytes, deterministic across partitionings") {
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     val f2 = Multimodal.extractFeatures(media.repartition(3)).collect().sortBy(_.media_id)
     assert(f1.toSeq == f2.toSeq)
-    assert(f1.forall(f => f.width >= 64 && f.height >= 64 && f.n_frames >= 1))
-    assert(f1.find(_.media_id == 2).get.n_frames >= 1) // video gets frames
-    assert(f1.find(_.media_id == 3).get.byte_len == 0) // empty payload survives
-  }
-
-  test("stub dimensions derive from the portable md5 hash family") {
-    // the mapPartitions stub's manual digest fold must equal the
-    // column-level portableHash64 (what the DuckDB oracle replays)
-    val feats = Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id"), col("width"), col("height"))
-    val expect = media.toDF().select(col("media_id"),
-      graft.operators.Dedup.portableHash64(col("payload")).as("h"))
-      .select(col("media_id"),
-        (lit(64L) + col("h") % 1024).as("width"),
-        (lit(64L) + shiftright(col("h"), 10) % 1024).as("height"))
-    assert(feats.exceptAll(expect).isEmpty && expect.exceptAll(feats).isEmpty)
+    // wav + garbage dropped; visual rows survive
+    assert(f1.map(_.media_id).toSeq == Seq(1L, 2L, 3L, 4L))
+    // dims/frames match the generators' id arithmetic, read back from
+    // the actual IHDR / avih bytes
+    f1.foreach { f =>
+      assert(f.width == 16 + f.media_id % 48 && f.height == 16 + (f.media_id * 7) % 32)
+      assert(f.byte_len > 0)
+      if (f.media_id % 2 == 0) assert(f.format == "png" && f.n_frames == 1L)
+      else assert(f.format == "avi" && f.n_frames == 3 + f.media_id % 6)
+    }
   }
 
   test("frame sampling includes frame 0 and respects stride") {
@@ -53,11 +50,15 @@ class MultimodalSpec extends SparkSpec {
 
   test("resize plan preserves aspect and never upscales") {
     val feats = Multimodal.extractFeatures(media).toDF()
-    Multimodal.resizePlan(feats, maxDim = 128).collect().foreach { r =>
+    // 24 sits inside the generator's 16..63 range: both the downscale
+    // and the already-fits branch are exercised
+    val rows = Multimodal.resizePlan(feats, maxDim = 24).collect()
+    assert(rows.exists(_.getAs[Double]("scale") < 1.0))
+    rows.foreach { r =>
       val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
       val (rw, rh) = (r.getAs[Long]("resized_w"), r.getAs[Long]("resized_h"))
       assert(r.getAs[Double]("scale") <= 1.0)
-      assert(rw <= 128 && rh <= 128)
+      assert(rw <= 24 && rh <= 24)
       assert(rw <= w && rh <= h)
     }
   }

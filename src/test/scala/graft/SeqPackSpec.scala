@@ -58,7 +58,7 @@ class SeqPackSpec extends SparkSpec {
     // seq0: doc1; seq1: doc1(split),doc2; seq2: doc2(split),doc3(split); seq3: doc3? 160/64 → seqs 0..2
     val d = Seq((1L, 100L), (2L, 50L), (3L, 10L)).toDF("doc_id", "n_tokens")
     val m = SeqPack.sequenceManifest(
-        SeqPack.packSequences(d, "doc_id", "n_tokens", seqLen = 64L), seqLen = 64L)
+        SeqPack.packSequences(d, "doc_id", "n_tokens", seqLen = 64L))
       .orderBy("seq_id").collect()
     Caching.release()
     val bySeq = m.map(r => r.getAs[Long]("seq_id") ->
