@@ -62,6 +62,34 @@ object Similarity {
     Array.fill(tables, planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Fixed-seed dense projection matrix (outDim × dim rows of unit
+    * gaussians); seed disjoint from [[hyperplanes]]' stream so SRP codes
+    * and dense projections are independent. `private[graft]` so the
+    * oracle SQL interpolates the SAME constants (SigList technique). */
+  private[graft] def projectionMatrix(dim: Int, outDim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(4242)
+    Array.fill(outDim)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Johnson–Lindenstrauss dense random projection: each embedding
+    * reduced to `outDim` doubles (columns p0..p{outDim-1}) against
+    * frozen gaussian rows — the distance-preserving dimensionality cut
+    * a training pipeline runs before clustering/indexing when the full
+    * width is too wide to shuffle. Pure narrow projection (zero
+    * exchanges) over the codegen'd [[graft.functions.DotProduct]]
+    * kernel; frozen constants make it generator-replayable (DuckDB's
+    * list_dot_product folds the identical double sequence). Unscaled:
+    * the 1/√outDim JL factor is a constant the consumer folds in where
+    * distances need calibration. */
+  def projectEmbeddings(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, outDim: Int): DataFrame = {
+    val m = projectionMatrix(dim, outDim)
+    val cols = (0 until outDim).map { j =>
+      graft.functions.DotProduct(col(vecCol), array(m(j).map(lit): _*)).as(s"p$j")
+    }
+    df.select(col(idCol) +: cols: _*)
+  }
+
   /** Per-table SRP bucket ids for a vector column: ARRAY<LONG>[tables],
     * one `planes`-bit sign code per table. Runs the fused codegen'd
     * [[graft.functions.SrpCode]] — bit-identical to the HOF formulation

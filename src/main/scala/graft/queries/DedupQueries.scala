@@ -131,6 +131,33 @@ object DedupQueries {
         |FROM co JOIN sizes s1 ON s1.id = co.id1 JOIN sizes s2 ON s2.id = co.id2
         |WHERE common * 3 >= s1.sz + s2.sz"""),
 
+    // The CAPPED PPJoin path: maxShingleDf drops stop-shingles from the
+    // universe FIRST, then the exact threshold join runs over what
+    // remains. The oracle applies the SAME universe restriction to the
+    // textbook all-pairs query, so the hash match proves the capped
+    // semantics precisely ("exact Jaccard over the df ≤ cap shingle
+    // space"), not just that some pairs come out. Cap 2 genuinely bites
+    // on this corpus (different pair set AND different sizes than
+    // uncapped — the boilerplate-df tail is 3..7 here); at 100 TB the
+    // same knob bounds a stop-shingle posting-list square.
+    "q_prefix_jaccard_capped" -> QueryDef(
+      (s, dir) => Dedup.prefixJaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, tauNum = 1, tauDen = 2, maxShingleDf = Some(2)),
+      s"""WITH $ShingleCtes,
+        |dfq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY 1),
+        |shc AS (SELECT s.id, s.shingle FROM sh s JOIN dfq ON s.shingle = dfq.shingle WHERE dfq.c <= 2),
+        |sizes AS (SELECT id, count(*) AS sz FROM shc GROUP BY 1),
+        |co AS (
+        |  SELECT a.id AS id1, b.id AS id2, count(*) AS common
+        |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id1, id2, common, s1.sz AS sz1, s2.sz AS sz2,
+        |       CAST(common AS DOUBLE) / (s1.sz + s2.sz - common) AS jaccard
+        |FROM co JOIN sizes s1 ON s1.id = co.id1 JOIN sizes s2 ON s2.id = co.id2
+        |WHERE common * 3 >= s1.sz + s2.sz"""),
+
     // The composite curation pipeline — what this engine exists for:
     //   exact dedup (min-id representative per text)
     //   → near-dup removal (drop the higher id of each ≥0.5-Jaccard pair)

@@ -321,6 +321,28 @@ object SimilarityQueries {
         |              ELSE CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) END AS VARCHAR)), ',') AS q8
         |FROM m"""),
 
+    // JL random projection 64→8: the oracle interpolates the SAME
+    // frozen gaussian rows and list_dot_product replays the engine's
+    // sequential double fold bit-exactly (the q_ann_brute-proven
+    // contract), so all 8 projected coordinates hash-verify — a dense
+    // float transform verified to the last bit, not just a sign test.
+    "q_embed_project" -> QueryDef(
+      (s, dir) => Similarity.projectEmbeddings(
+        Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64, outDim = 8),
+      {
+        val m = Similarity.projectionMatrix(64, 8)
+        // '…'::DOUBLE per element: a bare 17-digit literal parses as
+        // DECIMAL first and the two-step rounding lands 1 ulp off —
+        // invisible to SRP's sign tests, fatal here where the dot
+        // product IS the output (same lesson as q_ann_pq)
+        val cols = (0 until 8).map { j =>
+          s"list_dot_product(v, ${m(j).map(c => s"'$c'::DOUBLE").mkString("[", ", ", "]")}) AS p$j"
+        }.mkString(",\n|       ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+          |SELECT vec_id, $cols
+          |FROM e"""
+      }),
+
     "q_ann_brute" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)

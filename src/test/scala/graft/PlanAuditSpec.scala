@@ -55,7 +55,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("media codec path: per-row batch seam, no shuffle anywhere") {
-    for (q <- Seq("q_media_headers", "q_media_decode", "q_media_audio")) {
+    for (q <- Seq("q_media_headers", "q_media_decode", "q_media_audio",
+                  "q_media_features", "q_media_resize")) {
       val p = planOf(q)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q grew a shuffle — synth/parse/decode are per-row stages:\n$p")
@@ -381,6 +382,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(winIdx >= 0 && p.indexOf("HashAggregate", winIdx) >= 0,
       s"global window must ride the per-partition totals agg:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+    Caching.release()
+  }
+
+  test("q_tpch_q9/q20: the partsupp pair dim broadcasts into the fact, no cartesian") {
+    for (q <- Seq("q_tpch_q9", "q_tpch_q20")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastExchange"),
+        s"$q: the ps⋈part frame (4×|part| rows) must broadcast, never shuffle the fact:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: no cross product anywhere:\n$p")
+      Caching.release()
+    }
+  }
+
+  test("q_prefix_jaccard_capped: cap keeps the shingle-keyed shape (no product, keyed window)") {
+    val p = planOf("q_prefix_jaccard_capped")
+    assert(!p.contains("CartesianProduct"), s"all-pairs product in the capped prefix path:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi join in the capped prefix path:\n$p")
+    assert(p.contains("windowspecdefinition(id#"), s"prefix window lost its key:\n$p")
     Caching.release()
   }
 }
