@@ -280,8 +280,13 @@ object Dedup {
                         shingleN: Int = 3, minJaccard: Double = 0.0,
                         maxShingleDf: Option[Int] = None,
                         sizePrune: Boolean = false): DataFrame = {
+    // shingles hashed to longs before the distinct/self-join — same
+    // rationale and same exact-up-to-xxhash64-collisions contract as
+    // [[prefixJaccardPairs]] (the cluster-family oracles all replay the
+    // plain-text join, so a collision on a verified corpus goes red)
     val sh = docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
-      .select(col("id"), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("shingle"))
+      .select(col("id"), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("_shs"))
+      .select(col("id"), xxhash64(col("_shs")).as("shingle"))
       .distinct()
     val filtered = maxShingleDf match {
       case Some(cap) =>
@@ -453,9 +458,12 @@ object Dedup {
                           textCol: String, shingleN: Int = 3,
                           minJaccard: Double = 0.0,
                           maxShingleDf: Option[Int] = None): DataFrame = {
+    // hashed shingles, as in [[ngramJaccardPairs]] — both sides use the
+    // same hash so the corpus×new join key space is consistent
     def shingles(df: DataFrame, outId: String) =
       df.select(col(idCol).as(outId), TextFns.tokens(col(textCol)).as("_toks"))
-        .select(col(outId), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("shingle"))
+        .select(col(outId), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("_shs"))
+        .select(col(outId), xxhash64(col("_shs")).as("shingle"))
         .distinct()
     val corpusSh0 = shingles(corpus, "corpus_id")
     val corpusSh = maxShingleDf match {
@@ -692,10 +700,14 @@ object Dedup {
         size(col("_toks")).cast("long").as("n"),
         array_join(col("_toks"), " ").as("c"))
     val eligible = canon.filter(col("n") >= anchorN)
+    // anchor keys hashed to longs: a collision only creates a false
+    // CANDIDATE, and every candidate passes the exact `contains` check
+    // below — so unlike the Jaccard family this hashing is LOSSLESS
     val anchors = eligible.select(col("id").as("in_id"), col("n").as("in_n"),
-      array_join(slice(col("_toks"), 1, anchorN), " ").as("shingle"))
+      xxhash64(array_join(slice(col("_toks"), 1, anchorN), " ")).as("shingle"))
     val index0 = eligible.select(col("id").as("out_id"), col("n").as("out_n"),
-      explode(TextFns.wordShingles(col("_toks"), anchorN)).as("shingle"))
+        explode(TextFns.wordShingles(col("_toks"), anchorN)).as("_shs"))
+      .select(col("out_id"), col("out_n"), xxhash64(col("_shs")).as("shingle"))
     val index = maxAnchorDf match {
       case Some(cap) =>
         val dfreq = index0.groupBy("shingle")
@@ -750,6 +762,10 @@ object Dedup {
     require(minSpanTokens >= gramN,
       s"minSpanTokens $minSpanTokens must cover one $gramN-gram")
     val toks = col("_toks")
+    // positional grams hashed to longs (the prefixJaccardPairs
+    // rationale: fixed-width join/window keys, no string churn); the
+    // span oracles replay plain-text positional joins, so a collision
+    // on a verified corpus goes red
     val grams = graft.Caching.persistTracked(
       docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
         .filter(size(toks) >= gramN)
@@ -757,7 +773,8 @@ object Dedup {
             sequence(lit(1), size(toks) - (gramN - 1)),
             i => array_join(slice(toks, i, lit(gramN)), " ")))
           .as(Seq("_p0", "gram")))
-        .select(col("id"), (col("_p0") + 1).cast("long").as("pos"), col("gram")))
+        .select(col("id"), (col("_p0") + 1).cast("long").as("pos"),
+          xxhash64(col("gram")).as("gram")))
     val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("_f"))
       .filter(col("_f") <= maxGramFreq).select(col("gram"))
     val capped = grams.join(rare, Seq("gram"))
@@ -798,6 +815,8 @@ object Dedup {
     require(gramN >= 2, s"gramN must be >= 2, got $gramN")
     require(minSpanTokens >= gramN,
       s"minSpanTokens $minSpanTokens must cover one $gramN-gram")
+    // hashed positional grams, matching [[duplicateSpans]] — both sides
+    // share the hash so corpus×batch keys stay consistent
     def grams(df: DataFrame): DataFrame = {
       val toks = col("_toks")
       df.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
@@ -806,7 +825,8 @@ object Dedup {
             sequence(lit(1), size(toks) - (gramN - 1)),
             i => array_join(slice(toks, i, lit(gramN)), " ")))
           .as(Seq("_p0", "gram")))
-        .select(col("id"), (col("_p0") + 1).cast("long").as("pos"), col("gram"))
+        .select(col("id"), (col("_p0") + 1).cast("long").as("pos"),
+          xxhash64(col("gram")).as("gram"))
     }
     val cg = graft.Caching.persistTracked(grams(corpus))
     val rare = cg.groupBy(col("gram")).agg(count(lit(1)).as("_f"))
@@ -867,6 +887,8 @@ object Dedup {
     require(minSpanTokens >= gramN,
       s"minSpanTokens $minSpanTokens must cover one $gramN-gram")
     val toks = col("_toks")
+    // hashed positional grams (see [[duplicateSpans]]) — the self-join
+    // and both windows key on fixed-width longs
     val grams = graft.Caching.persistTracked(
       docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
         .filter(size(toks) >= gramN)
@@ -874,7 +896,8 @@ object Dedup {
             sequence(lit(1), size(toks) - (gramN - 1)),
             i => array_join(slice(toks, i, lit(gramN)), " ")))
           .as(Seq("_p0", "gram")))
-        .select(col("id"), (col("_p0") + 1).cast("long").as("pos"), col("gram")))
+        .select(col("id"), (col("_p0") + 1).cast("long").as("pos"),
+          xxhash64(col("gram")).as("gram")))
     val perGram = grams.groupBy(col("id"), col("gram"))
       .agg(count(lit(1)).as("_f"))
     val gramMax = perGram.groupBy(col("id"))

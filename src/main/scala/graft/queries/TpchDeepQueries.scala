@@ -512,10 +512,8 @@ object TpchDeepQueries {
       (s, dir) => {
         val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
           col("ps_supplycost") * col("l_quantity")
-        val psEcon = graft.sources.PartSuppGen.partsupp(s, dir)
-          .join(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
-            .select(col("p_partkey")),
-            col("ps_partkey") === col("p_partkey"))
+        val psEcon = graft.sources.PartSuppGen.partsuppOf(
+            Tables.part(s, dir).filter(col("p_type") === "ECONOMY"), s, dir)
           .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost"))
         Tables.lineitem(s, dir)
           .join(broadcast(psEcon),
@@ -593,10 +591,8 @@ object TpchDeepQueries {
             col("l_shipdate") < to_timestamp(lit("1997-01-01")))
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(moneySum(col("l_quantity"), 2).as("qty"))
-        val psPromo = graft.sources.PartSuppGen.partsupp(s, dir)
-          .join(Tables.part(s, dir).filter(col("p_type") === "PROMO")
-            .select(col("p_partkey")),
-            col("ps_partkey") === col("p_partkey"))
+        val psPromo = graft.sources.PartSuppGen.partsuppOf(
+            Tables.part(s, dir).filter(col("p_type") === "PROMO"), s, dir)
           .select(col("ps_partkey"), col("ps_suppkey"), col("ps_availqty"))
         val qual = shipped
           .join(broadcast(psPromo),

@@ -24,10 +24,20 @@ import graft.Tables
   */
 object PartSuppGen {
 
-  def partsupp(s: SparkSession, dir: String): DataFrame = {
-    val part = Tables.part(s, dir).select(col("p_partkey").cast("long").as("p"))
+  def partsupp(s: SparkSession, dir: String): DataFrame =
+    partsuppOf(Tables.part(s, dir), s, dir)
+
+  /** Generate partsupp rows for a (possibly pre-filtered) `part` frame.
+    * Because every generated attribute is arithmetic on p_partkey alone,
+    * filtering part FIRST and generating after is identical to
+    * generating everything and joining the filter back — but the plan
+    * skips the post-explode join and the explode itself shrinks by the
+    * filter's selectivity (Q9/Q20 pass their type-filtered part here,
+    * the join Catalyst could not push below the Generate). */
+  def partsuppOf(part: DataFrame, s: SparkSession, dir: String): DataFrame = {
+    val p = part.select(col("p_partkey").cast("long").as("p"))
     val sCount = Tables.supplier(s, dir).agg(count(lit(1)).as("s_cnt"))
-    part.crossJoin(broadcast(sCount))
+    p.crossJoin(broadcast(sCount))
       .select(col("p"), col("s_cnt"), explode(sequence(lit(0L), lit(3L))).as("i"))
       .select(
         col("p").as("ps_partkey"),
