@@ -52,13 +52,28 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // Per-query GC time and heap high-water: the round-9 verdict found a
+    // 40%+ gap between quiet single-query runs and the driver's full-
+    // sequence record that a wall-clock-only JSON can't attribute —
+    // recording stop-the-world time and peak heap PER QUERY separates
+    // "the engine is slow here" from "the 187-query JVM was collecting
+    // someone else's garbage here" with data instead of narrative.
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
     val loadStart = loadavg
+    final case class QRes(cold: Double, steady: Double, gcMs: Long, heapPeakMb: Double)
     val results = SparkEntry.queries.map { case (name, fn) =>
       // let the async ContextCleaner catch up between queries: 118 query
       // executions in one JVM otherwise accumulate broadcast/shuffle
       // refs until late queries stall on GC mid-measurement (observed
       // 2.5 s → 17.8 s on the same query)
       System.gc()
+      heapPools.foreach(_.resetPeakUsage())
+      val gc0 = gcMillis
       val cold = time(name, fn)
       val steady =
         if (cold < 0) -1.0
@@ -66,19 +81,26 @@ object Bench {
           val (s1, s2) = (time(name, fn), time(name, fn))
           if (s1 < 0 || s2 < 0) -1.0 else math.min(s1, s2)
         }
-      name -> (cold, steady)
+      // GC delta spans all three runs of THIS query (the System.gc()
+      // above fences off the previous query's debt); peak heap is the
+      // max across the three runs — a blowup shows regardless of which
+      // run hits it
+      val gcDelta = gcMillis - gc0
+      val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1e6
+      name -> QRes(cold, steady, gcDelta, peakMb)
     }
-    def jsonMap(sel: ((Double, Double)) => Double): String =
+    def jsonMap(sel: QRes => String): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, (c, s)) if c < 0 || s < 0 => s"\"$k\"" }
-    val totalCold = results.values.map(_._1).filter(_ >= 0).sum
-    val totalSteady = results.values.map(_._2).filter(_ >= 0).sum
+    val failed = results.collect { case (k, r) if r.cold < 0 || r.steady < 0 => s"\"$k\"" }
+    val totalCold = results.values.map(_.cold).filter(_ >= 0).sum
+    val totalSteady = results.values.map(_.steady).filter(_ >= 0).sum
+    val totalGcMs = results.values.map(_.gcMs).sum
     val loadEnd = loadavg
-    println(s"""{"metric":"total","value":$totalSteady,"unit":"sec","total_cold":$totalCold,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failed.mkString("[", ",", "]")},"queries":${jsonMap(_._2)},"queries_cold":${jsonMap(_._1)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalSteady,"unit":"sec","total_cold":$totalCold,"gc_ms_total":$totalGcMs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failed.mkString("[", ",", "]")},"queries":${jsonMap(_.steady.toString)},"queries_cold":${jsonMap(_.cold.toString)},"gc_ms":${jsonMap(_.gcMs.toString)},"heap_peak_mb":${jsonMap(r => f"${r.heapPeakMb}%.1f")},"sf":"$sfDir"}""")
     // the full per-query line above can exceed the driver's captured
     // stdout tail (r2/r3 both recorded "parsed": null) — repeat the
     // headline as a compact LAST line so tail-capture always parses it
-    println(s"""{"metric":"total","value":$totalSteady,"unit":"sec","total_cold":$totalCold,"n_queries":${results.size},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalSteady,"unit":"sec","total_cold":$totalCold,"gc_ms_total":$totalGcMs,"n_queries":${results.size},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

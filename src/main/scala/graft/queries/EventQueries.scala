@@ -62,32 +62,66 @@ object EventQueries {
     // (HyperLogLog++, Heule et al. 2013; 5% default rsd) is map-side
     // combinable with a constant-size sketch per group — on a skewed
     // hot hour the exact path concentrates that hour's users on one
-    // task, the sketch stays O(kB). No DuckDB oracle: DuckDB's
-    // approx_count_distinct is a different HLL implementation (own
-    // register width / bias correction), so estimates cannot hash-match
-    // — the driver records the rows-only check, and ApproxSpec pins the
-    // registered query's estimates within 5% of exact per group.
-    "q_events_hourly_hll" -> QueryDef.unverified(
+    // task, the sketch stays O(kB). The estimate itself can never
+    // hash-match (DuckDB's approx_count_distinct is a different HLL —
+    // own register width / bias correction), so the ORACLE-CHECKED
+    // column is the error-band GATE, the q_media_jpeg pattern for
+    // non-replayable computations: exact and sketch run in the SAME
+    // query, and `|est − exact| ≤ max(6, 0.20·exact)` is emitted as a
+    // boolean the oracle asserts `true`. A broken sketch flips the gate
+    // → hash red. Bound: measured worst per-group error is ±1 at sf0.01
+    // and ±4 (rel 0.167, e=24) at sf0.1 for the deterministic default-
+    // rsd-0.05 HLL++; 6/0.20 is ~1.5× headroom over observed worst,
+    // still well inside "the sketch works". The exact countDistinct
+    // here is the verification cost, not the production path — the
+    // 100 TB profile pass runs the sketch-only q_events_hourly shape.
+    "q_events_hourly_hll" -> QueryDef(
       (s, dir) => Tables.events(s, dir)
         .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          approx_count_distinct(col("user_id")).as("n_users_approx"))),
+          countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id")).as("_approx"))
+        .select(col("hour"), col("event_type"), col("n_events"), col("n_users"),
+          (abs(col("_approx") - col("n_users")).cast("double") <=
+            greatest(lit(6.0), lit(0.20) * col("n_users").cast("double")))
+            .as("hll_ok")),
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+        |       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |       true AS hll_ok
+        |FROM events GROUP BY 1, 2"""),
 
     // Sketch quantiles beside the exact percentile surface: KLL/GK-style
     // approx_percentile is ONE pass, bounded memory, and map-side
     // mergeable — exact percentile_approx(1.0-accuracy) at 100 TB means
-    // a full sort or a giant collect_list per group. Rows-only BY DESIGN
-    // (DuckDB's approx_quantile is t-digest — a different sketch,
-    // estimates cannot hash-match); ApproxSpec pins ≤1% relative error
-    // vs the exact per-group quantiles.
-    "q_percentile_approx" -> QueryDef.unverified(
+    // a full sort or a giant collect_list per group. The estimate can't
+    // hash-match (DuckDB's approx_quantile is t-digest — a different
+    // sketch), so the oracle-checked columns are the EXACT quantiles
+    // (quantile_cont parity proven by q_percentile) plus a RANK-BRACKET
+    // gate: the GK sketch guarantees rank error ≤ 1/accuracy = 0.02%,
+    // so each estimate must land between the exact quantiles ±2 rank
+    // points away (100× headroom; same bracket ApproxSpec pins). A
+    // broken sketch lands outside the bracket → gate false → hash red.
+    "q_percentile_approx" -> QueryDef(
       (s, dir) => Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
-          percentile_approx(col("value"), lit(0.5), lit(5000)).as("p50_approx"),
-          percentile_approx(col("value"), lit(0.95), lit(5000)).as("p95_approx"),
-          count(lit(1)).as("n"))),
+          percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.95)).as("p95"),
+          percentile(col("value"), lit(0.48)).as("_p50_lo"),
+          percentile(col("value"), lit(0.52)).as("_p50_hi"),
+          percentile(col("value"), lit(0.93)).as("_p95_lo"),
+          percentile(col("value"), lit(0.97)).as("_p95_hi"),
+          percentile_approx(col("value"), lit(0.5), lit(5000)).as("_a50"),
+          percentile_approx(col("value"), lit(0.95), lit(5000)).as("_a95"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("p50"), col("p95"), col("n"),
+          (col("_a50") >= col("_p50_lo") && col("_a50") <= col("_p50_hi")).as("p50_ok"),
+          (col("_a95") >= col("_p95_lo") && col("_a95") <= col("_p95_hi")).as("p95_ok")),
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.95) AS p95, count(*) AS n,
+        |       true AS p50_ok, true AS p95_ok
+        |FROM events GROUP BY 1"""),
 
     // Robust (IQR-fence) outlier detection per event type — the
     // anomaly-screening primitive that doesn't assume normality (no

@@ -77,9 +77,10 @@ object ProfileQueries {
         |FROM lineitem"""),
 
     // Portable HLL distinct-order estimate per returnflag beside the
-    // exact count — the ONLY hash-verified cardinality sketch in the
-    // registry (q_events_hourly_hll's HLL++ is rows-only by design:
-    // engine-private registers). All-integer register state, one final
+    // exact count — the only cardinality sketch whose ESTIMATE is
+    // hash-verified (q_events_hourly_hll's HLL++ has engine-private
+    // registers, so its oracle checks an error-band gate instead).
+    // All-integer register state, one final
     // IEEE division; see operators/Hll for the 2⁵⁵-scaled harmonic.
     "q_hll_card" -> QueryDef(
       (s, dir) => {

@@ -19,19 +19,30 @@ class ApproxSpec extends SparkSpec {
   }
 
   test("q_events_hourly_hll estimates per-group distinct users within 5% of exact") {
-    // the registered query has no DuckDB oracle (different HLL
-    // implementations can't hash-match) — this is its quality gate
-    val approx = SparkEntry.queries("q_events_hourly_hll")(spark, sf001)
-    val exact = Tables.events(spark, sf001)
+    // the registered query's oracle asserts the hll_ok GATE (the
+    // estimate can't hash-match a different HLL impl); this spec is the
+    // TIGHTER early-warning pin — it recomputes the estimate and holds
+    // it to the measured 3-sigma band, so a sketch drift shows up here
+    // before it eats the gate's 6/0.20 headroom
+    val gated = SparkEntry.queries("q_events_hourly_hll")(spark, sf001)
+    val gatedRows = gated.collect()
+    assert(gatedRows.nonEmpty)
+    gatedRows.foreach(r => assert(r.getAs[Boolean]("hll_ok"),
+      s"gate flipped: ${r.getAs[String]("hour")}/${r.getAs[String]("event_type")}"))
+    val joined = Tables.events(spark, sf001)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"),
-        count(lit(1)).as("n_events_exact"))
-    val joined = approx.join(exact, Seq("hour", "event_type")).collect()
-    assert(joined.nonEmpty)
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        count(lit(1)).as("n_events_exact")).collect()
+    // the registered query's exact columns agree with this recompute
+    val exactByKey = joined.map(r =>
+      (r.getAs[String]("hour"), r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("n_events_exact")))).toMap
+    gatedRows.foreach { r =>
+      val (eu, ee) = exactByKey((r.getAs[String]("hour"), r.getAs[String]("event_type")))
+      assert(r.getAs[Long]("n_users") == eu && r.getAs[Long]("n_events") == ee)
+    }
     joined.foreach { r =>
-      // n_events is exact in both (sanity: the sketch only replaces
-      // the distinct column, never the row count)
-      assert(r.getAs[Long]("n_events") == r.getAs[Long]("n_events_exact"))
       val e = r.getAs[Long]("n_users"); val a = r.getAs[Long]("n_users_approx")
       // default rsd 0.05: allow 3 sigma relative, floor of ±3 absolute
       // for tiny groups where one registers' noise dominates
@@ -56,19 +67,28 @@ class ApproxSpec extends SparkSpec {
   }
 
   test("q_percentile_approx quantiles land within ±2% RANK of exact") {
-    // the registered query is rows-only (DuckDB's t-digest is a
-    // different sketch) — this is its quality gate. The GK sketch's
-    // guarantee is on RANK, not value (and it returns a data element
-    // while exact percentile() interpolates), so the pin brackets each
-    // estimate between the exact quantiles 2 rank-points away.
-    val approx = SparkEntry.queries("q_percentile_approx")(spark, sf001)
-    val exact = Tables.events(spark, sf001)
+    // the registered query's oracle asserts the p50_ok/p95_ok rank-
+    // bracket gates (DuckDB's t-digest is a different sketch, estimates
+    // can't hash-match). The GK sketch's guarantee is on RANK, not value
+    // (and it returns a data element while exact percentile()
+    // interpolates) — this spec re-derives the bracket independently
+    // and checks the estimates against it, so the gate's logic itself
+    // is pinned, not just its boolean output.
+    val gated = SparkEntry.queries("q_percentile_approx")(spark, sf001)
+    val gatedRows = gated.collect()
+    assert(gatedRows.nonEmpty)
+    gatedRows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_ok") && r.getAs[Boolean]("p95_ok"),
+        s"gate flipped for ${r.getAs[String]("event_type")}")
+    }
+    val joined = Tables.events(spark, sf001)
       .groupBy(col("event_type"))
-      .agg(percentile(col("value"), lit(0.48)).as("p50_lo"),
+      .agg(percentile_approx(col("value"), lit(0.5), lit(5000)).as("p50_approx"),
+        percentile_approx(col("value"), lit(0.95), lit(5000)).as("p95_approx"),
+        percentile(col("value"), lit(0.48)).as("p50_lo"),
         percentile(col("value"), lit(0.52)).as("p50_hi"),
         percentile(col("value"), lit(0.93)).as("p95_lo"),
-        percentile(col("value"), lit(0.97)).as("p95_hi"))
-    val joined = approx.join(exact, Seq("event_type")).collect()
+        percentile(col("value"), lit(0.97)).as("p95_hi")).collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
       val t = r.getAs[String]("event_type")
