@@ -256,6 +256,24 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cos_sim"))
   }
 
+  /** [[embeddingNearDups]] with the plane count sized to the corpus by
+    * [[Similarity.srpPlanesFor]] — the ingest-path entry point, where
+    * "how many planes" should never be the caller's problem: a fixed
+    * plane count is an operating point for ONE corpus size and goes
+    * quadratic past it (measured: planes=4 tuned at 2k vectors ran
+    * exponent-2.28 at 10× corpus). Costs one extra `count()` scan of
+    * the id column to learn n; at ingest that is noise against the
+    * candidate join it right-sizes. */
+  def embeddingNearDupsAuto(emb: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, threshold: Double, tables: Int = 16,
+                            targetBucketSize: Int = 128,
+                            maxBucketSize: Option[Int] = None): DataFrame = {
+    val n = emb.select(col(idCol)).count()
+    embeddingNearDups(emb, idCol, vecCol, dim, threshold,
+      planes = Similarity.srpPlanesFor(n, targetBucketSize),
+      tables = tables, maxBucketSize = maxBucketSize)
+  }
+
   // ------------------------------------------------- exact n-gram Jaccard
 
   /** Exact word-n-gram Jaccard similarity for all document pairs sharing

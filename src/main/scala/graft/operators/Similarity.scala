@@ -154,6 +154,53 @@ object Similarity {
                     centroids: Seq[(Int, Array[Float])] = IvfCentroids.cells): DataFrame =
     ivfSearch(corpus, queries, idCol, vecCol, k, nprobe, centroids)
 
+  /** SRP plane count for a corpus of `n` vectors: the smallest p with
+    * expected bucket occupancy n/2^p at or under `targetBucketSize`.
+    * THE sizing rule that keeps banded-SRP candidate generation linear:
+    * per-bucket pair work is occupancy², so at FIXED planes it grows
+    * with n² — the round-10 scale ladder measured exactly that (the
+    * 2k-vector operating point planes=4 ran quadratic at 10× corpus:
+    * exponent 2.28, 396 s; retuned by this rule it returns to ~linear).
+    * Growing p with log₂(n) holds occupancy — and so per-bucket work —
+    * constant, at the usual LSH recall trade: with 16 tables, true
+    * near-dup pairs (cosine ≥ 0.9) keep ≳99% collision probability at
+    * p = 8, while the low-cosine tail thins (collision ∝ (1−θ/π)^p per
+    * table). Frozen-constant oracles interpolate a FIXED p, so
+    * registered queries pin their corpus's operating point; this rule
+    * is for the ingest path, where the corpus size is known. */
+  def srpPlanesFor(n: Long, targetBucketSize: Int = 128): Int = {
+    require(n >= 0 && targetBucketSize >= 1)
+    var p = 1
+    while ((n >> p) > targetBucketSize && p < 62) p += 1
+    p
+  }
+
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the evaluation every ANN deployment runs before choosing its
+    * operating point (nprobe, planes, codebook size). Inputs are two
+    * (query_id, neighbor_id, …) frames as produced by
+    * [[bruteForceTopK]] / [[ivfTopKFrozen]] / [[lshTopK]]; `queries`
+    * is the query frame itself, so queries the approximate index missed
+    * ENTIRELY still appear with recall 0 (a groupBy over hits alone
+    * would silently drop them — the one failure mode an eval harness
+    * must not have). One left-semi join + one keyed count + one left
+    * join; recall is the single IEEE division n_hits/k.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, queries: DataFrame,
+                idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("_c"))
+    queries.select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("_c"), lit(0L)).as("n_hits"),
+        (coalesce(col("_c"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall_at_k"))
+  }
+
   /** Coarse-quantizer cell assignment (top-`probes` cells by cosine,
     * cell-id tie-break — the q_ann_ivf rule): (outId, outVec, cell),
     * one row per probed cell. Shared by [[ivfSearch]] and the IVFADC

@@ -200,6 +200,40 @@ object TextPipeline {
         col("c.n_tokens"), col("c.chunk_text"))
   }
 
+  /** Overlapping token windows — the RAG retrieval-chunking pattern
+    * [[chunk]] deliberately isn't: a `windowTokens` window starts every
+    * `strideTokens`, so adjacent chunks share `window − stride` tokens
+    * of context and no retrieval hit is truncated at an arbitrary chunk
+    * boundary. Starts are 0, S, 2S, …, the last being the largest
+    * multiple of S strictly below the token count — every token is
+    * covered, the tail window may be short, empty docs emit nothing,
+    * and stride = window degrades exactly to [[chunk]]'s tiling.
+    *
+    * Scale: pure narrow per-row explode (no shuffle, no state) — the
+    * output is ~window/stride× the corpus, which is the caller's
+    * storage decision, not a plan hazard.
+    */
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+                    windowTokens: Int = 32, strideTokens: Int = 16): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(strideTokens >= 1 && strideTokens <= windowTokens,
+      s"strideTokens must be in [1, windowTokens], got $strideTokens")
+    val toks = docs.select(col(idCol).as("doc_id"), TextFns.tokens(col(textCol)).as("_toks"))
+    val lastStart = expr(s"((size(_toks) - 1) div $strideTokens) * $strideTokens")
+    toks.select(col("doc_id"),
+        posexplode(when(size(col("_toks")) > 0,
+          transform(sequence(lit(0), lastStart, lit(strideTokens)),
+            st => struct(
+              st.cast("long").as("start_tok"),
+              least(lit(windowTokens), size(col("_toks")) - st)
+                .cast("long").as("n_tokens"),
+              array_join(slice(col("_toks"), st + 1, lit(windowTokens)), " ")
+                .as("chunk_text")))))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.start_tok"), col("c.n_tokens"), col("c.chunk_text"))
+  }
+
   /** [[decontaminate]] against a reference corpus TOO BIG to broadcast
     * (cross-corpus overlap — e.g. "which train docs share an n-gram
     * with any doc of that other 50 TB crawl"). The broadcast-join form

@@ -144,6 +144,29 @@ object PipelineQueries {
         |       passage AS chunk_text
         |FROM p JOIN toks USING (doc_id)"""),
 
+    // Overlapping 32/16 sliding chunks — the RAG retrieval-window
+    // variant of q_seq_chunks: consecutive chunks share 16 tokens of
+    // context, so a passage straddling a tiling boundary still appears
+    // intact in some window. The oracle rebuilds every window with
+    // DuckDB list slicing over the scalar strided generate_series
+    // (the LIST form — the lateral table function is the one DuckDB
+    // doesn't support; see CLAUDE.md).
+    "q_rag_chunks" -> QueryDef(
+      (s, dir) => TextPipeline.slidingChunks(
+        Tables.documents(s, dir), "doc_id", "text",
+        windowTokens = 32, strideTokens = 16),
+      s"""WITH $ToksCte,
+        |c0 AS (
+        |  SELECT doc_id, [{'pos': i,
+        |                   'start_tok': CAST((i-1)*16 AS BIGINT),
+        |                   'n_tokens': CAST(least(32, len(t) - (i-1)*16) AS BIGINT),
+        |                   'chunk_text': array_to_string(t[(i-1)*16+1:(i-1)*16+32], ' ')}
+        |                  for i in generate_series(1, (len(t)+15)//16)] AS cs
+        |  FROM toks WHERE len(t) > 0
+        |), c AS (SELECT doc_id, unnest(cs, recursive := true) FROM c0)
+        |SELECT doc_id, CAST(pos - 1 AS BIGINT) AS chunk_idx, start_tok, n_tokens, chunk_text
+        |FROM c"""),
+
     // Dedup clusters: connected components over the exact 3-gram
     // Jaccard >= 0.5 pair graph — the transitive closure pairwise dedup
     // alone cannot give (a–b, b–c collapse into one cluster without an

@@ -36,41 +36,68 @@ object SimilarityQueries {
   private val CosineSql =
     "list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))"
 
-  /** IVF-search oracle, parameterized by nprobe — replays the frozen
+  /** IVF-search CTE chain, parameterized by nprobe — replays the frozen
     * [[graft.operators.IvfCentroids]] assignment (rank over cosine to
-    * each centroid, cell tie-break) and the cell-keyed candidate join. */
-  private def ivfOracleSql(nprobe: Int): String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |cents AS (${graft.operators.IvfCentroids.duckdbValues}),
-      |casgn AS (
+    * each centroid, cell tie-break) and the cell-keyed candidate join.
+    * Every CTE name carries prefix `p` so two chains (or this plus the
+    * brute chain) compose in ONE oracle without collisions
+    * (q_ann_recall); the chain ends in `${p}topk` with
+    * (query_id, neighbor_id, cos_sim, rank ≤ 10). */
+  private def ivfTopkCtes(nprobe: Int, p: String): String =
+    s"""${p}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |${p}cents AS (${graft.operators.IvfCentroids.duckdbValues}),
+      |${p}casgn AS (
       |  SELECT vec_id AS neighbor_id, cell FROM (
       |    SELECT e.vec_id, cents.cell,
       |           row_number() OVER (PARTITION BY e.vec_id
       |             ORDER BY list_dot_product(e.v, cents.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.c, cents.c))) DESC,
       |             cents.cell) AS crank
-      |    FROM e CROSS JOIN cents)
+      |    FROM ${p}e e CROSS JOIN ${p}cents cents)
       |  WHERE crank <= 1),
-      |qasgn AS (
+      |${p}qasgn AS (
       |  SELECT vec_id AS query_id, cell FROM (
       |    SELECT e.vec_id, cents.cell,
       |           row_number() OVER (PARTITION BY e.vec_id
       |             ORDER BY list_dot_product(e.v, cents.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.c, cents.c))) DESC,
       |             cents.cell) AS crank
-      |    FROM e CROSS JOIN cents WHERE e.vec_id % 50 = 0)
+      |    FROM ${p}e e CROSS JOIN ${p}cents cents WHERE e.vec_id % 50 = 0)
       |  WHERE crank <= $nprobe),
-      |cand AS (
+      |${p}cand AS (
       |  SELECT DISTINCT q.query_id, c.neighbor_id
-      |  FROM qasgn q JOIN casgn c ON q.cell = c.cell
+      |  FROM ${p}qasgn q JOIN ${p}casgn c ON q.cell = c.cell
       |  WHERE q.query_id <> c.neighbor_id),
-      |scored AS (
+      |${p}scored AS (
       |  SELECT query_id, neighbor_id, $CosineSql AS cos_sim
-      |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
-      |            JOIN e ce ON ce.vec_id = cand.neighbor_id)
-      |SELECT query_id, neighbor_id, cos_sim, rank FROM (
-      |  SELECT query_id, neighbor_id, cos_sim,
-      |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
-      |  FROM scored)
-      |WHERE rank <= 10"""
+      |  FROM ${p}cand cand JOIN ${p}e qe ON qe.vec_id = cand.query_id
+      |            JOIN ${p}e ce ON ce.vec_id = cand.neighbor_id),
+      |${p}topk AS (
+      |  SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      |    SELECT query_id, neighbor_id, cos_sim,
+      |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      |    FROM ${p}scored)
+      |  WHERE rank <= 10)"""
+
+  private def ivfOracleSql(nprobe: Int): String =
+    s"""WITH ${ivfTopkCtes(nprobe, "")}
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM topk"""
+
+  /** Brute-force top-10 CTE chain (the q_ann_brute query body), prefix
+    * `p` as in [[ivfTopkCtes]]; ends in `${p}topk`. */
+  private def bruteTopkCtes(p: String): String =
+    s"""${p}q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id % 50 = 0),
+      |${p}c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |${p}scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         list_dot_product(qv, cv) /
+      |           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos_sim
+      |  FROM ${p}q, ${p}c WHERE query_id <> neighbor_id),
+      |${p}topk AS (
+      |  SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      |    SELECT query_id, neighbor_id, cos_sim,
+      |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      |    FROM ${p}scored)
+      |  WHERE rank <= 10)"""
 
   /** Shared PQ oracle CTEs: frozen-codebook assignment (score =
     * list_dot_product − half_cc, lowest-code tie-break) folded to one
@@ -350,19 +377,36 @@ object SimilarityQueries {
           emb, emb.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", k = 10)
       },
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |           FROM embeddings WHERE vec_id % 50 = 0),
-        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        |scored AS (
-        |  SELECT query_id, neighbor_id,
-        |         list_dot_product(qv, cv) /
-        |           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos_sim
-        |  FROM q, c WHERE query_id <> neighbor_id)
-        |SELECT query_id, neighbor_id, cos_sim, rank FROM (
-        |  SELECT query_id, neighbor_id, cos_sim,
-        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
-        |  FROM scored)
-        |WHERE rank <= 10"""),
+      s"""WITH ${bruteTopkCtes("")}
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM topk"""),
+
+    // Recall@10 of IVF(nprobe=4) against the brute-force ground truth —
+    // the evaluation harness behind every ANN operating-point choice,
+    // as a first-class oracle-checked query: both top-k chains run in
+    // full on BOTH engines (prefixed CTE chains on the DuckDB side) and
+    // the per-query hit count must agree exactly. Queries the IVF probe
+    // set missed entirely surface with recall 0 through the left join —
+    // never silently dropped. recall = n_hits/10, one IEEE division.
+    "q_ann_recall" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 10),
+          Similarity.ivfTopKFrozen(emb, qs, "vec_id", "embedding", k = 10, nprobe = 4),
+          qs, "vec_id", k = 10)
+      },
+      s"""WITH ${bruteTopkCtes("b_")},
+        |${ivfTopkCtes(4, "v_")},
+        |hits AS (
+        |  SELECT b.query_id, count(*) AS c
+        |  FROM b_topk b JOIN v_topk v
+        |    ON v.query_id = b.query_id AND v.neighbor_id = b.neighbor_id
+        |  GROUP BY 1),
+        |qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT qs.query_id, CAST(coalesce(hits.c, 0) AS BIGINT) AS n_hits,
+        |       CAST(coalesce(hits.c, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall_at_k
+        |FROM qs LEFT JOIN hits ON hits.query_id = qs.query_id"""),
 
     "q_ann_ivf" -> QueryDef(
       (s, dir) => {

@@ -1,0 +1,155 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-ladder measurement for the expensive dedup / graph / ANN
+  * queries: generate an N× corpus from sf0.1 (default 10×), run each
+  * ladder query at both scales, and report the observed scaling
+  * exponent log(ratio)/log(N). The brief grades 100 TB design on
+  * narrative; this produces one measured point per family instead.
+  *
+  * The N× corpus models MORE DATA WITH THE SAME STATISTICS, not N×
+  * duplicated data (which would be an adversarial quadratic fixture,
+  * covered separately by DedupSpec's mass-duplicate tests):
+  *
+  *  - documents: each replica r keeps the original token structure but
+  *    suffixes every whitespace token with `~r` (r ≥ 1), so token and
+  *    shingle COUNTS are identical per replica while the shingle SETS
+  *    are replica-disjoint — inverted-index join structure per replica
+  *    is exactly the original's, i.e. a clean "10× more independent
+  *    docs" model. doc_id shifts by r·10⁸.
+  *  - embeddings: each replica applies a replica-specific ±1 sign
+  *    pattern per dimension (a diagonal orthogonal transform) — ALL
+  *    within-replica cosines/norms are preserved bit-for-bit in
+  *    structure while cross-replica collisions decorrelate. vec_id
+  *    shifts by r·10⁸.
+  *  - lineitem (graph family's edge source): replica r shifts
+  *    l_orderkey and l_partkey by r·10⁸ — the co-occurrence graph
+  *    becomes N disjoint copies of the original, again "more data,
+  *    same shape".
+  *
+  * Usage: runMain graft.tools.ScaleLadder [baseDir] [scaledDir] [N]
+  * Writes one JSON line per query plus a trailing markdown table that
+  * SCALE.md embeds verbatim.
+  */
+object ScaleLadder {
+  private val LadderQueries = Seq(
+    "q_prefix_jaccard", "q_ngram_jaccard", "q_incremental_cc",
+    "q_dup_spans", "q_star_clusters", "q_embed_neardup",
+    "q_pagerank", "q_label_prop", "q_degree_dist")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_scale10x")
+    val n = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, base, out, n)
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    def time(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
+      finally graft.Caching.release()
+    }
+    // mode "tuned": skip the standard sweep (already recorded) and
+    // measure only the srpPlanesFor-tuned near-dup point
+    val tunedOnly = args.lift(3).contains("tuned")
+    val rows = (if (tunedOnly) Seq.empty else LadderQueries).map { q =>
+      val bCold = time(q, base)
+      val bSteady = math.min(time(q, base), time(q, base))
+      val sCold = time(q, out)
+      val sSteady = math.min(time(q, out), time(q, out))
+      val ratio = sSteady / bSteady
+      val expo = math.log(ratio) / math.log(n.toDouble)
+      println(f"""{"query":"$q","base_s":$bSteady%.2f,"scaled_s":$sSteady%.2f,"ratio":$ratio%.2f,"exponent":$expo%.2f,"base_cold":$bCold%.2f,"scaled_cold":$sCold%.2f}""")
+      (q, bSteady, sSteady, ratio, expo)
+    }
+    // The auto-tuned near-dup point: the registered q_embed_neardup pins
+    // planes=4 (its 2k-vector oracle operating point) and goes quadratic
+    // at 10× — this row shows srpPlanesFor restoring ~linear cost on the
+    // SAME corpus pair.
+    val tuned = {
+      def run(dir: String): Double = {
+        val t0 = System.nanoTime()
+        try {
+          graft.operators.Dedup.embeddingNearDupsAuto(
+            spark.read.parquet(s"$dir/embeddings.parquet"),
+            "vec_id", "embedding", dim = 64, threshold = 0.4,
+            tables = 16, maxBucketSize = Some(100000)).count()
+          (System.nanoTime() - t0) / 1e9
+        } finally graft.Caching.release()
+      }
+      run(base); run(out) // cold
+      val b = math.min(run(base), run(base))
+      val s = math.min(run(out), run(out))
+      val ratio = s / b
+      val expo = math.log(ratio) / math.log(n.toDouble)
+      println(f"""{"query":"q_embed_neardup_auto","base_s":$b%.2f,"scaled_s":$s%.2f,"ratio":$ratio%.2f,"exponent":$expo%.2f}""")
+      ("q_embed_neardup_auto", b, s, ratio, expo)
+    }
+    val allRows = rows :+ tuned
+    println("| query | sf0.1 steady (s) | 10x steady (s) | ratio | exponent |")
+    println("|---|---|---|---|---|")
+    allRows.foreach { case (q, b, s, r, e) =>
+      println(f"| $q | $b%.2f | $s%.2f | $r%.2f | $e%.2f |")
+    }
+    spark.stop()
+  }
+
+  /** Build the N× tables under `out` (idempotent: skips if present). */
+  def generate(spark: SparkSession, base: String, out: String, n: Int): Unit = {
+    val done = new java.io.File(s"$out/_LADDER_OK")
+    if (done.exists()) return
+    val off = 100000000L
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until n).map { r =>
+      val tagged =
+        if (r == 0) docs
+        // "$1~" then the digit: '~' terminates the group reference, so
+        // "$1~3" never parses as group 13
+        else docs.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1~" + r))
+      tagged.withColumn("doc_id", col("doc_id") + lit(r * off))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until n).map { r =>
+      // deterministic ±1 per (replica, dim): a diagonal orthogonal
+      // transform — norms and within-replica dot products are exactly
+      // preserved, cross-replica structure decorrelates
+      val signs = Array.tabulate(64) { i =>
+        val h = (r * 1000003L + i) * 2654435761L
+        if (((h >>> 16) & 1L) == 0L) 1.0f else -1.0f
+      }
+      val flipped =
+        if (r == 0) emb
+        else emb.withColumn("embedding",
+          zip_with(col("embedding"), typedLit(signs.toSeq), (x, s) => x * s))
+      flipped.withColumn("vec_id", col("vec_id") + lit(r * off))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until n).map { r =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(r * off))
+        .withColumn("l_partkey", col("l_partkey") + lit(r * off))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    done.getParentFile.mkdirs()
+    done.createNewFile()
+    ()
+  }
+}

@@ -169,6 +169,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_rag_chunks: sliding windows are one narrow explode — zero exchanges") {
+    val p = planOf("q_rag_chunks")
+    assert(!p.contains("Exchange"), s"sliding chunking acquired a shuffle:\n$p")
+  }
+
+  test("q_ann_recall: ground truth broadcast into the hit count, queries never collected") {
+    val p = planOf("q_ann_recall")
+    // the per-query hit count and the recall-0 left join are keyed or
+    // broadcast joins — a CollectLimit/cartesian here would mean the
+    // eval harness stops scaling with the query count
+    assert(!p.contains("CartesianProduct"), s"recall eval went cartesian:\n$p")
+  }
+
   test("q_incremental_lsh: keyed band join only — no all-pairs product anywhere") {
     val p = planOf("q_incremental_lsh")
     assert(!p.contains("CartesianProduct"), s"all-pairs product in the incremental path:\n$p")

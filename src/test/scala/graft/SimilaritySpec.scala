@@ -102,6 +102,55 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, s"mean IVF recall@10 = $mean")
   }
 
+  test("srpPlanesFor holds expected bucket occupancy at the target across corpus sizes") {
+    // the round-10 ladder corpus pair: 2k vectors -> 4 planes (occupancy
+    // 125), 20k -> 8 (occupancy 78); growing 10x again adds ~log2(10)
+    assert(Similarity.srpPlanesFor(2000) == 4)
+    assert(Similarity.srpPlanesFor(20000) == 8)
+    assert(Similarity.srpPlanesFor(200000) == 11)
+    assert(Similarity.srpPlanesFor(0) == 1) // degenerate: never below 1 plane
+    for (n <- Seq(1000L, 50000L, 1000000L, 1L << 40)) {
+      val p = Similarity.srpPlanesFor(n)
+      assert((n >> p) <= 128, s"occupancy above target at n=$n")
+      assert(p == 1 || (n >> (p - 1)) > 128, s"planes overshot at n=$n")
+    }
+  }
+
+  test("embeddingNearDupsAuto matches the fixed-planes operator at the rule's planes") {
+    val auto = graft.operators.Dedup.embeddingNearDupsAuto(
+      emb, "vec_id", "embedding", dim = 64, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = graft.operators.Dedup.embeddingNearDups(
+      emb, "vec_id", "embedding", dim = 64, threshold = 0.4,
+      planes = Similarity.srpPlanesFor(emb.count()), tables = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed && auto.nonEmpty)
+  }
+
+  test("recallAtK agrees with a driver-side recomputation and keeps recall-0 queries") {
+    val approx = Similarity.ivfTopKFrozen(emb, queries, "vec_id", "embedding",
+      k = 10, nprobe = 4)
+    val out = Similarity.recallAtK(
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10),
+        approx, queries, "vec_id", k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // every query appears exactly once, even if the index missed it entirely
+    assert(out.keySet == bruteTop.keySet)
+    val approxSets = approx.select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    bruteTop.foreach { case (q, exact) =>
+      val expected = exact.count(approxSets.getOrElse(q, Set.empty).contains)
+      assert(out(q)._1 == expected.toLong, s"query $q hits")
+      assert(out(q)._2 == expected / 10.0, s"query $q recall")
+    }
+  }
+
+  test("recallAtK of a result against itself is 1.0 everywhere") {
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+    val out = Similarity.recallAtK(brute, brute, queries, "vec_id", k = 10).collect()
+    assert(out.nonEmpty && out.forall(_.getDouble(2) == 1.0))
+  }
+
   test("embedding near-dup pairs: LSH+exact recovers high-cosine pairs") {
     import graft.operators.Dedup
     // ground truth: exact all-pairs cosine >= 0.9 (500x500 fine at sf0.001)

@@ -124,6 +124,38 @@ class TextPipelineSpec extends SparkSpec {
     assert(out == text)
   }
 
+  // ---- slidingChunks ---------------------------------------------------
+
+  test("slidingChunks overlaps by window - stride and covers every token") {
+    val d = docs(1L -> (1 to 10).map(i => s"t$i").mkString(" "))
+    val out = TextPipeline.slidingChunks(d, "doc_id", "text",
+        windowTokens = 4, strideTokens = 2)
+      .orderBy("chunk_idx").collect()
+    // starts 0,2,4,6,8: last start is the largest multiple of 2 below 10
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq == Seq(
+      (0L, 0L, 4L, "t1 t2 t3 t4"), (1L, 2L, 4L, "t3 t4 t5 t6"),
+      (2L, 4L, 4L, "t5 t6 t7 t8"), (3L, 6L, 4L, "t7 t8 t9 t10"),
+      (4L, 8L, 2L, "t9 t10")))
+  }
+
+  test("slidingChunks with stride = window degrades to chunk's tiling") {
+    val text = (1 to 23).map(i => s"w$i").mkString(" ")
+    val slid = TextPipeline.slidingChunks(docs(1L -> text), "doc_id", "text", 5, 5)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getString(4))).toSeq
+    val tiled = TextPipeline.chunk(docs(1L -> text), "doc_id", "text", 5)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(slid == tiled)
+  }
+
+  test("slidingChunks emits nothing for empty docs and one window for short docs") {
+    val d = docs(1L -> "   ", 2L -> "only two")
+    val out = TextPipeline.slidingChunks(d, "doc_id", "text", 8, 4).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(2L))
+    assert(out.length == 1 && out(0).getLong(3) == 2L && out(0).getString(4) == "only two")
+  }
+
   // ---- stratifiedSample ------------------------------------------------
 
   test("stratifiedSample is deterministic and respects per-stratum rates") {
