@@ -59,10 +59,17 @@ object ScaleLadder {
       try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
       finally graft.Caching.release()
     }
-    // mode "tuned": skip the standard sweep (already recorded) and
-    // measure only the srpPlanesFor-tuned near-dup point
-    val tunedOnly = args.lift(3).contains("tuned")
-    val rows = (if (tunedOnly) Seq.empty else LadderQueries).map { q =>
+    // mode: "all" (default) = full sweep + tuned point; "tuned" = only
+    // the srpPlanesFor-tuned near-dup point; a comma-separated query
+    // list = that subset + tuned (the untuned quadratic near-dup is the
+    // one to EXCLUDE at larger N — at 30× it alone would cost ~an hour)
+    val mode = args.lift(3).getOrElse("all")
+    val selected = mode match {
+      case "all"   => LadderQueries
+      case "tuned" => Seq.empty[String]
+      case list    => list.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    val rows = selected.map { q =>
       val bCold = time(q, base)
       val bSteady = math.min(time(q, base), time(q, base))
       val sCold = time(q, out)
