@@ -256,6 +256,48 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cos_sim"))
   }
 
+  /** Sorted-neighborhood candidate generation (the Hernández–Stolfo
+    * merge/purge pattern): order every record by a blocking key, pair
+    * each record with its next `windowSize − 1` successors in that
+    * order. The classic entity-resolution complement to LSH banding —
+    * where LSH needs a set/vector similarity to band on, sorted
+    * neighborhood exploits an ORDERING: near-dups that share a key
+    * prefix (normalized titles, URLs, names) land adjacent and are
+    * caught regardless of token-set distance. Its candidate count is
+    * also SKEW-IMMUNE by construction: exactly ≤ n·(w−1) pairs no
+    * matter how degenerate the key distribution (a mass-duplicate key
+    * that would square an LSH bucket just occupies a contiguous rank
+    * run here). Returns (id1, id2, rank1, rank2) with
+    * 1 ≤ rank2 − rank1 < windowSize and ranks 0-based in (key, id)
+    * order — id breaks key ties, so ranks are total and reproducible.
+    *
+    * Scale: the global rank is [[SeqPack.prefixSum]]'s two-level scan
+    * (ONE range exchange + broadcast partition offsets — never a
+    * single-partition window over the data), and the neighborhood
+    * self-join is banded on bucket = rank div w with each probe row
+    * exploded to its own and the next bucket, so the join is keyed
+    * with ≤ 2w rows per key. Total cost ∝ n·w.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
+                              windowSize: Int): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    val w = windowSize.toLong
+    val ranked = SeqPack.prefixSum(
+        df.select(struct(col(keyCol), col(idCol)).as("_ord"), lit(1L).as("_one")),
+        "_ord", "_one")
+      .select(col(s"_ord.$idCol").as("id"), col("tok_start").as("rank"))
+      .withColumn("_b", expr(s"rank div $w"))
+    val probe = ranked.select(col("id").as("id1"), col("rank").as("rank1"),
+      explode(array(col("_b"), col("_b") + 1)).as("_bucket"))
+    val build = ranked.select(col("id").as("id2"), col("rank").as("rank2"),
+      col("_b").as("_bucket"))
+    // a qualifying pair's bucket gap is 0 or 1, and the build side keeps
+    // ONE bucket per row, so each pair matches exactly once — no distinct
+    probe.join(build, Seq("_bucket"))
+      .filter(col("rank2") > col("rank1") && col("rank2") - col("rank1") < w)
+      .select(col("id1"), col("id2"), col("rank1"), col("rank2"))
+  }
+
   /** [[embeddingNearDups]] with the plane count sized to the corpus by
     * [[Similarity.srpPlanesFor]] — the ingest-path entry point, where
     * "how many planes" should never be the caller's problem: a fixed

@@ -158,6 +158,61 @@ object DedupQueries {
         |FROM co JOIN sizes s1 ON s1.id = co.id1 JOIN sizes s2 ON s2.id = co.id2
         |WHERE common * 3 >= s1.sz + s2.sz"""),
 
+    // Sorted-neighborhood dedup (merge/purge): rank every doc by a
+    // 12-char normalized text prefix, candidate-pair each doc with its
+    // 7 rank-successors, verify with exact 3-gram Jaccard >= 1/2. The
+    // third candidate-generation family beside inverted-index
+    // (q_ngram/prefix_jaccard) and LSH (q_minhash_lsh): ordering-based,
+    // candidates <= n*(w-1) NO MATTER the key skew. The oracle replays
+    // the total order with row_number() and the rank columns are part
+    // of the hash, so the match proves the distributed two-level-scan
+    // rank == the sequential rank, pair for pair.
+    "q_sorted_neighborhood" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val keyed = docs.select(col("doc_id"),
+          substring(trim(lower(col("text"))), 1, 12).as("_k"))
+        val cand = Dedup.sortedNeighborhoodPairs(keyed, "doc_id", "_k", windowSize = 8)
+        val sh = docs
+          .select(col("doc_id").as("id"),
+            graft.functions.TextFns.tokens(col("text")).as("_toks"))
+          .select(col("id"),
+            explode(graft.functions.TextFns.wordShingles(col("_toks"), 3)).as("_shs"))
+          .select(col("id"), xxhash64(col("_shs")).as("shingle")).distinct()
+        val shp = graft.Caching.persistTracked(sh)
+        val sizes = shp.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+        val common = cand
+          .join(shp.select(col("id").as("id1"), col("shingle")), Seq("id1"))
+          .join(shp.select(col("id").as("id2"), col("shingle")), Seq("id2", "shingle"))
+          .groupBy(col("id1"), col("id2"), col("rank1"), col("rank2"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), Seq("id1"))
+          .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), Seq("id2"))
+          .filter(col("common") * 3 >= col("sz1") + col("sz2"))
+          .select(col("id1"), col("id2"), col("rank1"), col("rank2"),
+            col("common"), col("sz1"), col("sz2"),
+            (col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
+              .as("jaccard"))
+      },
+      s"""WITH $ShingleCtes,
+        |rk AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY substr(trim(lower(text)), 1, 12), doc_id) - 1 AS BIGINT) AS rank
+        |  FROM documents),
+        |cand AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.rank AS rank1, b.rank AS rank2
+        |  FROM rk a JOIN rk b ON b.rank > a.rank AND b.rank - a.rank < 8),
+        |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+        |co AS (
+        |  SELECT c.id1, c.id2, c.rank1, c.rank2, CAST(count(*) AS BIGINT) AS common
+        |  FROM cand c JOIN sh s1 ON s1.id = c.id1
+        |              JOIN sh s2 ON s2.id = c.id2 AND s2.shingle = s1.shingle
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT co.id1, co.id2, co.rank1, co.rank2, co.common, s1.sz AS sz1, s2.sz AS sz2,
+        |       CAST(co.common AS DOUBLE) / (s1.sz + s2.sz - co.common) AS jaccard
+        |FROM co JOIN sizes s1 ON s1.id = co.id1 JOIN sizes s2 ON s2.id = co.id2
+        |WHERE co.common * 3 >= s1.sz + s2.sz"""),
+
     // The composite curation pipeline — what this engine exists for:
     //   exact dedup (min-id representative per text)
     //   → near-dup removal (drop the higher id of each ≥0.5-Jaccard pair)

@@ -127,6 +127,45 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"portable LSH missed $missed")
   }
 
+  test("sortedNeighborhoodPairs emits exactly the rank-window pairs") {
+    import spark.implicits._
+    // keys chosen so the (key, id) order is NOT the id order
+    val d = Seq((10L, "c"), (11L, "a"), (12L, "b"), (13L, "a"), (14L, "c"))
+      .toDF("doc_id", "k")
+    val got = Dedup.sortedNeighborhoodPairs(d, "doc_id", "k", windowSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // order by (k, id): 11(a,0) 13(a,1) 12(b,2) 10(c,3) 14(c,4); diffs 1..2
+    assert(got == Set(
+      (11L, 13L, 0L, 1L), (11L, 12L, 0L, 2L),
+      (13L, 12L, 1L, 2L), (13L, 10L, 1L, 3L),
+      (12L, 10L, 2L, 3L), (12L, 14L, 2L, 4L),
+      (10L, 14L, 3L, 4L)))
+  }
+
+  test("sorted neighborhood candidate count is skew-immune: n*(w-1) cap under one mass key") {
+    import spark.implicits._
+    // 1000 records with the SAME key — the fixture that squares an
+    // uncapped LSH bucket produces exactly the linear pair budget here
+    val n = 1000
+    val d = (0 until n).map(i => (i.toLong, "same-key")).toDF("doc_id", "k")
+    val cnt = Dedup.sortedNeighborhoodPairs(d, "doc_id", "k", windowSize = 5).count()
+    // ranks 0..999, each pairs with min(4, n-1-rank) successors
+    assert(cnt == (0 until n).map(r => math.min(4, n - 1 - r)).sum.toLong)
+    Caching.release()
+  }
+
+  test("sortedNeighborhoodPairs ranks are partition-count independent") {
+    import spark.implicits._
+    val d = (0 until 200).map(i => (i.toLong, s"k${i % 7}")).toDF("doc_id", "k")
+    val a = Dedup.sortedNeighborhoodPairs(d.repartition(1), "doc_id", "k", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    Caching.release()
+    val b = Dedup.sortedNeighborhoodPairs(d.repartition(13), "doc_id", "k", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    Caching.release()
+    assert(a == b && a.nonEmpty)
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val df = Seq((1L, "aa"), (2L, "aa"), (3L, "bb")).toDF("doc_id", "text")

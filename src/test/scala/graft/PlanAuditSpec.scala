@@ -169,6 +169,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_sorted_neighborhood: two-level-scan rank, banded self-join, no data-wide window") {
+    val p = planOf("q_sorted_neighborhood")
+    // the global (key, id) rank costs ONE range exchange; offsets broadcast
+    assert("Exchange rangepartitioning".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("BroadcastExchange"),
+      s"partition offsets must broadcast:\n$p")
+    // the single-partition window may only ride the #partitions-row
+    // totals agg (the SeqPack contract) — never the ranked data itself
+    val winIdx = p.indexOf("Window ")
+    assert(winIdx >= 0 && p.indexOf("HashAggregate", winIdx) >= 0,
+      s"global window must ride the totals agg:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    Caching.release()
+  }
+
   test("q_rag_chunks: sliding windows are one narrow explode — zero exchanges") {
     val p = planOf("q_rag_chunks")
     assert(!p.contains("Exchange"), s"sliding chunking acquired a shuffle:\n$p")
