@@ -84,7 +84,11 @@ object Bench {
       // GC delta spans all three runs of THIS query (the System.gc()
       // above fences off the previous query's debt); peak heap is the
       // max across the three runs — a blowup shows regardless of which
-      // run hits it
+      // run hits it. NOTE the summation bias: per-POOL peaks occur at
+      // different instants (eden's just before a young GC, old-gen's
+      // just after promotion), so their sum can overstate the true
+      // simultaneous high-water by roughly the eden size — read this
+      // column for trends and order-of-magnitude, not absolutes
       val gcDelta = gcMillis - gc0
       val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1e6
       name -> QRes(cold, steady, gcDelta, peakMb)
@@ -96,7 +100,11 @@ object Bench {
     val totalSteady = results.values.map(_.steady).filter(_ >= 0).sum
     val totalGcMs = results.values.map(_.gcMs).sum
     val loadEnd = loadavg
-    println(s"""{"metric":"total","value":$totalSteady,"unit":"sec","total_cold":$totalCold,"gc_ms_total":$totalGcMs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failed.mkString("[", ",", "]")},"queries":${jsonMap(_.steady.toString)},"queries_cold":${jsonMap(_.cold.toString)},"gc_ms":${jsonMap(_.gcMs.toString)},"heap_peak_mb":${jsonMap(r => f"${r.heapPeakMb}%.1f")},"sf":"$sfDir"}""")
+    // Locale.ROOT: the f-interpolator formats with the JVM default
+    // locale, and a comma decimal separator would corrupt the JSON line
+    def mb(r: QRes): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(r.heapPeakMb))
+    println(s"""{"metric":"total","value":$totalSteady,"unit":"sec","total_cold":$totalCold,"gc_ms_total":$totalGcMs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failed.mkString("[", ",", "]")},"queries":${jsonMap(_.steady.toString)},"queries_cold":${jsonMap(_.cold.toString)},"gc_ms":${jsonMap(_.gcMs.toString)},"heap_peak_mb":${jsonMap(mb)},"sf":"$sfDir"}""")
     // the full per-query line above can exceed the driver's captured
     // stdout tail (r2/r3 both recorded "parsed": null) — repeat the
     // headline as a compact LAST line so tail-capture always parses it

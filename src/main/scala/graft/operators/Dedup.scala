@@ -318,6 +318,40 @@ object Dedup {
 
   // ------------------------------------------------- exact n-gram Jaccard
 
+  /** Distinct (outId, shingle) frame with shingles hashed to xxhash64
+    * longs — THE one definition of the dedup family's hashed join key.
+    * Fixed-width shuffle/sort keys and near-zero per-row allocation
+    * (the prefixJaccardPairs rationale); exact up to 64-bit collisions,
+    * and every cluster-family oracle replays the PLAIN-TEXT join, so a
+    * collision on a verified corpus surfaces as a hash mismatch. One
+    * definition site so the hash contract cannot silently fork between
+    * the corpus and batch sides of any incremental join. */
+  private[graft] def hashedShingles(docs: DataFrame, idCol: String,
+                                    textCol: String, shingleN: Int,
+                                    outId: String = "id"): DataFrame =
+    docs.select(col(idCol).as(outId), TextFns.tokens(col(textCol)).as("_toks"))
+      .select(col(outId), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("_shs"))
+      .select(col(outId), xxhash64(col("_shs")).as("shingle"))
+      .distinct()
+
+  /** Positional variant for the span family: (outId, pos, gram) with
+    * 1-based token position and the gram hashed to a long — same
+    * single-definition-site contract as [[hashedShingles]] (the span
+    * oracles replay plain-text positional joins). NOT distinct: the
+    * diagonal-islands trick needs every occurrence. */
+  private[graft] def positionalGrams(docs: DataFrame, idCol: String,
+                                     textCol: String, gramN: Int): DataFrame = {
+    val toks = col("_toks")
+    docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
+      .filter(size(toks) >= gramN)
+      .select(col("id"), posexplode(transform(
+          sequence(lit(1), size(toks) - (gramN - 1)),
+          i => array_join(slice(toks, i, lit(gramN)), " ")))
+        .as(Seq("_p0", "gram")))
+      .select(col("id"), (col("_p0") + 1).cast("long").as("pos"),
+        xxhash64(col("gram")).as("gram"))
+  }
+
   /** Exact word-n-gram Jaccard similarity for all document pairs sharing
     * ≥1 shingle, via the inverted-index pattern:
     *
@@ -344,10 +378,7 @@ object Dedup {
     // rationale and same exact-up-to-xxhash64-collisions contract as
     // [[prefixJaccardPairs]] (the cluster-family oracles all replay the
     // plain-text join, so a collision on a verified corpus goes red)
-    val sh = docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
-      .select(col("id"), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("_shs"))
-      .select(col("id"), xxhash64(col("_shs")).as("shingle"))
-      .distinct()
+    val sh = hashedShingles(docs, idCol, textCol, shingleN)
     val filtered = maxShingleDf match {
       case Some(cap) =>
         val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("_df")).filter(col("_df") <= cap)
@@ -433,11 +464,7 @@ object Dedup {
     // the MinHash default; the q_prefix_jaccard oracle replays the
     // PLAIN-TEXT all-pairs query, so a collision on the verified corpus
     // would surface as a hash mismatch.
-    val shAll =
-      docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
-        .select(col("id"), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("_shs"))
-        .select(col("id"), xxhash64(col("_shs")).as("shingle"))
-        .distinct()
+    val shAll = hashedShingles(docs, idCol, textCol, shingleN)
     // (sh, dfreq): the working (id, shingle) frame and its per-shingle
     // document frequencies. Capped: filter the universe before anything
     // downstream sees it, so sizes/prefix/verification all agree on the
@@ -521,10 +548,7 @@ object Dedup {
     // hashed shingles, as in [[ngramJaccardPairs]] — both sides use the
     // same hash so the corpus×new join key space is consistent
     def shingles(df: DataFrame, outId: String) =
-      df.select(col(idCol).as(outId), TextFns.tokens(col(textCol)).as("_toks"))
-        .select(col(outId), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("_shs"))
-        .select(col(outId), xxhash64(col("_shs")).as("shingle"))
-        .distinct()
+      hashedShingles(df, idCol, textCol, shingleN, outId)
     val corpusSh0 = shingles(corpus, "corpus_id")
     val corpusSh = maxShingleDf match {
       case Some(cap) =>
@@ -821,20 +845,12 @@ object Dedup {
     require(gramN >= 2, s"gramN must be >= 2, got $gramN")
     require(minSpanTokens >= gramN,
       s"minSpanTokens $minSpanTokens must cover one $gramN-gram")
-    val toks = col("_toks")
     // positional grams hashed to longs (the prefixJaccardPairs
     // rationale: fixed-width join/window keys, no string churn); the
     // span oracles replay plain-text positional joins, so a collision
     // on a verified corpus goes red
     val grams = graft.Caching.persistTracked(
-      docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
-        .filter(size(toks) >= gramN)
-        .select(col("id"), posexplode(transform(
-            sequence(lit(1), size(toks) - (gramN - 1)),
-            i => array_join(slice(toks, i, lit(gramN)), " ")))
-          .as(Seq("_p0", "gram")))
-        .select(col("id"), (col("_p0") + 1).cast("long").as("pos"),
-          xxhash64(col("gram")).as("gram")))
+      positionalGrams(docs, idCol, textCol, gramN))
     val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("_f"))
       .filter(col("_f") <= maxGramFreq).select(col("gram"))
     val capped = grams.join(rare, Seq("gram"))
@@ -877,17 +893,8 @@ object Dedup {
       s"minSpanTokens $minSpanTokens must cover one $gramN-gram")
     // hashed positional grams, matching [[duplicateSpans]] — both sides
     // share the hash so corpus×batch keys stay consistent
-    def grams(df: DataFrame): DataFrame = {
-      val toks = col("_toks")
-      df.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
-        .filter(size(toks) >= gramN)
-        .select(col("id"), posexplode(transform(
-            sequence(lit(1), size(toks) - (gramN - 1)),
-            i => array_join(slice(toks, i, lit(gramN)), " ")))
-          .as(Seq("_p0", "gram")))
-        .select(col("id"), (col("_p0") + 1).cast("long").as("pos"),
-          xxhash64(col("gram")).as("gram"))
-    }
+    def grams(df: DataFrame): DataFrame =
+      positionalGrams(df, idCol, textCol, gramN)
     val cg = graft.Caching.persistTracked(grams(corpus))
     val rare = cg.groupBy(col("gram")).agg(count(lit(1)).as("_f"))
       .filter(col("_f") <= maxGramFreq).select(col("gram"))
@@ -946,18 +953,10 @@ object Dedup {
     require(gramN >= 2, s"gramN must be >= 2, got $gramN")
     require(minSpanTokens >= gramN,
       s"minSpanTokens $minSpanTokens must cover one $gramN-gram")
-    val toks = col("_toks")
     // hashed positional grams (see [[duplicateSpans]]) — the self-join
     // and both windows key on fixed-width longs
     val grams = graft.Caching.persistTracked(
-      docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
-        .filter(size(toks) >= gramN)
-        .select(col("id"), posexplode(transform(
-            sequence(lit(1), size(toks) - (gramN - 1)),
-            i => array_join(slice(toks, i, lit(gramN)), " ")))
-          .as(Seq("_p0", "gram")))
-        .select(col("id"), (col("_p0") + 1).cast("long").as("pos"),
-          xxhash64(col("gram")).as("gram")))
+      positionalGrams(docs, idCol, textCol, gramN))
     val perGram = grams.groupBy(col("id"), col("gram"))
       .agg(count(lit(1)).as("_f"))
     val gramMax = perGram.groupBy(col("id"))

@@ -43,7 +43,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         val b = r.payload
-        if (isPng(b) && b.length >= 24) {
+        // isPng already requires b.length > 33, which covers the 24-byte
+        // IHDR read below — no separate length conjunct
+        if (isPng(b)) {
           val bb = java.nio.ByteBuffer.wrap(b, 16, 8) // IHDR w/h, BE
           Some(MediaFeatures(r.media_id, b.length.toLong, "png",
             bb.getInt.toLong, bb.getInt.toLong, 1L))

@@ -170,16 +170,15 @@ object DedupQueries {
     "q_sorted_neighborhood" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // coalesce: Spark sorts NULLs FIRST, DuckDB's ORDER BY defaults
+        // to NULLS LAST — a NULL text (possible in a future testdata
+        // regeneration) would shift EVERY rank between the engines.
+        // '' sorts first in both, so the key is divergence-proof.
         val keyed = docs.select(col("doc_id"),
-          substring(trim(lower(col("text"))), 1, 12).as("_k"))
+          coalesce(substring(trim(lower(col("text"))), 1, 12), lit("")).as("_k"))
         val cand = Dedup.sortedNeighborhoodPairs(keyed, "doc_id", "_k", windowSize = 8)
-        val sh = docs
-          .select(col("doc_id").as("id"),
-            graft.functions.TextFns.tokens(col("text")).as("_toks"))
-          .select(col("id"),
-            explode(graft.functions.TextFns.wordShingles(col("_toks"), 3)).as("_shs"))
-          .select(col("id"), xxhash64(col("_shs")).as("shingle")).distinct()
-        val shp = graft.Caching.persistTracked(sh)
+        val shp = graft.Caching.persistTracked(
+          Dedup.hashedShingles(docs, "doc_id", "text", shingleN = 3))
         val sizes = shp.groupBy(col("id")).agg(count(lit(1)).as("sz"))
         val common = cand
           .join(shp.select(col("id").as("id1"), col("shingle")), Seq("id1"))
@@ -197,7 +196,7 @@ object DedupQueries {
       },
       s"""WITH $ShingleCtes,
         |rk AS (
-        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY substr(trim(lower(text)), 1, 12), doc_id) - 1 AS BIGINT) AS rank
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY coalesce(substr(trim(lower(text)), 1, 12), ''), doc_id) - 1 AS BIGINT) AS rank
         |  FROM documents),
         |cand AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.rank AS rank1, b.rank AS rank2

@@ -53,6 +53,10 @@ object ScaleLadder {
     generate(spark, base, out, n)
 
     spark.range(1000).selectExpr("sum(id)").collect()
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma decimal separator would corrupt the JSON lines below
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -76,7 +80,7 @@ object ScaleLadder {
       val sSteady = math.min(time(q, out), time(q, out))
       val ratio = sSteady / bSteady
       val expo = math.log(ratio) / math.log(n.toDouble)
-      println(f"""{"query":"$q","base_s":$bSteady%.2f,"scaled_s":$sSteady%.2f,"ratio":$ratio%.2f,"exponent":$expo%.2f,"base_cold":$bCold%.2f,"scaled_cold":$sCold%.2f}""")
+      println(s"""{"query":"$q","base_s":${num(bSteady)},"scaled_s":${num(sSteady)},"ratio":${num(ratio)},"exponent":${num(expo)},"base_cold":${num(bCold)},"scaled_cold":${num(sCold)}}""")
       (q, bSteady, sSteady, ratio, expo)
     }
     // The auto-tuned near-dup point: the registered q_embed_neardup pins
@@ -99,22 +103,28 @@ object ScaleLadder {
       val s = math.min(run(out), run(out))
       val ratio = s / b
       val expo = math.log(ratio) / math.log(n.toDouble)
-      println(f"""{"query":"q_embed_neardup_auto","base_s":$b%.2f,"scaled_s":$s%.2f,"ratio":$ratio%.2f,"exponent":$expo%.2f}""")
+      println(s"""{"query":"q_embed_neardup_auto","base_s":${num(b)},"scaled_s":${num(s)},"ratio":${num(ratio)},"exponent":${num(expo)}}""")
       ("q_embed_neardup_auto", b, s, ratio, expo)
     }
     val allRows = rows :+ tuned
-    println("| query | sf0.1 steady (s) | 10x steady (s) | ratio | exponent |")
+    println(s"| query | base steady (s) | ${n}x steady (s) | ratio | exponent |")
     println("|---|---|---|---|---|")
     allRows.foreach { case (q, b, s, r, e) =>
-      println(f"| $q | $b%.2f | $s%.2f | $r%.2f | $e%.2f |")
+      println(s"| $q | ${num(b)} | ${num(s)} | ${num(r)} | ${num(e)} |")
     }
     spark.stop()
   }
 
-  /** Build the N× tables under `out` (idempotent: skips if present). */
+  /** Build the N× tables under `out`. Idempotent PER (base, N): the
+    * marker records both, so re-running with a different replication
+    * factor or base regenerates instead of silently measuring the old
+    * corpus (which would understate every exponent by log(oldN)/log(N)
+    * with no error). */
   def generate(spark: SparkSession, base: String, out: String, n: Int): Unit = {
     val done = new java.io.File(s"$out/_LADDER_OK")
-    if (done.exists()) return
+    val stamp = s"$base|$n"
+    if (done.exists() &&
+        new String(java.nio.file.Files.readAllBytes(done.toPath)) == stamp) return
     val off = 100000000L
 
     val docs = spark.read.parquet(s"$base/documents.parquet")
@@ -156,7 +166,7 @@ object ScaleLadder {
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     done.getParentFile.mkdirs()
-    done.createNewFile()
+    java.nio.file.Files.write(done.toPath, stamp.getBytes)
     ()
   }
 }
