@@ -137,4 +137,60 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"docs: $rows")
     }
   }
+
+  test("slidingChunks ≡ brute-force strided windows; every token covered") {
+    import spark.implicits._
+    val docGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 8)
+      rows <- Gen.listOfN(n, Gen.choose(0, 23))
+    } yield rows.zipWithIndex.map { case (len, i) =>
+      (i.toLong, (1 to len).map(j => s"w$j").mkString(" "))
+    }
+    val (w, s) = (5, 2)
+    forAll(docGen) { rows =>
+      val got = graft.operators.TextPipeline
+        .slidingChunks(rows.toDF("doc_id", "text"), "doc_id", "text", w, s)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getString(4))))
+        .toMap
+      val want = rows.flatMap { case (id, t) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        val starts = if (toks.isEmpty) Seq.empty else 0 to (toks.length - 1) by s
+        starts.zipWithIndex.map { case (st, ci) =>
+          val slice = toks.slice(st, st + w)
+          (id, ci.toLong) -> ((st.toLong, slice.length.toLong, slice.mkString(" ")))
+        }
+      }.toMap
+      assert(got == want, s"docs: $rows")
+      // coverage: each doc's chunks jointly span 0 .. n_tokens-1
+      rows.foreach { case (id, t) =>
+        val n = t.split("\\s+").count(_.nonEmpty)
+        val covered = got.collect { case ((d, _), (st, len, _)) if d == id =>
+          st until (st + len) }.flatten.toSet
+        assert(covered == (0 until n).map(_.toLong).toSet, s"doc $id coverage")
+      }
+    }
+  }
+
+  test("sortedNeighborhoodPairs ≡ brute-force rank windows on random keys") {
+    import spark.implicits._
+    val keyedGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(2, 30)
+      rows <- Gen.listOfN(n, Gen.oneOf("ka", "kb", "kc", "kd"))
+    } yield rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val w = 4
+    forAll(keyedGen) { rows =>
+      val got = graft.operators.Dedup
+        .sortedNeighborhoodPairs(rows.toDF("doc_id", "k"), "doc_id", "k", w)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      Caching.release()
+      val ranked = rows.sortBy { case (id, k) => (k, id) }.zipWithIndex
+      val want = (for {
+        (a, ra) <- ranked; (b, rb) <- ranked
+        if rb > ra && rb - ra < w
+      } yield (a._1, b._1, ra.toLong, rb.toLong)).toSet
+      assert(got == want, s"rows: $rows")
+    }
+  }
 }
