@@ -109,20 +109,8 @@ object Dedup {
                     maxBucketSize: Option[Int] = None): DataFrame = {
     import graft.functions.PairsGenerator.pairs
     val expected = bands * rowsPerBand
-    val checked = sigs.filter(
-      when(size(col("sig")) === lit(expected), lit(true))
-        .otherwise(raise_error(concat(
-          lit("lshCandidates: signature length "), size(col("sig")).cast("string"),
-          lit(s" != bands*rowsPerBand = $expected")))))
-    val cached = graft.Caching.persistTracked(checked)
-    val banded = cached.select(
-      col(idCol),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        // xxhash64 hashes the band's slice of the signature (array-typed
-        // input is supported by HashExpression) salted with the band index
-        b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b)))
-        .as(Seq("band", "band_hash")))
+    val cached = checkedSigs(sigs, "lshCandidates", expected)
+    val banded = bandedFrame(cached, idCol, idCol, bands, rowsPerBand)
     val pruned = capBuckets(banded, Seq("band", "band_hash"), maxBucketSize)
     // pairs() canonicalizes (id1 < id2) and dedupes bucket members, so
     // the output pair set matches the old self-join + filter formulation
@@ -139,11 +127,41 @@ object Dedup {
   }
 
   /** Signature agreement fraction: est. Jaccard = matching positions /
-    * signature length (shared by the full and incremental LSH paths). */
+    * signature length (shared by the full and incremental LSH paths).
+    * The count runs through the codegen'd [[graft.functions.SigAgreement]]
+    * kernel — it executes once per CANDIDATE PAIR, the dominant row
+    * count out of the band join, and the HOF formulation it replaces is
+    * the documented interpreted-fold perf trap. Integer count, so the
+    * double estimate is bit-identical to the oracle's replay. */
   private def estJaccard(sig1: Column, sig2: Column, len: Int): Column =
-    aggregate(
-      zip_with(sig1, sig2, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / lit(len.toDouble)
+    graft.functions.SigAgreement(sig1, sig2).cast("double") / lit(len.toDouble)
+
+  /** Signature-length check (raise_error on mismatch, persisted via
+    * [[graft.Caching.persistTracked]]) — shared by the full and
+    * incremental LSH paths. */
+  private def checkedSigs(sigs: DataFrame, ctx: String, expected: Int): DataFrame =
+    graft.Caching.persistTracked(sigs.filter(
+      when(size(col("sig")) === lit(expected), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"$ctx: signature length "), size(col("sig")).cast("string"),
+          lit(s" != bands*rowsPerBand = $expected"))))))
+
+  /** (outId, band, band_hash) banding projection — THE one definition
+    * of the LSH bucketing formula (slice bounds + band-index salt),
+    * shared by [[lshCandidates]] and [[lshCandidatesAgainst]] so the
+    * formula cannot silently fork between the full-corpus and ingest
+    * paths (a fork would make ingest stop finding the duplicates the
+    * full pass finds, with no error anywhere). */
+  private def bandedFrame(sigs: DataFrame, idCol: String, outId: String,
+                          bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
+      col(idCol).as(outId),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        // xxhash64 hashes the band's slice of the signature (array-typed
+        // input is supported by HashExpression) salted with the band index
+        b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b)))
+        .as(Seq("band", "band_hash")))
 
   /** Incremental LSH near-dup check: score each NEW document against
     * the EXISTING corpus only, via banded MinHash signatures — the
@@ -163,21 +181,12 @@ object Dedup {
                            idCol: String, bands: Int = 16, rowsPerBand: Int = 4,
                            maxBucketSize: Option[Int] = None): DataFrame = {
     val expected = bands * rowsPerBand
-    def check(df: DataFrame) = graft.Caching.persistTracked(df.filter(
-      when(size(col("sig")) === lit(expected), lit(true))
-        .otherwise(raise_error(concat(
-          lit("lshCandidatesAgainst: signature length "), size(col("sig")).cast("string"),
-          lit(s" != bands*rowsPerBand = $expected"))))))
-    def banded(df: DataFrame, outId: String) = df.select(
-      col(idCol).as(outId),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b)))
-        .as(Seq("band", "band_hash")))
-    val corpus = check(corpusSigs)
-    val fresh = check(newSigs)
-    val cb = capBuckets(banded(corpus, "corpus_id"), Seq("band", "band_hash"), maxBucketSize)
-    val nb = capBuckets(banded(fresh, "new_id"), Seq("band", "band_hash"), maxBucketSize)
+    val corpus = checkedSigs(corpusSigs, "lshCandidatesAgainst", expected)
+    val fresh = checkedSigs(newSigs, "lshCandidatesAgainst", expected)
+    val cb = capBuckets(bandedFrame(corpus, idCol, "corpus_id", bands, rowsPerBand),
+      Seq("band", "band_hash"), maxBucketSize)
+    val nb = capBuckets(bandedFrame(fresh, idCol, "new_id", bands, rowsPerBand),
+      Seq("band", "band_hash"), maxBucketSize)
     // ids-only through the band join (the lshCandidates contract);
     // signatures re-attach over the deduped cross-candidate set
     val candidates = cb.join(nb, Seq("band", "band_hash"))
@@ -201,10 +210,18 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               portable: Boolean = false): DataFrame = {
     val base = if (portable) portableHash64(col("token")) else xxhash64(col("token"))
-    docs.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
+    val sigs = docs.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
       .select(col(idCol), base.as("h"))
       .groupBy(col(idCol))
       .agg(graft.functions.SketchAggs.simhash_agg(col("h")).as("simhash"))
+    // TOTAL coverage: a zero-token doc has no exploded rows and would
+    // silently vanish from the signature frame — yet empty docs are all
+    // trivially identical duplicates, exactly what a dedup pass must not
+    // lose (minhashSignatures is total via the whole-doc shingle
+    // fallback). Convention: no votes cast → signature 0, replayed
+    // identically by the q_simhash oracle's left join.
+    docs.select(col(idCol)).join(sigs, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -229,7 +246,11 @@ object Dedup {
                         planes: Int = 4, tables: Int = 16,
                         maxBucketSize: Option[Int] = None): DataFrame = {
     import graft.functions.PairsGenerator.pairs
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // base feeds the SRP coding pass AND both vector re-attach joins —
+    // persist so a COMPUTED embedding input (a projection, a decode) is
+    // evaluated once, not 3×; released by the caller via Caching.release()
+    val base = graft.Caching.persistTracked(
+      emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
     // Candidate generation carries ONLY ids (no embedding payloads in
     // the shuffle — measured 15× end-to-end), and pairs come from ONE
     // groupBy + PairsGenerator over each bucket's id list instead of a
@@ -352,6 +373,41 @@ object Dedup {
         xxhash64(col("gram")).as("gram"))
   }
 
+  /** Keyed frequency cap: keep `rows` whose `keyCol` value occurs at
+    * most `cap` times in `freqSource` — the posting-list analogue of
+    * [[capBuckets]]. Frequencies may be counted on a DIFFERENT frame
+    * than the one filtered: the ingest span path caps against CORPUS
+    * gram frequencies (the stable precomputed index), never today's
+    * batch. */
+  private def capByFreq(rows: DataFrame, freqSource: DataFrame,
+                        keyCol: String, cap: Int): DataFrame = {
+    val keep = freqSource.groupBy(col(keyCol)).agg(count(lit(1)).as("_f"))
+      .filter(col("_f") <= cap).select(col(keyCol))
+    rows.join(keep, Seq(keyCol))
+  }
+
+  /** Diagonal-islands span detection over a (doc_a, doc_b, p1, p2,
+    * _diag) match frame: consecutive gram matches on one diagonal
+    * collapse into a maximal span of count + gramN − 1 tokens — ONE
+    * definition of the islands algebra, shared by [[duplicateSpans]]
+    * and [[duplicateSpansAgainst]] so a fix to the run-key/span-length
+    * math cannot drift between the full and ingest paths (their
+    * "output schema matches" contract would break silently). */
+  private def spansFromMatches(matches: DataFrame, gramN: Int,
+                               minSpanTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("_diag"))
+      .orderBy(col("p1"))
+    matches
+      .withColumn("_runkey", col("p1") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("_diag"), col("_runkey"))
+      .agg(min(col("p1")).as("a_start"), min(col("p2")).as("b_start"),
+        (count(lit(1)) + lit(gramN - 1).cast("long")).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("span_tokens"))
+  }
+
   /** Exact word-n-gram Jaccard similarity for all document pairs sharing
     * ≥1 shingle, via the inverted-index pattern:
     *
@@ -379,12 +435,15 @@ object Dedup {
     // [[prefixJaccardPairs]] (the cluster-family oracles all replay the
     // plain-text join, so a collision on a verified corpus goes red)
     val sh = hashedShingles(docs, idCol, textCol, shingleN)
-    val filtered = maxShingleDf match {
+    // `filtered` feeds the sizes agg AND both sides of the shingle
+    // self-join — persist so the tokenize+shingle+hash+distinct pipeline
+    // runs once, not 3×; released by the caller via Caching.release()
+    val filtered = graft.Caching.persistTracked(maxShingleDf match {
       case Some(cap) =>
         val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("_df")).filter(col("_df") <= cap)
         sh.join(dfreq.select("shingle"), Seq("shingle"))
       case None => sh
-    }
+    })
     val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val pairStream =
       if (sizePrune && minJaccard > 0.0) {
@@ -486,7 +545,10 @@ object Dedup {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val byDoc = Window.partitionBy(col("id"))
     // ⌈τ·sz⌉ in integers: (num·sz + den − 1) div den
-    val ceilTauSz = floor((lit(tauNum) * col("_w_sz") + lit(tauDen - 1)) / lit(tauDen))
+    // integer `div`, matching the comment's algebra exactly (a double
+    // `/`+floor is value-identical below 2^52 but invites a port to
+    // oracle SQL as `/`, the division trap CLAUDE.md forbids)
+    val ceilTauSz = expr(s"(${tauNum}L * _w_sz + ${tauDen - 1}L) div ${tauDen}L")
     // persisted: BOTH sides of the candidate self-join read this frame —
     // uncached, the window + df-join sub-plan executes twice
     val prefix = graft.Caching.persistTracked(
@@ -524,7 +586,7 @@ object Dedup {
     common
       .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), Seq("id1"))
       .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), Seq("id2"))
-      .filter(col("common") * lit((tauDen + tauNum).toLong) >=
+      .filter(col("common") * tauSum >=
         lit(tauNum.toLong) * (col("sz1") + col("sz2")))
       .select(col("id1"), col("id2"), col("common"), col("sz1"), col("sz2"),
         (col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
@@ -547,17 +609,35 @@ object Dedup {
                           maxShingleDf: Option[Int] = None): DataFrame = {
     // hashed shingles, as in [[ngramJaccardPairs]] — both sides use the
     // same hash so the corpus×new join key space is consistent
-    def shingles(df: DataFrame, outId: String) =
-      hashedShingles(df, idCol, textCol, shingleN, outId)
-    val corpusSh0 = shingles(corpus, "corpus_id")
-    val corpusSh = maxShingleDf match {
+    val corpusSh0 = hashedShingles(corpus, idCol, textCol, shingleN, "corpus_id")
+    val newSh0 = hashedShingles(newDocs, idCol, textCol, shingleN, "new_id")
+    // Both frames feed a size agg AND the cross join below — persist so
+    // the tokenize+shingle+hash+distinct pipeline runs once per side
+    // (the lshCandidates re-attach rationale), released by the caller
+    // via Caching.release().
+    val (corpusSh, newSh) = maxShingleDf match {
       case Some(cap) =>
-        val dfreq = corpusSh0.groupBy("shingle")
-          .agg(count(lit(1)).as("_df")).filter(col("_df") <= cap)
-        corpusSh0.join(dfreq.select("shingle"), Seq("shingle"))
-      case None => corpusSh0
+        // The capped UNIVERSE is defined by CORPUS df and applies to
+        // BOTH sides: a shingle with corpus df > cap leaves the corpus
+        // frame, the new frame, and therefore sz1, sz2 and common alike
+        // — the same "exact Jaccard over the df ≤ cap shingle space"
+        // contract as the full pass. An asymmetric cap (corpus-only)
+        // would count capped-out shingles in sz2 but never in common,
+        // deflating jaccard and admitting exact duplicates of
+        // boilerplate-heavy corpus docs as novel. New-side shingles
+        // absent from the corpus have df 0 and always stay.
+        val pCorpus = graft.Caching.persistTracked(corpusSh0)
+        val dropped = pCorpus.groupBy("shingle")
+          .agg(count(lit(1)).as("_df")).filter(col("_df") > cap)
+          .select("shingle")
+        (graft.Caching.persistTracked(
+           pCorpus.join(dropped, Seq("shingle"), "left_anti")),
+         graft.Caching.persistTracked(
+           newSh0.join(dropped, Seq("shingle"), "left_anti")))
+      case None =>
+        (graft.Caching.persistTracked(corpusSh0),
+         graft.Caching.persistTracked(newSh0))
     }
-    val newSh = shingles(newDocs, "new_id")
     val sz1 = corpusSh.groupBy(col("corpus_id")).agg(count(lit(1)).as("sz1"))
     val sz2 = newSh.groupBy(col("new_id")).agg(count(lit(1)).as("sz2"))
     corpusSh.join(newSh, Seq("shingle"))
@@ -851,9 +931,7 @@ object Dedup {
     // on a verified corpus goes red
     val grams = graft.Caching.persistTracked(
       positionalGrams(docs, idCol, textCol, gramN))
-    val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("_f"))
-      .filter(col("_f") <= maxGramFreq).select(col("gram"))
-    val capped = grams.join(rare, Seq("gram"))
+    val capped = capByFreq(grams, grams, "gram", maxGramFreq)
     val matches = capped
       .select(col("gram"), col("id").as("doc_a"), col("pos").as("p1"))
       .join(capped.select(col("gram"), col("id").as("doc_b"), col("pos").as("p2")),
@@ -861,16 +939,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("p1"), col("p2"),
         (col("p1") - col("p2")).as("_diag"))
-    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("_diag"))
-      .orderBy(col("p1"))
-    matches
-      .withColumn("_runkey", col("p1") - row_number().over(w))
-      .groupBy(col("doc_a"), col("doc_b"), col("_diag"), col("_runkey"))
-      .agg(min(col("p1")).as("a_start"), min(col("p2")).as("b_start"),
-        (count(lit(1)) + lit(gramN - 1).cast("long")).as("span_tokens"))
-      .filter(col("span_tokens") >= minSpanTokens)
-      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
-        col("span_tokens"))
+    spansFromMatches(matches, gramN, minSpanTokens)
   }
 
   /** [[duplicateSpans]] for INGEST: spans between a new `batch` and the
@@ -896,25 +965,14 @@ object Dedup {
     def grams(df: DataFrame): DataFrame =
       positionalGrams(df, idCol, textCol, gramN)
     val cg = graft.Caching.persistTracked(grams(corpus))
-    val rare = cg.groupBy(col("gram")).agg(count(lit(1)).as("_f"))
-      .filter(col("_f") <= maxGramFreq).select(col("gram"))
-    val matches = cg.join(rare, Seq("gram"))
+    val matches = capByFreq(cg, cg, "gram", maxGramFreq)
       .select(col("gram"), col("id").as("doc_a"), col("pos").as("p1"))
       .join(grams(batch)
         .select(col("gram"), col("id").as("doc_b"), col("pos").as("p2")), Seq("gram"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("p1"), col("p2"),
         (col("p1") - col("p2")).as("_diag"))
-    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("_diag"))
-      .orderBy(col("p1"))
-    matches
-      .withColumn("_runkey", col("p1") - row_number().over(w))
-      .groupBy(col("doc_a"), col("doc_b"), col("_diag"), col("_runkey"))
-      .agg(min(col("p1")).as("a_start"), min(col("p2")).as("b_start"),
-        (count(lit(1)) + lit(gramN - 1).cast("long")).as("span_tokens"))
-      .filter(col("span_tokens") >= minSpanTokens)
-      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
-        col("span_tokens"))
+    spansFromMatches(matches, gramN, minSpanTokens)
   }
 
   /** Intra-document repetition profile — the Gopher-class quality

@@ -127,6 +127,38 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"portable LSH missed $missed")
   }
 
+  test("simhash is total: zero-token docs keep a signature (0) instead of vanishing") {
+    import spark.implicits._
+    val d = Seq((1L, "real words here"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val out = Dedup.simhash(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "every doc must have a signature row")
+    assert(out(2L) == 0L && out(3L) == 0L)
+    assert(out(1L) != 0L)
+  }
+
+  test("ngramJaccardAgainst cap restricts BOTH sides to the corpus-df universe") {
+    import spark.implicits._
+    // boilerplate 'b1..b4 …' shared by ALL corpus docs (df 3 > cap 2);
+    // the distinctive tail is unique per doc (df 1)
+    val boiler = "b1 b2 b3 b4 b5 b6"
+    val corpus = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, s"$boiler iota kappa lambda mu")).toDF("doc_id", "text")
+    // the new doc is an EXACT copy of corpus doc 1
+    val batch = Seq((100L, s"$boiler alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardAgainst(corpus, batch, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5, maxShingleDf = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    Caching.release()
+    // over the capped universe the copy must still score 1.0 against its
+    // original — an asymmetric (corpus-only) cap would count the capped-out
+    // boilerplate shingles in sz2 but never in common and admit it as novel
+    assert(out.exists { case (c, n, j) => c == 1L && n == 100L && j == 1.0 },
+      s"exact duplicate must survive the cap: ${out.toSeq}")
+  }
+
   test("sortedNeighborhoodPairs emits exactly the rank-window pairs") {
     import spark.implicits._
     // keys chosen so the (key, id) order is NOT the id order
