@@ -62,10 +62,16 @@ object Multimodal {
     * `everyN`-th frame, always including frame 0). Runs BEFORE decode so
     * a downstream per-frame decoder touches only the sampled subset —
     * the batch shape a video pipeline needs at scale. */
-  def sampleFrames(features: DataFrame, everyN: Int): DataFrame =
+  def sampleFrames(features: DataFrame, everyN: Int): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN") // decodeVideoFrames' contract
     features.select(
       col("media_id"), col("n_frames"),
-      explode(sequence(lit(0L), col("n_frames") - 1, lit(everyN.toLong))).as("frame_idx"))
+      // zero-frame rows (parseVideoHeaders' degrade header, or a real
+      // dwTotalFrames=0 AVI) emit nothing instead of crashing
+      // sequence() with an illegal 0..-1 boundary
+      explode(when(col("n_frames") > 0,
+        sequence(lit(0L), col("n_frames") - 1, lit(everyN.toLong)))).as("frame_idx"))
+  }
 
   /** Resize planning (pure column math, no decode): target box fit with
     * aspect preserved; emits the scale factor the real resizer would use. */
@@ -255,9 +261,10 @@ object Multimodal {
 
   private def synthJpeg(id: Long): Array[Byte] = {
     val w = (16 + id % 48).toInt; val h = (16 + (id * 7) % 32).toInt
-    encodeImage(fillRgb(w, h) { (x, y) =>
-      (jpegSrc(id, 0, x, y) << 16) | (jpegSrc(id, 1, x, y) << 8) | jpegSrc(id, 2, x, y)
-    }, "jpeg")
+    // delegate: still-JPEG synthesis and video-frame encoding must stay
+    // byte-identical (one ramp-fill definition), or the two fidelity
+    // gates silently diverge
+    encodeJpegFrame(id, w, h)
   }
 
   /** Real JPEG decode + fidelity gate: decodes with the JDK codec,
@@ -316,9 +323,12 @@ object Multimodal {
           val ck = new String(b, pos, 4, "US-ASCII")
           val sz = java.nio.ByteBuffer.wrap(b, pos + 4, 4)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-          if (sz < 0) pos = b.length // malformed size would walk backward forever
+          // sz < 0 walks backward forever; sz > b.length overflows
+          // `8 + sz` to a negative Int — both terminate the scan
+          if (sz < 0 || sz > b.length) pos = b.length
           else {
-            if (ck == "data") { dataOff = pos + 8; dataLen = sz }
+            // clamp to the actual bytes present (truncated data chunk)
+            if (ck == "data") { dataOff = pos + 8; dataLen = math.min(sz, b.length - dataOff) }
             pos += 8 + sz + (sz & 1)
           }
         }
@@ -337,8 +347,10 @@ object Multimodal {
           prevNeg = neg
           i += 1
         }
+        // an empty data chunk would make rms = sqrt(0/0) = NaN, which
+        // silently poisons downstream float aggregations — emit 0.0
         AudioDsp(r.media_id, total.toLong, zc, sumSq,
-          math.sqrt(sumSq.toDouble / total))
+          if (total == 0) 0.0 else math.sqrt(sumSq.toDouble / total))
       }
     }
   }
@@ -402,16 +414,17 @@ object Multimodal {
       rows.map { r =>
         val img = decodeImage(r.payload, 0, r.payload.length, "png")
         val w = img.getWidth; val h = img.getHeight
+        // one color-model conversion serves both the JPEG-source
+        // normalization and the error comparison below (getRGB is a
+        // full-raster conversion — doing it twice doubled the per-image
+        // cost on the common non-TYPE_INT_RGB decode path)
+        val src = img.getRGB(0, 0, w, h, null, 0, w)
         // JPEG writers reject non-opaque/indexed sources; normalize to RGB
         val rgb =
           if (img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) img
-          else {
-            val px = img.getRGB(0, 0, w, h, null, 0, w)
-            fillRgb(w, h)((x, y) => px(y * w + x) & 0xffffff)
-          }
+          else fillRgb(w, h)((x, y) => src(y * w + x) & 0xffffff)
         val jpeg = encodeImage(rgb, "jpeg")
         val back = decodeImage(jpeg, 0, jpeg.length, "jpeg")
-        val src = img.getRGB(0, 0, w, h, null, 0, w)
         val out = back.getRGB(0, 0, w, h, null, 0, w)
         var err = 0L
         var i = 0
@@ -537,7 +550,7 @@ object Multimodal {
       val ck = new String(b, pos, 4, "US-ASCII")
       val sz = java.nio.ByteBuffer.wrap(b, pos + 4, 4)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-      if (sz < 0) { // malformed size would walk backward forever
+      if (sz < 0 || sz > b.length) { // backward walk / Int-overflow sizes terminate
         pos = b.length
       } else if (ck == "LIST" && pos + 12 <= b.length &&
           new String(b, pos + 8, 4, "US-ASCII") == "hdrl") {
@@ -588,7 +601,7 @@ object Multimodal {
           val ck = new String(b, pos, 4, "US-ASCII")
           val sz = java.nio.ByteBuffer.wrap(b, pos + 4, 4)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-          if (sz < 0) { // malformed size would walk backward forever
+          if (sz < 0 || sz > b.length) { // backward walk / Int-overflow sizes terminate
             pos = b.length
           } else if (ck == "LIST" && pos + 12 <= b.length &&
               new String(b, pos + 8, 4, "US-ASCII") == "movi") {
@@ -696,9 +709,14 @@ object Multimodal {
             val ck = new String(b, pos, 4, "US-ASCII")
             val sz = java.nio.ByteBuffer.wrap(b, pos + 4, 4)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-            if (sz < 0) pos = b.length // malformed size would walk backward forever
+            // sz < 0 would walk backward forever; sz > b.length (an
+            // adversarial 2^31-ish size) would overflow `8 + sz` to a
+            // negative Int and crash the String read — both terminate
+            if (sz < 0 || sz > b.length) pos = b.length
             else {
-              if (ck == "fmt " && sz >= 16) {
+              // bounds-checked: a WAV truncated right after the fmt
+              // chunk header must degrade, not throw on the wrap
+              if (ck == "fmt " && sz >= 16 && pos + 24 <= b.length) {
                 val f = java.nio.ByteBuffer.wrap(b, pos + 8, 16)
                   .order(java.nio.ByteOrder.LITTLE_ENDIAN)
                 f.getShort // audio format tag
@@ -710,7 +728,9 @@ object Multimodal {
               pos += 8 + sz + (sz & 1) // chunks are word-aligned
             }
           }
-          if (channels > 0 && rate > 0 && bits > 0 && dataLen >= 0) {
+          // bits >= 8: a sub-byte declared depth would make the divisor
+          // 0 (ArithmeticException), and PCM semantics need whole bytes
+          if (channels > 0 && rate > 0 && bits >= 8 && dataLen >= 0) {
             val n = dataLen / (channels * bits / 8)
             MediaHeader(r.media_id, "wav", None, None, None, None,
               Some(channels), Some(rate), Some(n), Some(n * 1000L / rate))
@@ -772,9 +792,11 @@ object Multimodal {
           val ck = new String(b, pos, 4, "US-ASCII")
           val sz = java.nio.ByteBuffer.wrap(b, pos + 4, 4)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-          if (sz < 0) pos = b.length // malformed size would walk backward forever
+          // sz < 0 walks backward forever; sz > b.length overflows
+          // `8 + sz` to a negative Int — both terminate the scan
+          if (sz < 0 || sz > b.length) pos = b.length
           else {
-            if (ck == "fmt " && sz >= 16) {
+            if (ck == "fmt " && sz >= 16 && pos + 24 <= b.length) {
               val f = java.nio.ByteBuffer.wrap(b, pos + 8, 16)
                 .order(java.nio.ByteOrder.LITTLE_ENDIAN)
               f.getShort
@@ -782,7 +804,7 @@ object Multimodal {
               rate = f.getInt.toLong
               f.getInt; f.getShort
               bits = f.getShort.toLong
-            } else if (ck == "data") { dataOff = pos + 8; dataLen = sz }
+            } else if (ck == "data") { dataOff = pos + 8; dataLen = math.min(sz, b.length - (pos + 8)) }
             pos += 8 + sz + (sz & 1)
           }
         }

@@ -93,6 +93,43 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(h => h.format == "unknown" && h.width.isEmpty && h.channels.isEmpty))
   }
 
+  test("adversarial RIFF payloads degrade: truncated fmt, overflow size, sub-byte depth") {
+    import spark.implicits._
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def wav(chunks: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + chunks.length) ++
+        "WAVE".getBytes("US-ASCII") ++ chunks
+    def fmt(channels: Int, rate: Int, bits: Int): Array[Byte] =
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+        Array[Byte](1, 0) ++ le32(channels).take(2) ++ le32(rate) ++
+        le32(rate * channels * bits / 8) ++ le32(channels * bits / 8).take(2) ++
+        le32(bits).take(2)
+    val cases = Seq(
+      // fmt chunk header present but payload cut off: the 16-byte wrap
+      // would read past the end without the bounds check
+      Multimodal.MediaRow(1L, wav("fmt ".getBytes("US-ASCII") ++ le32(16)), "wav"),
+      // declared chunk size near Int.MaxValue: 8 + sz overflows negative
+      Multimodal.MediaRow(2L, wav("junk".getBytes("US-ASCII") ++ le32(0x7ffffff8)), "wav"),
+      // sub-byte declared depth: channels*bits/8 = 0 would divide by zero
+      Multimodal.MediaRow(3L, wav(fmt(1, 8000, 4) ++
+        "data".getBytes("US-ASCII") ++ le32(0)), "wav")).toDS()
+    val out = Multimodal.parseHeaders(cases).collect()
+    assert(out.length == 3, "every adversarial payload must emit a row")
+    assert(out.forall(_.format == "unknown"),
+      s"all must degrade, got ${out.map(h => (h.media_id, h.format)).toSeq}")
+  }
+
+  test("sampleFrames: zero-frame rows emit nothing; everyN must be positive") {
+    import spark.implicits._
+    val f = Seq((1L, 0L), (2L, 5L)).toDF("media_id", "n_frames")
+    val out = Multimodal.sampleFrames(f, 2).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(2L), "zero-frame media emits no rows")
+    assert(out.map(_.getLong(2)).sorted.toSeq == Seq(0L, 2L, 4L))
+    intercept[IllegalArgumentException] { Multimodal.sampleFrames(f, 0) }
+  }
+
   test("real resize: 16x16 identity equals full decode; downscale picks NN indices") {
     import spark.implicits._
     // id 0 encodes a 16x16 image: identity resize must equal decodePixels
