@@ -19,13 +19,16 @@ object Graph {
   /** Co-occurrence edges from (basket, item) rows: items appearing in at
     * least `minSupport` common baskets, as canonical (src < dst, weight).
     *
-    * Plan: distinct → per-basket self-join (co-partitioned on the basket
-    * id, pairs generated co-located) → partial+final count agg →
-    * threshold. The support threshold is the graph sparsifier: raw pair
-    * counts grow ~k² per basket, the thresholded edge set is the stable
-    * backbone (sf0.01 and sf0.1 both land ~3.5k edges at minSupport=2).
-    * `maxBasketSize` guards the k² blowup against a degenerate giant
-    * basket, same contract as [[AssocRules.rules]].
+    * Plan: per-basket collect_set (dedup happens in the map-side
+    * partial agg) → PairsGenerator explodes canonical (x < y) pairs
+    * map-side → ONE keyed count agg → threshold. Two keyed shuffles
+    * total — see the inline note for the measurement vs the textbook
+    * distinct + self-join formulation. The support threshold is the
+    * graph sparsifier: raw pair counts grow ~k² per basket, the
+    * thresholded edge set is the stable backbone (sf0.01 and sf0.1 both
+    * land ~3.5k edges at minSupport=2). `maxBasketSize` guards the k²
+    * blowup against a degenerate giant basket, same contract as
+    * [[AssocRules.rules]].
     */
   def coOccurrenceEdges(baskets: DataFrame, basketCol: String, itemCol: String,
                         minSupport: Long, maxBasketSize: Option[Int] = None): DataFrame = {
@@ -55,54 +58,33 @@ object Graph {
     edges.select(col("src").as(idCol))
       .union(edges.select(col("dst").as(idCol))).distinct()
 
-  /** PageRank over an UNDIRECTED edge set, fixed iteration count,
-    * fixed-point integer arithmetic (bit-exact on any engine):
-    *
-    *   r₀(v)   = SCALE                       (SCALE = 10^12)
-    *   rᵢ₊₁(v) = (15·SCALE) div 100
-    *           + (85 · Σ_{u∼v} (rᵢ(u) div deg(u))) div 100
-    *
-    * — the standard damping-0.85 formulation with the division order
-    * pinned (per-neighbor integral share first, damping last), so Spark
-    * `div` and DuckDB `//` replay it exactly. Total mass ≤ n·SCALE ≈
-    * 2⁴⁰ for a billion nodes — no overflow headroom issues at any
-    * realistic scale.
-    *
-    * Scale plan (and the lesson that shaped it): each round references
-    * the previous ranks frame exactly ONCE — the "all nodes" side of
-    * the final left join is the STATIC node frame, not ranks itself, so
-    * the plan grows linearly in the iteration count instead of doubling
-    * per round, and a fixed-iteration run is ONE driver action with no
-    * per-round checkpoint barriers (a per-round eager checkpoint costs
-    * a full job launch + materialization each round — measured 10.8 s
-    * vs 4.5 s steady on the sf0.1 co-purchase graph). Zero-share
-    * sentinel rows (see below) replace the per-round left join, so one
-    * keyed agg is the round's only shuffle of node-cardinality data.
-    * The degree-annotated out-edge list and the sentinel frame are LAZY
-    * `localCheckpoint(false)` (materialized once inside the caller's
-    * action, reused by every round); `checkpointInterval` bounds plan
-    * depth for long runs — every K rounds the chain truncates, which is
-    * also where a cluster job would durably checkpoint.
-    *
-    * @param edges canonical undirected pairs (`src`, `dst`)
-    * @param nodes one row per node id (isolated nodes settle at
-    *              0.15·SCALE); pass [[edgeNodes]] or the full corpus
-    * @return (idCol, rank_fp BIGINT) — rank scaled by 10^12
-    */
+  /** Symmetrized (src, dst) edge view with NULL endpoints dropped — a
+    * null id would slip through every null-UNSAFE anti join / groupBy
+    * downstream (BFS re-discovered a null node every round with a new
+    * distance before this filter). Shared by the iterative family. */
+  private def symmetrize(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) — community
     * detection in fixed rounds: every node adopts the most frequent
     * label among its neighbors, count ties going to the LOWEST label.
-    * The argmax is encoded as ONE BIGINT key (cnt·2³² − label, labels
-    * required < 2³²), so both engines pick identically with a plain
-    * max_by — no struct comparison, no window sort; `iterations` is
-    * fixed (synchronous LPA is not guaranteed to converge — the
-    * bounded-round form IS the deterministic contract).
+    * The argmax key is the ORDERED PAIR (−cnt, label) taken by min —
+    * total over the FULL 64-bit label domain (an earlier cnt·2³² −
+    * label BIGINT packing silently mis-voted for labels ≥ 2³² or
+    * negative, i.e. for any caller using xxhash64 ids; Spark min_by
+    * over a struct and DuckDB min over a 2-list replay the pair order
+    * identically). `iterations` is fixed (synchronous LPA is not
+    * guaranteed to converge — the bounded-round form IS the
+    * deterministic contract).
     *
     * Per round: one exchange-reusing neighbor join (sym is checkpointed
     * pre-hashed on src; labels arrive hashed on nid from the previous
     * round's agg) + two keyed aggs. A zero-count sentinel row per node
-    * (key −label < every real key) keeps isolated nodes at their own
-    * label without a left join.
+    * (key (0, label) > every real key (−cnt, ·), cnt ≥ 1) keeps
+    * isolated nodes at their own label without a left join.
     *
     * checkpointInterval DEFAULTS TO 1 and must stay there for any real
     * round count: each round references the previous `labels` TWICE
@@ -119,8 +101,13 @@ object Graph {
                        checkpointInterval: Int = 1): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // 0 would crash `i % checkpointInterval`; a negative value would
+    // silently disable checkpointing and resurrect the measured
+    // exponential plan-doubling (1.9/2.8/5.5/14.1 s for rounds 1-4)
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1, got $checkpointInterval")
+    require(idCol != "label", "idCol 'label' collides with the output column")
+    val sym = symmetrize(edges)
       .repartition(col("src")).localCheckpoint(false)
     var labels = nodes.select(col(idCol).as("nid"), col(idCol).cast("long").as("label"))
     for (i <- 1 to iterations) {
@@ -128,24 +115,69 @@ object Graph {
         .groupBy(col("dst").as("nid2"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("nid2").as("nid"), col("label"),
-          (col("cnt") * lit(4294967296L) - col("label")).as("key"))
+          struct((-col("cnt")).as("nc"), col("label").as("lb")).as("key"))
       val withSentinel = neigh.unionByName(
-        labels.select(col("nid"), col("label"), (-col("label")).as("key")))
+        labels.select(col("nid"), col("label"),
+          struct(lit(0L).as("nc"), col("label").as("lb")).as("key")))
       labels = withSentinel.groupBy(col("nid"))
-        .agg(max_by(col("label"), col("key")).as("label"))
+        .agg(min_by(col("label"), col("key")).as("label"))
       if (i % checkpointInterval == 0 && i < iterations)
         labels = labels.localCheckpoint(false)
     }
     labels.select(col("nid").as(idCol), col("label"))
   }
 
+  /** PageRank over an UNDIRECTED edge set, fixed iteration count,
+    * fixed-point integer arithmetic (bit-exact on any engine):
+    *
+    *   r₀(v)   = SCALE                       (SCALE = 10^12)
+    *   rᵢ₊₁(v) = (15·SCALE) div 100
+    *           + (85 · Σ_{u∼v} (rᵢ(u) div deg(u))) div 100
+    *
+    * — the standard damping-0.85 formulation with the division order
+    * pinned (per-neighbor integral share first, damping last), so Spark
+    * `div` and DuckDB `//` replay it exactly. Overflow headroom: every
+    * per-node mass is bounded by the TOTAL mass n·SCALE, and the 85×
+    * damping step is computed as (m div 100)·85 + ((m mod 100)·85) div
+    * 100 — algebraically equal to (85·m) div 100 but never forming the
+    * 85·m product (which overflows int64 once a hub's mass passes
+    * ~1.1·10¹⁷, i.e. a 100k-leaf star at this SCALE). The remaining
+    * bound is n·SCALE < 2⁶³: at SCALE 10¹² that is ~9M nodes in the
+    * worst (all mass on one node) case — lower SCALE toward 10⁶ for
+    * billion-node graphs; precision loss is the per-share floor only.
+    *
+    * Scale plan (and the lesson that shaped it): each round references
+    * the previous ranks frame exactly ONCE, so the plan grows linearly
+    * in the iteration count instead of doubling per round, and a
+    * fixed-iteration run is ONE driver action with no per-round
+    * checkpoint barriers (a per-round eager checkpoint costs a full job
+    * launch + materialization each round — measured 10.8 s vs 4.5 s
+    * steady on the sf0.1 co-purchase graph). Zero-share sentinel rows
+    * replace the per-round left join, so one keyed agg is the round's
+    * only shuffle of node-cardinality data. The degree-annotated
+    * out-edge list and the sentinel frame are LAZY
+    * `localCheckpoint(false)` (materialized once inside the caller's
+    * action, reused by every round); `checkpointInterval` bounds plan
+    * depth for long runs.
+    *
+    * @param edges canonical undirected pairs (`src`, `dst`)
+    * @param nodes one row per node id; MUST cover every edge endpoint
+    *              (pass [[edgeNodes]] or a superset — an endpoint
+    *              missing from `nodes` contributes nothing in round 1
+    *              yet accumulates incoming mass, silently corrupting
+    *              its neighborhood's ranks). Isolated nodes settle at
+    *              0.15·SCALE.
+    * @return (idCol, rank_fp BIGINT) — rank scaled by 10^12
+    */
   def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
                iterations: Int = 5, checkpointInterval: Int = 8): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1, got $checkpointInterval")
+    require(idCol != "rank_fp", "idCol 'rank_fp' collides with the output column")
     val scale = 1000000000000L
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = symmetrize(edges)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val out = sym.join(deg, Seq("src")).localCheckpoint(false)
     // zero-share sentinel rows make every node surface in the round's
@@ -161,7 +193,9 @@ object Graph {
       ranks = contribs.union(zeros)
         .groupBy(col("nid")).agg(sum(col("share")).as("mass"))
         .select(col("nid"),
-          (lit(15L * scale / 100L) + expr("(85 * mass) div 100")).as("rank_fp"))
+          // overflow-safe (85·m) div 100: see the scaladoc headroom note
+          (lit(15L * scale / 100L) +
+            expr("(mass div 100) * 85 + ((mass % 100) * 85) div 100")).as("rank_fp"))
       if (i % checkpointInterval == 0 && i < iterations)
         ranks = ranks.localCheckpoint(false)
     }
@@ -183,18 +217,24 @@ object Graph {
     * @return (idCol, triangles BIGINT) — one row per node in `nodes`
     */
   def triangleCounts(edges: DataFrame, nodes: DataFrame, idCol: String): DataFrame = {
+    require(idCol != "triangles" && idCol != "n",
+      s"idCol '$idCol' collides with an internal/output column")
     val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
-    // orient by (degree, id): u→v iff (d(u), u) < (d(v), v)
-    val dirE = e
+    // orient by (degree, id): u→v iff (d(u), u) < (d(v), v).
+    // persistTracked: dirE feeds BOTH sides of the wedge self-join —
+    // uncached, the sym build + deg agg + two degree-attach joins run
+    // twice (released by the caller via Caching.release())
+    val dirE = graft.Caching.persistTracked(e
       .join(deg.select(col("n").as("src"), col("d").as("ds")), Seq("src"))
       .join(deg.select(col("n").as("dst"), col("d").as("dd")), Seq("dst"))
       .select(
         when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
           col("src")).otherwise(col("dst")).as("from"),
         when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
-          col("dst")).otherwise(col("src")).as("to"))
+          col("dst")).otherwise(col("src")).as("to")))
     // wedges from a common source's out-edges (u < v canonicalizes the
     // pair); the closing edge is looked up in canonical (src<dst) form
     val e1 = dirE.select(col("from").as("w"), col("to").as("u"))
@@ -236,8 +276,11 @@ object Graph {
               maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1 && maxHops <= 50,
       s"maxHops must be in [1, 50], got $maxHops")
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    require(idCol != "dist", "idCol 'dist' collides with the output column")
+    // symmetrize drops NULL endpoints — the settled-set anti join below
+    // is null-UNSAFE (null = null is unknown), so a null node would be
+    // re-discovered every round with a fresh distance
+    val sym = symmetrize(edges)
       .repartition(col("src")).localCheckpoint(false)
     var frontier = sources.select(col(idCol).as("nid")).distinct()
       .localCheckpoint(false)

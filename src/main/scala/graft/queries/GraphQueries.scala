@@ -33,7 +33,8 @@ object GraphQueries {
     val rounds = (1 to iters).map { i =>
       s"""r$i AS (
          |  SELECT nodes.n,
-         |         CAST(150000000000 + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS r
+         |         CAST(150000000000 + (COALESCE(m.mass, 0) // 100) * 85
+         |              + ((COALESCE(m.mass, 0) % 100) * 85) // 100 AS BIGINT) AS r
          |  FROM nodes LEFT JOIN (
          |    SELECT sym.dst AS n, SUM(r${i - 1}.r // deg.d) AS mass
          |    FROM sym JOIN r${i - 1} ON r${i - 1}.n = sym.src
@@ -48,18 +49,20 @@ object GraphQueries {
   }
 
   /** Unrolled synchronous label-propagation rounds l1..l`iters`: the
-    * argmax is the BIGINT key cnt·2³² − label (count ties → lowest
-    * label), the zero-count sentinel row keeps every node present. */
+    * argmax key is the ordered pair (−cnt, label) taken by min — the
+    * engine's struct min_by replayed as DuckDB min over a 2-list
+    * (lexicographic), total over the full 64-bit label domain (the
+    * former cnt·2³²−label packing mis-voted for labels ≥ 2³²). The
+    * zero-count sentinel row keeps every node present. */
   private def labelPropSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""l$i AS (
-         |  SELECT t.n, CAST(arg_max(t.label, t.key) AS BIGINT) AS label FROM (
-         |    SELECT sym.dst AS n, l${i - 1}.label,
-         |           CAST(count(*) AS BIGINT) * 4294967296 - l${i - 1}.label AS key
+         |  SELECT t.n, CAST(min([t.k1, t.k2])[2] AS BIGINT) AS label FROM (
+         |    SELECT sym.dst AS n, -CAST(count(*) AS BIGINT) AS k1, l${i - 1}.label AS k2
          |    FROM sym JOIN l${i - 1} ON l${i - 1}.n = sym.src
          |    GROUP BY sym.dst, l${i - 1}.label
          |    UNION ALL
-         |    SELECT n, label, -label FROM l${i - 1}
+         |    SELECT n, CAST(0 AS BIGINT), label FROM l${i - 1}
          |  ) t GROUP BY t.n)"""
     }.mkString(",\n")
     s"""WITH $EdgeCtes,

@@ -133,4 +133,73 @@ class GraphSpec extends SparkSpec {
     // extra rounds past convergence change nothing (frontier drains)
     assert(run(10) == run(2))
   }
+
+  test("labelPropagation matches brute-force sync LPA on 64-bit and negative ids") {
+    // ids spanning >= 2^33 and negative — the domain the former
+    // cnt*2^32 - label packed key silently mis-voted on
+    val big = 1L << 33
+    val ids = Seq(-big - 7L, -5L, 3L, big, big + 1L, big + 9L, 12L)
+    val edges = Seq(
+      (ids(0), ids(1)), (ids(0), ids(2)), (ids(1), ids(2)),
+      (ids(3), ids(4)), (ids(3), ids(5)), (ids(4), ids(5)),
+      (ids(2), ids(3)), (ids(6), ids(0)))
+    def brute(iters: Int): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2) }
+      var lab = ids.map(i => i -> i).toMap
+      for (_ <- 1 to iters) {
+        lab = ids.map { n =>
+          val neigh = adj.getOrElse(n, Seq.empty).map(lab)
+          if (neigh.isEmpty) n -> lab(n)
+          else {
+            val counts = neigh.groupBy(identity).map { case (l, o) => (l, o.size) }
+            // max count, tie -> lowest label (the engine contract)
+            n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }
+        }.toMap
+      }
+      lab
+    }
+    for (iters <- Seq(1, 3)) {
+      val got = Graph.labelPropagation(edges.toDF("src", "dst"),
+          ids.toDF("item"), "item", iterations = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == brute(iters), s"iters=$iters")
+    }
+  }
+
+  test("pageRank: hub mass past the 85x Long-product boundary stays exact") {
+    // 150k-leaf star: round-1 hub mass = 150000 * SCALE = 1.5e17, so the
+    // naive 85 * mass product overflows Long (1.275e19 > 9.2e18) — the
+    // decomposed damping must return the exact value instead of throwing
+    val n = 150000
+    val edges = (1 to n).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val nodes = (0 to n).map(_.toLong).toDF("item")
+    val hub = Graph.pageRank(edges, nodes, "item", iterations = 1)
+      .filter(col("item") === 0L).collect()(0).getLong(1)
+    val mass = n.toLong * 1000000000000L
+    assert(hub == 150000000000L + (mass / 100L) * 85L + ((mass % 100L) * 85L) / 100L)
+  }
+
+  test("bfsHops: null edge endpoints are dropped, never re-discovered each round") {
+    val e = Seq((Some(1L), Some(2L)), (Some(2L), Option.empty[Long]))
+      .toDF("src", "dst")
+    val out = Graph.bfsHops(e, nodesOf(1L), "item", maxHops = 4).collect()
+    assert(out.length == out.map(_.get(0)).distinct.length, "one row per node")
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("graph operators reject idCol names that collide with output columns") {
+    val e = edgesOf((1L, 2L))
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(e, nodesOf(1L, 2L), "label") }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e, nodesOf(1L, 2L), "rank_fp") }
+    intercept[IllegalArgumentException] {
+      Graph.bfsHops(e, nodesOf(1L), "dist") }
+    intercept[IllegalArgumentException] {
+      Graph.triangleCounts(e, nodesOf(1L, 2L), "triangles") }
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(e, nodesOf(1L, 2L), "item", checkpointInterval = 0) }
+  }
 }
