@@ -22,7 +22,11 @@ object StreamingOps {
   def hourlyEventCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("bucket"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      // moneySum, not a raw double sum: the batch mirror q_events_hourly
+      // aggregates this column decimally, and a double fold accumulates
+      // in micro-batch/partition order — nondeterministic across re-runs
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.ColFns.moneySum(col("value"), 2).as("total_value"))
       .select(col("bucket.start").as("bucket_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
@@ -61,8 +65,7 @@ object StreamingOps {
   def monthlyRevenue(pricedLines: DataFrame): DataFrame =
     pricedLines
       .groupBy(date_format(col("ts"), "yyyy-MM").as("month"), col("item"))
-      .agg(sum(col("unitCost").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-        .cast("double").as("total"))
+      .agg(graft.functions.ColFns.moneySum(col("unitCost"), 2).as("total"))
 
   /** Q3 streaming: maintained item and pair counts over a billing stream
     * (ts, items ARRAY<STRING>) — pair generation via the custom
@@ -75,7 +78,8 @@ object StreamingOps {
     val arr = array_distinct(col("items"))
     val itemCnt = billings.select(explode(arr).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("item_cnt"))
-    val pairCnt = billings.select(pairs(arr).as(Seq("x", "y")))
+    // PairsGenerator sorts and dedups internally — no pre-distinct
+    val pairCnt = billings.select(pairs(col("items")).as(Seq("x", "y")))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("pair_cnt"))
     // non-empty baskets only — same denominator rule as AssocRules
     val total = billings.groupBy()
@@ -98,9 +102,14 @@ object StreamingOps {
     * and dropped from the output. */
   def joinWithinWatermark(left: DataFrame, right: DataFrame, key: String,
                           leftTs: String, rightTs: String,
-                          within: String = "1 hour"): DataFrame = {
-    val l = left.withWatermark(leftTs, within)
-    val r = right.withColumnRenamed(key, s"${key}_r").withWatermark(rightTs, within)
+                          within: String = "1 hour",
+                          lateness: Option[String] = None): DataFrame = {
+    // lateness (allowed out-of-orderness) and the attribution window are
+    // independent knobs: a 7-day window with minutes of lateness should
+    // not buffer 7 days of state on both sides. Defaults to `within`.
+    val wm = lateness.getOrElse(within)
+    val l = left.withWatermark(leftTs, wm)
+    val r = right.withColumnRenamed(key, s"${key}_r").withWatermark(rightTs, wm)
     l.join(r, expr(
       s"$key = ${key}_r AND $rightTs >= $leftTs AND $rightTs <= $leftTs + interval '$within'"))
       .drop(s"${key}_r")
@@ -203,16 +212,26 @@ object StreamingOps {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    val gapMs = gapMinutes * 60L * 1000L
 
     /** Emit sessions the watermark has sealed; park the rest in state
       * with the timeout on the earliest still-open end. */
     def expire(userId: Long, all: List[SessionState], wmMs: Long,
                state: GroupState[OpenSessions]): Iterator[SessionOut] = {
-      val (closed, open) = all.partition(s => s.endUs / 1000L + gapMs <= wmMs)
+      // Seal in MICROSECONDS: a session is closed only when no
+      // admissible event (tUs <= endUs + gapUs) can still arrive, i.e.
+      // endUs + gapUs < watermark_us. The former ms-floored test
+      // (endUs/1000 + gapMs <= wmMs) sealed up to 999 µs early: an
+      // exactly-gap-apart event with a sub-ms part was NOT late by the
+      // watermark, arrived in a later micro-batch, found its session
+      // already emitted, and produced the split/duplicate sessions the
+      // contract rules out.
+      val (closed, open) = all.partition(s => s.endUs + gapUs < wmMs * 1000L)
       if (open.nonEmpty) {
         state.update(OpenSessions(open))
-        state.setTimeoutTimestamp(open.map(_.endUs).min / 1000L + gapMs)
+        // +1 ms: the timeout must sit STRICTLY above the current
+        // watermark (floor division can land exactly on wmMs), and
+        // firing at wm > ts guarantees wm_us > minEndUs + gapUs
+        state.setTimeoutTimestamp((open.map(_.endUs).min + gapUs) / 1000L + 1L)
       } else state.remove()
       closed.sortBy(_.startUs).iterator
         .map(s => SessionOut(userId, s.startUs, s.endUs, s.n, s.total))
@@ -226,9 +245,12 @@ object StreamingOps {
       } else {
         // full microsecond precision: getTime carries millis, getNanos
         // the sub-second part (so sub-ms events agree with the batch
-        // queries' unix_micros)
+        // queries' unix_micros). floorDiv, not /: getTime truncates
+        // toward zero for pre-epoch instants while getNanos is always
+        // positive, so plain division lands a 1969 sub-second timestamp
+        // on the wrong side of the epoch
         def micros(t: java.sql.Timestamp): Long =
-          t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
         var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
         rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
           val tUs = micros(e.ts)
@@ -259,11 +281,13 @@ object StreamingOps {
     * expression (md5 hex, first 15 chars base-16): StreamingHllSpec
     * pins the streamed registers EQUAL to the batch sketch, which only
     * holds if this hash is bit-identical to the SQL one. */
-  private[graft] def portableHash64Jvm(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    d.take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) >>> 4
-  }
+  private[graft] def portableHash64Jvm(s: String): Long =
+    // delegate to the ONE definition (ThreadLocal-reused digest —
+    // getInstance per call is a provider-registry lookup on the
+    // per-event hot path; a second copy of the fold is also a silent
+    // batch/stream drift risk)
+    graft.functions.PortableHash60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
 
   /** Per-event-type distinct-user cardinality over an unbounded stream
     * with BOUNDED state: the [[graft.operators.Hll]] register array (64
@@ -358,6 +382,9 @@ object StreamingOps {
   }
 
   def heavyHittersSketch(events: Dataset[Ev], k: Int): Dataset[HeavyHitters] = {
+    // k <= 0 would silently emit empty candidate lists forever (the
+    // m.size < k insert branch never fires) — fail loudly instead
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.event_type)

@@ -78,6 +78,39 @@ class StreamingSpec extends SparkSpec {
       (2L, 2L, 20.0))) // straggler pair merged (u2: t-100 + t-80)
   }
 
+  test("sessionizeWithState: sub-millisecond timestamps never seal a session early") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // event A carries a 500 µs sub-ms part; the former ms-floored seal
+    // test closed A's session the moment the watermark reached
+    // floor(A)+gap — 500 µs BEFORE the last admissible instant — so an
+    // exactly-gap-apart follow-up event (still not late!) re-opened a
+    // duplicate session. The fix seals in µs; this fixture pins it.
+    def subMs(min: Long, micro: Int): Timestamp = {
+      val t = ts(min); t.setNanos(micro * 1000); t
+    }
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.sessionizeWithState(ms.toDS(), gapMinutes = 30, watermark = "2000 minutes")
+      .writeStream.format("memory").queryName("subms").outputMode("append").start()
+    ms.addData(Ev(1, subMs(0, 500), "a", 1.0))
+    q.processAllAvailable()
+    // watermark lands EXACTLY on floor(A)+gap (sentinel at +2030 with a
+    // 2000-minute delay): old code seals here, new code must not
+    ms.addData(Ev(9, ts(2030), "noop", 0.0))
+    q.processAllAvailable()
+    // B at exactly A + gap (same 500 µs sub-ms part): within the
+    // inclusive gap, and its event time is not below the watermark
+    ms.addData(Ev(1, subMs(30, 500), "b", 2.0))
+    q.processAllAvailable()
+    ms.addData(Ev(9, ts(20000), "noop", 0.0)) // flush everything
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("subms").filter(col("user_id") === 1)
+      .select("n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((2L, 3.0)), s"expected ONE merged session, got $got")
+  }
+
   test("sessionizeWithState: a bridging event collapses two open sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
