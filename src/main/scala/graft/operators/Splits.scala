@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   * Changing the salt re-rolls the whole split. Pure map-side
   * projection — no shuffle, no RNG state, embarrassingly parallel at
   * any scale.
+  *
+  * Family-wide contracts:
+  *  - NULL ids are DROPPED by every op here (a null cannot hash to a
+  *    deterministic fate; silently routing it to some default split
+  *    would skew exactly the held-out set this family exists to
+  *    protect).
+  *  - COMPOSED ops need DISTINCT salts: every decision is a function
+  *    of hash(salt:id), so e.g. stratifiedSample at rate r then
+  *    [[assign]] with the SAME salt puts the entire surviving sample
+  *    in 'train' (the sample is precisely the low-hash rows). One salt
+  *    per decision, not per dataset.
   */
 object Splits {
 
@@ -39,6 +50,8 @@ object Splits {
     val rate = ratesPermyriad.foldLeft(lit(defaultPermyriad)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
+    // null ids drop naturally (NULL < rate is never true) — the
+    // family-wide null contract
     df.filter(h < rate)
   }
 
@@ -69,7 +82,10 @@ object Splits {
     val frac = perStratum(v => (v % 10000).toLong)
     // copies >= 1 before the sequence: sequence(1, 0) would flip to a
     // DESCENDING default step and emit [1, 0] instead of nothing
-    df.withColumn("_copies", base + when(h < frac, 1L).otherwise(0L))
+    df.filter(col(idCol).isNotNull) // family-wide null contract — a null
+      // id would otherwise get exactly `base` copies (its fractional
+      // when() is NULL), a third silent fate distinct from the siblings'
+      .withColumn("_copies", base + when(h < frac, 1L).otherwise(0L))
       .filter(col("_copies") >= 1)
       .select(df.columns.map(col) :+
         explode(sequence(lit(1L), col("_copies"))).as("copy_idx"): _*)
@@ -110,9 +126,22 @@ object Splits {
                 weight: Column, k: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1, got $k")
+    // integral weights only: cast("long") on a fractional weight would
+    // silently truncate (0.9 → 0 → row DROPPED; 1.9 and 1.1 both → 1),
+    // biasing the 'proportional to size' contract with no error
+    val wType = df.select(weight.as("_w")).schema.head.dataType
+    require(Seq("byte", "short", "integer", "long").contains(wType.typeName),
+      s"samplePps weight must be an integral column, got $wType — " +
+        "scale fractional weights to integers (e.g. per-myriad) first")
     val h = Dedup.portableHash64(concat(lit(salt + ":"), col(idCol).cast("string")))
     val byStratum = Window.partitionBy(col(strataCol))
+    // ROWS frame, not the default RANGE: under RANGE, duplicate ids tie
+    // on the (h, id) order key and share one _cum, overlapping their
+    // intervals and breaking the telescoping Σ n_draws = k; ROWS gives
+    // every physical row its own prefix (identical results for unique
+    // ids, where RANGE ≡ ROWS)
     val inOrder = byStratum.orderBy(h.asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_w", weight.cast("long"))
       .filter(col("_w") > 0)
       .withColumn("_cum", sum(col("_w")).over(inOrder))
@@ -120,7 +149,12 @@ object Splits {
       .withColumn("n_draws",
         expr(s"((_cum * $k) div _tot) - (((_cum - _w) * $k) div _tot)"))
       .filter(col("n_draws") >= 1)
-      .select(df.columns.map(col) :+ col("_w").as("weight") :+ col("n_draws"): _*)
+      // the sampling weight IS the output `weight` column — an input
+      // column of the same name is superseded, never duplicated (two
+      // `weight` columns would make every downstream by-name reference
+      // an AMBIGUOUS_REFERENCE error)
+      .select(df.columns.filterNot(_ == "weight").map(col) :+
+        col("_w").as("weight") :+ col("n_draws"): _*)
   }
 
   /** Deterministic negative sampling — the contrastive-pairs primitive
@@ -135,21 +169,27 @@ object Splits {
     *
     * Scale shape: the corpus size enters as a 1-row broadcast (never a
     * collect), candidates explode map-side (k narrow rows per anchor),
-    * and the draw is ONE keyed join on the rank. The rank itself is a
-    * row_number over the id order — the one global sort in the op
-    * (range-partitioned at scale, sorting only the id column); corpora
-    * with dense ids can substitute the id for the rank and skip it.
+    * and the draw is ONE keyed join on the rank. The rank rides
+    * [[SeqPack.prefixSum]]'s two-level scan — one RANGE exchange on the
+    * id plus broadcast partition offsets (a bare unpartitioned
+    * row_number window would plan Exchange SinglePartition: one task
+    * sorting and holding every id, the opposite of this paragraph);
+    * corpora with dense ids can substitute the id for the rank and
+    * skip it.
     *
     * Output: (anchor_id, slot, neg_id).
     */
   def negativeSample(docs: DataFrame, idCol: String, k: Int,
                      salt: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1, got $k")
-    val ids = docs.select(col(idCol))
+    // three consumers (count, rank, slots) — persist so the id
+    // projection runs once; released by the caller via Caching.release()
+    val ids = graft.Caching.persistTracked(
+      docs.select(col(idCol)).filter(col(idCol).isNotNull))
     val nFrame = ids.agg(count(lit(1)).as("_n"))
-    val ranked = ids.withColumn("_rank",
-      row_number().over(Window.orderBy(col(idCol))).cast("long"))
+    val ranked = SeqPack.prefixSum(
+        ids.select(col(idCol), lit(1L).as("_one")), idCol, "_one")
+      .select(col(idCol), (col("tok_start") + 1L).as("_rank"))
     val slots = ids.select(col(idCol).as("anchor_id"),
         explode(sequence(lit(1), lit(k))).as("slot"))
       .withColumn("_h", Dedup.portableHash64(concat(
@@ -164,13 +204,16 @@ object Splits {
   }
 
   /** train/valid/test label: buckets [0,trainPct) → train,
-    * [trainPct, trainPct+validPct) → valid, rest → test. */
+    * [trainPct, trainPct+validPct) → valid, rest → test. NULL ids are
+    * dropped (family contract — a NULL bucket would otherwise fall
+    * through both when() arms and silently land in 'test'). */
   def assign(df: DataFrame, idCol: String, salt: String,
              trainPct: Int = 80, validPct: Int = 10): DataFrame = {
     require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
       s"split percentages must partition [0,100): train=$trainPct valid=$validPct")
     val b = bucket(col(idCol), salt)
-    df.withColumn("bucket", b)
+    df.filter(col(idCol).isNotNull)
+      .withColumn("bucket", b)
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
           .when(col("bucket") < trainPct + validPct, "valid")

@@ -107,4 +107,62 @@ class SplitsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_draws")).toMap
     assert(out == Map(1L -> 3L)) // zero-weight rows and the empty stratum vanish
   }
+
+  test("null ids are dropped uniformly, never silently routed to a split") {
+    import spark.implicits._
+    val d = Seq(Some(1L), Some(2L), Option.empty[Long]).toDF("id")
+      .withColumn("grp", lit("a"))
+    val assigned = Splits.assign(d, "id", "s1")
+    assert(assigned.count() == 2 && assigned.filter(col("id").isNull).count() == 0)
+    val resampled = Splits.resampleByWeight(d, "id", "grp",
+      Map("a" -> 20000), 10000, "s1")
+    assert(resampled.filter(col("id").isNull).count() == 0)
+    val negs = Splits.negativeSample(d, "id", k = 2, salt = "s1")
+    Caching.release()
+    assert(negs.filter(col("anchor_id").isNull || col("neg_id").isNull).count() == 0)
+  }
+
+  test("PPS keeps the sum-of-draws = k invariant under DUPLICATE ids") {
+    import spark.implicits._
+    // two physical rows share id 7: under a RANGE cumulative frame they
+    // tie on (h, id), share one _cum, and the telescoping sum breaks
+    val d = Seq((7L, "a", 1L), (7L, "a", 1L), (8L, "a", 1L), (9L, "a", 1L))
+      .toDF("id", "grp", "w")
+    val total = Splits.samplePps(d, "id", "grp", col("w"), k = 4, salt = "s1")
+      .agg(sum("n_draws")).collect()(0).getLong(0)
+    assert(total == 4L)
+  }
+
+  test("PPS supersedes an input column named 'weight' instead of duplicating it") {
+    import spark.implicits._
+    val d = Seq((1L, "a", 5L), (2L, "a", 3L)).toDF("id", "grp", "weight")
+    val out = Splits.samplePps(d, "id", "grp", col("weight"), k = 2, salt = "s1")
+    assert(out.columns.count(_ == "weight") == 1)
+    out.select("weight").collect() // would throw AMBIGUOUS_REFERENCE before
+  }
+
+  test("PPS rejects fractional weight columns loudly") {
+    import spark.implicits._
+    val d = Seq((1L, "a", 0.9)).toDF("id", "grp", "w")
+    intercept[IllegalArgumentException] {
+      Splits.samplePps(d, "id", "grp", col("w"), k = 1, salt = "s1")
+    }
+  }
+
+  test("negativeSample's two-level-scan rank matches a sequential rank draw") {
+    import spark.implicits._
+    val ids = Seq(5L, 11L, 2L, 42L, 7L, 30L)
+    val d = ids.toDF("doc_id")
+    val got = Splits.negativeSample(d, "doc_id", k = 3, salt = "s9")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Caching.release()
+    val sorted = ids.sorted
+    val want = (for {
+      a <- ids; s <- 1 to 3
+      h = graft.streaming.StreamingOps.portableHash64Jvm(s"s9:$a:$s")
+      neg = sorted(((h % ids.length) + 1 - 1).toInt)
+      if neg != a
+    } yield (a, s.toLong) -> neg).toMap
+    assert(got == want)
+  }
 }
