@@ -220,7 +220,10 @@ object Dedup {
     // lose (minhashSignatures is total via the whole-doc shingle
     // fallback). Convention: no votes cast → signature 0, replayed
     // identically by the q_simhash oracle's left join.
-    docs.select(col(idCol)).join(sigs, Seq(idCol), "left")
+    // distinct, not raw ids: the totality join must preserve the groupBy's
+    // one-row-per-id shape — joining from raw docs would emit one row per
+    // INPUT row, duplicating signatures under repeated ids
+    docs.select(col(idCol)).distinct().join(sigs, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 

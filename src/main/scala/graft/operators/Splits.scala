@@ -142,7 +142,12 @@ object Splits {
     // ids, where RANGE ≡ ROWS)
     val inOrder = byStratum.orderBy(h.asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_w", weight.cast("long"))
+    // family-wide NULL-id contract (resampleByWeight/assign/negativeSample):
+    // a NULL id hashes to NULL (the salt concat propagates it), sorts first
+    // under asc, and would join the draw with a partition-order-dependent
+    // tie on (h, id) — dropped up front like the weight≤0 rows
+    df.filter(col(idCol).isNotNull)
+      .withColumn("_w", weight.cast("long"))
       .filter(col("_w") > 0)
       .withColumn("_cum", sum(col("_w")).over(inOrder))
       .withColumn("_tot", sum(col("_w")).over(byStratum))

@@ -461,6 +461,43 @@ object SimilarityQueries {
         |            JOIN e ce ON ce.vec_id = cand.id2)
         |WHERE cos_sim >= 0.4"""),
 
+    // The AUTO-SIZED near-dup path — the round-10 scale ladder's headline
+    // fix graduated to a CORRECTNESS row: the engine learns n with one
+    // count() and sizes planes = srpPlanesFor(n, 128); the oracle replays
+    // the RULE ITSELF (smallest p with n // 2^p ≤ 128, from COUNT(*))
+    // and branches into the full interpolated hyperplane set for that p
+    // (each p has a DISTINCT Random(42) layout, so each branch carries
+    // its own 16-table constants). Plane sets cover p ∈ {2,3,4} — the
+    // rule's output at every verified corpus size (500 → 2, 2000 → 4)
+    // plus the gap point; a p outside the range yields NULL codes →
+    // zero oracle candidates → a loud rows mismatch, never silent
+    // acceptance. Same candidate join + exact-cosine filter as
+    // q_embed_neardup, so the pair stands as fixed-vs-auto evidence.
+    "q_embed_neardup_auto" -> QueryDef(
+      (s, dir) => graft.operators.Dedup.embeddingNearDupsAuto(
+        Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64,
+        threshold = 0.4, tables = 16, targetBucketSize = 128,
+        maxBucketSize = Some(100000)),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pp AS (SELECT min(i) AS p FROM generate_series(1, 32) AS g(i)
+        |       WHERE (SELECT count(*) FROM e) // (1::BIGINT << i) <= 128),
+        |codes AS (SELECT vec_id, CASE (SELECT p FROM pp)
+        |    WHEN 2 THEN ${srpCodesSql(64, 2, 16)}
+        |    WHEN 3 THEN ${srpCodesSql(64, 3, 16)}
+        |    WHEN 4 THEN ${srpCodesSql(64, 4, 16)}
+        |    END AS codes FROM e),
+        |b AS (SELECT vec_id, i AS tbl, codes[i] AS bucket
+        |      FROM codes CROSS JOIN generate_series(1, 16) AS g(i)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+        |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |SELECT id1, id2, cos_sim FROM (
+        |  SELECT id1, id2,
+        |         list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos_sim
+        |  FROM cand JOIN e qe ON qe.vec_id = cand.id1
+        |            JOIN e ce ON ce.vec_id = cand.id2)
+        |WHERE cos_sim >= 0.4"""),
+
     "q_ann_lsh" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)

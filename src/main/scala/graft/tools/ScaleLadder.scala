@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   *    becomes N disjoint copies of the original, again "more data,
   *    same shape".
   *
-  * Usage: runMain graft.tools.ScaleLadder [baseDir] [scaledDir] [N]
+  * Usage: runMain graft.tools.ScaleLadder [baseDir] [scaledDir] [N] [mode]
+  * where [mode] is `all` (default ladder set), `tuned`, or a
+  * comma-separated query-name list to ladder just that subset.
   * Writes one JSON line per query plus a trailing markdown table that
   * SCALE.md embeds verbatim.
   */
