@@ -17,7 +17,8 @@ object SparkEntry {
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MediaQueries.defs ++ SqlQueries.defs ++ TpchQueries.defs ++
       PipelineQueries.defs ++ BpeQueries.defs ++ GraphQueries.defs ++
-      CdcQueries.defs ++ ProfileQueries.defs ++ TpchDeepQueries.defs
+      CdcQueries.defs ++ ProfileQueries.defs ++ TpchDeepQueries.defs ++
+      StreamQueries.defs
 
   // a name collision between registry files would silently drop a query
   // (and its oracle) from the driver surface via toMap — fail loudly

@@ -110,7 +110,127 @@ object Bpe {
           .orderBy(col("freq").desc, col("token"))).cast("long").as("rank"))
   }
 
+  /** DISTRIBUTED BPE merge training — the train half of
+    * train-once/serve-many, in-engine (closing the one frozen artifact
+    * whose training loop lived only in the offline
+    * [[graft.tools.FreezeBpeMerges]] tool; IvfCentroids already has
+    * lloydIterate). Classic frequency-weighted pair merging (Sennrich
+    * et al. 2016) over the DISTINCT pre-token dictionary:
+    *
+    *  - round state is the weighted word dictionary (w, n) — bounded by
+    *    vocabulary, not corpus size, so 100 TB of text trains over the
+    *    same few-MB frame a laptop would (the [[tokenStats]] scale
+    *    argument, applied to training);
+    *  - each round is ONE keyed pair-count aggregation (adjacent-pair
+    *    explode → groupBy(l, r) → sum(n)) plus a 1-row argmax collected
+    *    to the driver (min_by over struct(-cnt, l, r) — count desc,
+    *    then left/right codepoint asc via binary string order, the
+    *    FreezeBpeMerges tie-break; single-char BMP strings compare in
+    *    codepoint order on both engines);
+    *  - the winning pair applies as one codegen'd 2-char → 1-char
+    *    `replace` (merged symbol = U+E000+round), and the dictionary is
+    *    re-checkpointed (lazy) so the next round's action materializes
+    *    exactly one increment — the CC/PageRank one-action-per-round
+    *    discipline, with plan depth O(1) per round.
+    *
+    * Runs a FIXED `numMerges` rounds (stopping only if no adjacent
+    * pairs remain) — unlike FreezeBpeMerges it does NOT stop at
+    * count < 2, so the two agree wherever the corpus supports
+    * `numMerges` productive merges (true on the frozen table's training
+    * corpus, where round 96's best pair still counts 871; BpeSpec pins
+    * sequential ≡ distributed on a synthetic corpus, and q_bpe_train's
+    * DuckDB oracle replays every round).
+    *
+    * @return (rank, left_code, right_code, merged_code, cnt) — one row
+    *         per learned merge, ranks 0-based, codes as BIGINT
+    *         codepoints, merged_code = 0xE000 + rank
+    */
+  def train(docs: DataFrame, numMerges: Int,
+            textCol: String = "text", dictPartitions: Int = 1): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 4096,
+      s"numMerges must be in [1, 4096], got $numMerges")
+    require(dictPartitions >= 1,
+      s"dictPartitions must be >= 1, got $dictPartitions")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // The corpus-proportional work (pre-token explode + count) happens
+    // ONCE here at full parallelism; every ROUND then runs over the
+    // distinct dictionary, which is vocabulary-bounded (≲ millions of
+    // rows for trillion-token corpora — Heaps' law), so the rounds are
+    // re-partitioned down to `dictPartitions` small partitions: at 96
+    // rounds × 4 stages each, per-task scheduling overhead on a
+    // 32-partition frame dominates the actual aggregation by 10×+
+    // (measured 17.7 s → 5.6 s on the frozen table's corpus).
+    var words = docs
+      .select(explode(TextFns.bpeTokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .coalesce(dictPartitions)
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      // one fused aggregation per round ([[graft.functions.SketchAggs
+      // .PairArgmaxAgg]]): pair counting AND argmax in a single buffer,
+      // 2 stages — partial maps over the dictionary partitions, one
+      // single-partition merge — instead of the 3-stage declarative
+      // explode→groupBy(l,r)→min_by chain whose per-round scheduling
+      // latency dominated at 96 rounds (measured ~3× end to end)
+      val best = words
+        .agg(graft.functions.SketchAggs.pair_argmax(col("w"), col("n")).as("b"))
+        .select(col("b.l_code"), col("b.r_code"), col("b.cnt"))
+        .collect()
+      if (best.isEmpty || best(0).isNullAt(0)) done = true
+      else {
+        val (lc, rc, cnt) = (best(0).getLong(0), best(0).getLong(1), best(0).getLong(2))
+        val m = (0xE000 + i).toChar
+        merges += ((i.toLong, lc, rc, (0xE000 + i).toLong, cnt))
+        words = words
+          .select(replace(col("w"),
+            lit(s"${lc.toInt.toChar}${rc.toInt.toChar}"), lit(m.toString)).as("w"),
+            col("n"))
+          .localCheckpoint(false)
+        i += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left_code", "right_code", "merged_code", "cnt")
+  }
+
   // ---- DuckDB oracle SQL generators ------------------------------------
+
+  /** The full training loop as unrolled DuckDB CTE rounds (the
+    * q_pagerank pattern at 96 rounds): per round, a pair-count CTE over
+    * the current dictionary, a 1-row argmax (ORDER BY cnt DESC, l, r
+    * LIMIT 1 — binary string order ≡ codepoint order for 1-char BMP
+    * symbols), and the applied `replace`. Dictionary and argmax CTEs
+    * are MATERIALIZED — each is referenced twice, and DuckDB's default
+    * inlining would expand the round chain exponentially. Verified to
+    * reproduce [[graft.functions.BpeMerges]] bit-for-bit on its
+    * training corpus (96 rounds, 2.6 s). */
+  def duckTrainSql(numMerges: Int): String = {
+    val rounds = (0 until numMerges).map { i =>
+      s"""p$i AS (SELECT substr(w, j, 1) AS l, substr(w, j + 1, 1) AS r, n FROM (
+         |  SELECT w, n, unnest([{'j': jj} for jj in generate_series(1, length(w) - 1)],
+         |                      recursive := true) FROM w$i)),
+         |b$i AS MATERIALIZED (SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM p$i GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1),
+         |w${i + 1} AS MATERIALIZED (SELECT replace(w$i.w, b$i.l || b$i.r, chr(${0xE000 + i})) AS w, n
+         |  FROM w$i, b$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until numMerges)
+      .map(i => s"SELECT $i AS rank, l, r, cnt FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH pre AS (SELECT unnest(regexp_extract_all(lower(text), '${TextFns.BpePattern}')) AS w
+       |  FROM documents),
+       |w0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n FROM pre GROUP BY w),
+       |$rounds,
+       |merges AS ($union)
+       |SELECT CAST(rank AS BIGINT) AS rank, CAST(unicode(l) AS BIGINT) AS left_code,
+       |       CAST(unicode(r) AS BIGINT) AS right_code,
+       |       CAST(${0xE000} + rank AS BIGINT) AS merged_code, cnt
+       |FROM merges""".stripMargin
+  }
+
 
   /** `replace`-chain CTE stages over `srcCte(srcCol)`, ≤32 merges per
     * stage so DuckDB's 128-deep expression binder never trips. Emits

@@ -130,7 +130,7 @@ object Graph {
   /** PageRank over an UNDIRECTED edge set, fixed iteration count,
     * fixed-point integer arithmetic (bit-exact on any engine):
     *
-    *   r₀(v)   = SCALE                       (SCALE = 10^12)
+    *   r₀(v)   = SCALE                       (SCALE = `scale`, default 10^12)
     *   rᵢ₊₁(v) = (15·SCALE) div 100
     *           + (85 · Σ_{u∼v} (rᵢ(u) div deg(u))) div 100
     *
@@ -143,7 +143,7 @@ object Graph {
     * 85·m product (which overflows int64 once a hub's mass passes
     * ~1.1·10¹⁷, i.e. a 100k-leaf star at this SCALE). The remaining
     * bound is n·SCALE < 2⁶³: at SCALE 10¹² that is ~9M nodes in the
-    * worst (all mass on one node) case — lower SCALE toward 10⁶ for
+    * worst (all mass on one node) case — pass `scale` ~10⁶ for
     * billion-node graphs; precision loss is the per-share floor only.
     *
     * Scale plan (and the lesson that shaped it): each round references
@@ -167,16 +167,31 @@ object Graph {
     *              yet accumulates incoming mass, silently corrupting
     *              its neighborhood's ranks). Isolated nodes settle at
     *              0.15·SCALE.
-    * @return (idCol, rank_fp BIGINT) — rank scaled by 10^12
+    * @param scale fixed-point unit (default 10¹²). The binding bound is
+    *              n·scale < 2⁶³ (total mass in the worst all-mass-on-
+    *              one-node case) — billion-node callers pass ~10⁶, the
+    *              knob the scaladoc's headroom note promises. Precision:
+    *              per-share floor error is 1/scale of a rank unit.
+    * @return (idCol, rank_fp BIGINT) — rank scaled by `scale`
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
-               iterations: Int = 5, checkpointInterval: Int = 8): DataFrame = {
+               iterations: Int = 5, checkpointInterval: Int = 8,
+               scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     require(checkpointInterval >= 1,
       s"checkpointInterval must be >= 1, got $checkpointInterval")
     require(idCol != "rank_fp", "idCol 'rank_fp' collides with the output column")
-    val scale = 1000000000000L
+    // n is not knowable here without an extra driver action, so the
+    // guard bounds what IS checkable: scale ≥ 100 keeps the div-100
+    // damping decomposition meaningful (below that, 15·scale div 100
+    // collapses toward 0 and ranks degenerate), and the 10¹⁵ ceiling
+    // leaves ≥ 9200 nodes of all-mass-on-one-node headroom under 2⁶³ —
+    // a scale above that can overflow on a HANDFUL of nodes, which is
+    // never the right trade. The n·scale bound itself stays the
+    // caller's contract (scaladoc @param scale).
+    require(scale >= 100L && scale <= 1000000000000000L,
+      s"scale must be in [100, 10^15], got $scale")
     val sym = symmetrize(edges)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val out = sym.join(deg, Seq("src")).localCheckpoint(false)

@@ -73,5 +73,18 @@ object BpeQueries {
          |          GROUP BY v.token)
          |SELECT token, freq,
          |       CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
-         |FROM freqs ORDER BY freq DESC, token LIMIT 100"""))
+         |FROM freqs ORDER BY freq DESC, token LIMIT 100"""),
+
+    // In-engine distributed BPE TRAINING (r10 verdict task 6): 96 merge
+    // rounds over the distinct-pretoken dictionary, each round one keyed
+    // pair-count agg + a 1-row argmax, applied as a codegen'd replace.
+    // The oracle retrains from scratch in DuckDB — 96 unrolled CTE
+    // rounds with the same (count desc, l, r) argmax — so the hash
+    // match proves distributed round-by-round training ≡ a sequential
+    // replay, and on THIS corpus the result is bit-identical to the
+    // checked-in BpeMerges constants (the frozen table's own training
+    // corpus; BpeSpec pins train() ≡ the FreezeBpeMerges loop besides).
+    "q_bpe_train" -> QueryDef(
+      (s, dir) => Bpe.train(Tables.documents(s, dir), numMerges = 96),
+      Bpe.duckTrainSql(96)))
 }

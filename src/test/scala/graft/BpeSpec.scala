@@ -123,6 +123,66 @@ class BpeSpec extends SparkSpec {
     assert(rows.exists(_.getLong(3) > 0))
   }
 
+  /** Sequential reference trainer — Bpe.train's semantics (fixed
+    * rounds, stop only when no adjacent pairs remain; no count<2 stop)
+    * in the FreezeBpeMerges single-threaded shape. */
+  private def trainSequential(wordCounts: Seq[(String, Long)],
+                              numMerges: Int): Seq[(Long, Long, Long, Long, Long)] = {
+    var words = wordCounts
+    val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val counts = scala.collection.mutable.Map[(Char, Char), Long]().withDefaultValue(0L)
+      for ((w, n) <- words; j <- 0 until w.length - 1)
+        counts((w(j), w(j + 1))) += n
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.toSeq
+          .minBy { case ((x, y), n) => (-n, x.toInt, y.toInt) }
+        val m = (0xE000 + i).toChar
+        words = words.map { case (w, n) => (w.replace(s"$a$b", m.toString), n) }
+        out += ((i.toLong, a.toLong, b.toLong, (0xE000 + i).toLong, cnt))
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  test("train: distributed merge loop equals the sequential trainer, incl. exhaustion stop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower lowest low"),
+      (2L, "newer newest new news"),
+      (3L, "low new lower"),
+      (4L, "wider widest wide")).toDF("doc_id", "text")
+    val wc = docs
+      .select(explode(graft.functions.TextFns.bpeTokens(lower(col("text")))).as("w"))
+      .groupBy("w").count().collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = Bpe.train(docs, numMerges = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == trainSequential(wc, 12))
+    // exhaustion: ask for more merges than the corpus can produce — both
+    // trainers stop when every word is a single symbol (no pairs left)
+    val tiny = Seq((1L, "ab ab ba")).toDF("doc_id", "text")
+    val tinyWc = Seq((" ab", 1L), ("ab", 1L), (" ba", 1L))
+    val gotTiny = Bpe.train(tiny, numMerges = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val seqTiny = trainSequential(tinyWc, 50)
+    assert(gotTiny.toSeq == seqTiny)
+    assert(gotTiny.length < 50, "exhaustion must stop the loop early")
+  }
+
+  test("train reproduces the frozen BpeMerges table on its training corpus") {
+    // the done-criterion made a repo pin: 96 distributed rounds on the
+    // sf0.01 documents corpus — the exact corpus FreezeBpeMerges froze —
+    // must yield the checked-in constants code for code, rank for rank
+    val got = Bpe.train(Tables.documents(spark, "/root/testdata/sf0.01"), numMerges = 96)
+      .collect().map(r => (r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(3).toInt))
+    assert(got.length == 96)
+    assert(got.toSeq == BpeMerges.merges.map { case (a, b, m, _) => (a, b, m) })
+  }
+
   test("vocabFreq: decoded multi-char tokens rank in the top 100") {
     val top = Bpe.vocabFreq(Tables.documents(spark, sf001), k = 100).collect()
     assert(top.length <= 100 && top.nonEmpty)

@@ -181,6 +181,37 @@ class GraphSpec extends SparkSpec {
     assert(hub == 150000000000L + (mass / 100L) * 85L + ((mass % 100L) * 85L) / 100L)
   }
 
+  test("pageRank: scale parameter drives the fixed point and restores n·scale headroom") {
+    // the q_pagerank star values replayed at scale 10^6: every expected
+    // value is the 10^12 hand computation shifted by 10^6 EXCEPT where
+    // the per-share floor differs — at this graph's round-1 values
+    // nothing floors, so the shift is exact
+    val r1 = Graph.pageRank(edgesOf((1L, 2L), (1L, 3L)), nodesOf(1L, 2L, 3L),
+        "item", iterations = 1, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(1L) == 1850000L)
+    assert(r1(2L) == 575000L)
+    // the headroom the knob buys (the scaladoc's billion-node story in
+    // miniature): the 150k-leaf star's round-1 hub mass at scale 10^12
+    // sits past the naive 85·m Long product (the decomposition test
+    // above); at scale 10^6 the same graph's total mass n·scale is
+    // 1.5e11 — six orders under 2^63 — and the hub value is exact
+    val n = 150000
+    val edges = (1 to n).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val nodes = (0 to n).map(_.toLong).toDF("item")
+    val hub = Graph.pageRank(edges, nodes, "item", iterations = 1, scale = 1000000L)
+      .filter(col("item") === 0L).collect()(0).getLong(1)
+    val mass = n.toLong * 1000000L
+    assert(hub == 150000L + (mass / 100L) * 85L + ((mass % 100L) * 85L) / 100L)
+    // guard boundaries: below 100 the damping arithmetic degenerates;
+    // above 10^15 a handful of nodes can overflow total mass
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edgesOf((1L, 2L)), nodesOf(1L, 2L), "item", scale = 99L) }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edgesOf((1L, 2L)), nodesOf(1L, 2L), "item",
+        scale = 10000000000000000L) }
+  }
+
   test("bfsHops: null edge endpoints are dropped, never re-discovered each round") {
     val e = Seq((Some(1L), Some(2L)), (Some(2L), Option.empty[Long]))
       .toDF("src", "dst")
