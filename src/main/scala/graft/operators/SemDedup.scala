@@ -98,12 +98,79 @@ object SemDedup {
   def dedup(emb: DataFrame, idCol: String, vecCol: String,
             threshold: Double,
             centroids: Seq[(Int, Array[Float])] = IvfCentroids.cells,
-            maxCellSize: Option[Int] = None): DataFrame = {
-    val assigned = graft.Caching.persistTracked(
-      assign(emb, idCol, vecCol, centroids))
+            maxCellSize: Option[Int] = None): DataFrame =
+    dedupAssigned(emb, assign(emb, idCol, vecCol, centroids),
+      idCol, vecCol, threshold, maxCellSize)
+
+  private def dedupAssigned(emb: DataFrame, assignment: DataFrame,
+                            idCol: String, vecCol: String, threshold: Double,
+                            maxCellSize: Option[Int]): DataFrame = {
+    val assigned = graft.Caching.persistTracked(assignment)
     val losers = edgesOf(emb, cap(assigned, idCol, maxCellSize),
       idCol, vecCol, threshold)
       .select(col("id2").as(idCol)).distinct()
     assigned.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Quantizer sizing rule: cells ∝ corpus, k = ⌈n / targetCellSize⌉ —
+    * the [[Similarity.srpPlanesFor]] lesson applied to the KMeans
+    * quantizer. A FIXED cell count is an operating point for one corpus
+    * size: per-cell pair work is Σ|cell|² ≈ n²/k, so at fixed k the
+    * whole operator trends quadratic — the round-11 30× ladder measured
+    * exactly that (q_semdedup exponent 1.42, 0.45 s → 55.9 s on the
+    * frozen 16-cell quantizer at 60k vectors). Holding |cell| ≈
+    * targetCellSize makes pair work n·targetCellSize — linear. */
+  def cellsFor(n: Long, targetCellSize: Int = 128): Int = {
+    require(n >= 0 && targetCellSize >= 1)
+    math.min(4096L, math.max(1L, (n + targetCellSize - 1) / targetCellSize)).toInt
+  }
+
+  /** [[dedup]] with the quantizer sized to the corpus by [[cellsFor]]
+    * and trained in-path (seeded distributed KMeans, the
+    * [[Similarity.ivfTopK]] training posture) — the ingest-path entry
+    * point, where "how many cells" should never be the caller's
+    * problem. Costs one count() plus the k-means fit; both are noise
+    * against the pair join they right-size (measured on the 30×
+    * ladder corpus: 55.9 s frozen-16-cells → s-range at k = 469).
+    *
+    * Honest asymptote: brute nearest-centroid assignment is n·k
+    * cosines, so with k ∝ n the ASSIGNMENT becomes the n²/target term
+    * past k ≈ 4096 (the [[cellsFor]] ceiling, ~500k vectors at the
+    * default target). Beyond that, semantic dedup should ride the
+    * data-independent SRP quantizer ([[Dedup.embeddingNearDupsAuto]] —
+    * assignment cost n·log n, measured linear on the same ladder) or a
+    * hierarchical coarse-within-coarse assignment; the ceiling is a
+    * require so the cliff is loud, not silent.
+    *
+    * Trained centroids carry KMeans' float-reduction nondeterminism, so
+    * this path is spec/ladder-pinned, not oracle-hashed — the
+    * registered q_semdedup keeps the frozen [[IvfCentroids]] operating
+    * point (the q_embed_neardup precedent). */
+  def dedupAuto(emb: DataFrame, idCol: String, vecCol: String,
+                threshold: Double, targetCellSize: Int = 128,
+                seed: Long = 42L,
+                maxCellSize: Option[Int] = None): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = emb.select(col(idCol)).count()
+    val k = cellsFor(n, targetCellSize)
+    require(k < 4096,
+      s"cellsFor hit its $k-cell ceiling at n=$n — flat assignment is " +
+        "n·k cosines; use Dedup.embeddingNearDupsAuto (SRP quantizer) " +
+        "or a hierarchical quantizer past ~500k vectors")
+    if (k <= 1)
+      // n ≤ targetCellSize: one cell IS the whole corpus — no quantizer
+      // (a synthetic single centroid would put a zero/NaN cosine in the
+      // argmax for nothing)
+      dedupAssigned(emb, emb.select(col(idCol), lit(0).as("cell")),
+        idCol, vecCol, threshold, maxCellSize)
+    else {
+      val train = emb.select(array_to_vector(col(vecCol)).as("features"))
+      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5).fit(train)
+      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }.toSeq
+      dedup(emb, idCol, vecCol, threshold, centroids, maxCellSize)
+    }
   }
 }

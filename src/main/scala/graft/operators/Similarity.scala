@@ -144,6 +144,30 @@ object Similarity {
     ivfSearch(corpus, queries, idCol, vecCol, k, nprobe, centroids)
   }
 
+  /** [[ivfTopK]] with `nlist` sized to the corpus by
+    * [[SemDedup.cellsFor]] (cells ∝ n, occupancy ≈ targetCellSize) —
+    * the sizing-rule discipline applied to the ANN index: at FIXED
+    * nlist, per-query probe cost is corpus·nprobe/nlist and grows
+    * linearly with the corpus; holding occupancy constant keeps
+    * per-query cost ≈ nprobe·targetCellSize. Same honest asymptote as
+    * [[SemDedup.dedupAuto]]: flat nearest-centroid assignment is n·k
+    * cosines, so the rule's 4096-cell ceiling is a loud require, and
+    * beyond it the quantizer should go hierarchical. Trained centroids
+    * are KMeans-nondeterministic in the low bits, so this path is
+    * spec-pinned; frozen-constant serving stays [[ivfTopKFrozen]]. */
+  def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nprobe: Int = 4,
+                  targetCellSize: Int = 128, seed: Long = 42L): DataFrame = {
+    val n = corpus.select(col(idCol)).count()
+    require(n >= 1, "ivfTopKAuto needs a non-empty corpus to size and train on")
+    val nlist = SemDedup.cellsFor(n, targetCellSize)
+    require(nlist < 4096,
+      s"cellsFor hit its $nlist-cell ceiling at n=$n — use a hierarchical " +
+        "coarse quantizer past ~500k vectors")
+    ivfTopK(corpus, queries, idCol, vecCol, k, nlist = nlist,
+      nprobe = nprobe, seed = seed)
+  }
+
   /** IVF search against a FROZEN quantizer — the production "train once,
     * serve many" posture: the coarse centroids are checked-in constants
     * ([[IvfCentroids]]), so cell assignment and search are exactly

@@ -171,7 +171,12 @@ object TextPipeline {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val h = Dedup.portableHash64(concat(lit(salt + ":"), col(idCol).cast("string")))
     val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
-    docs.withColumn("n_tokens", size(TextFns.tokens(col(textCol))).cast("long"))
+    // family-wide NULL-id contract (samplePps/resampleByWeight/assign):
+    // a NULL id hashes to NULL, sorts first, and its budget consumption
+    // would be partition-order-dependent among NULL peers — dropped up
+    // front so the mixture stays a reproducible shuffle
+    docs.filter(col(idCol).isNotNull)
+      .withColumn("n_tokens", size(TextFns.tokens(col(textCol))).cast("long"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
   }
@@ -281,7 +286,11 @@ object TextPipeline {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
-    docs
+    // NULL ids sort first with partition-order-dependent peer order —
+    // the same reproducible-layout hazard capTokenBudget guards; a
+    // packing layout that moves between runs corrupts every downstream
+    // bin/straddle reference
+    docs.filter(col(idCol).isNotNull)
       .withColumn("n_tokens", size(TextFns.tokens(col(textCol))).cast("long"))
       .withColumn("start_off",
         coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
@@ -291,5 +300,49 @@ object TextPipeline {
           expr(s"(start_off + n_tokens - 1) div ${budget}L") =!= col("bin"))
       .select(col(idCol), col(groupCol), col("n_tokens"),
         col("start_off"), col("bin"), col("straddles"))
+  }
+
+  /** Model-based quality gate — the fastText-class linear classifier
+    * beside the heuristic `q_quality_score`: per document,
+    * logit = b + (Σ_t w[h(t) mod D]) / 10⁶ / n_tokens over the frozen
+    * [[graft.functions.QualityWeights]] (hashed bag-of-tokens, weights
+    * distilled offline from the stopword-ratio heuristic by
+    * FreezeQualityWeights — the IvfCentroids/BpeMerges frozen-artifact
+    * pattern).
+    *
+    * Exactness design: weights are 10⁻⁶ fixed-point Longs and the
+    * per-doc feature dot product is an INTEGER sum — order-free under
+    * any partitioning, so unlike a float fold it hash-verifies (the
+    * decimal-money-sum decision class); the logit is then two IEEE
+    * double ops from exact integers, replayed bit-for-bit by the
+    * oracle. The bucket lookup is a codegen'd `element_at` on a
+    * 256-entry literal array over the portable 60-bit token hash — one
+    * narrow projection + one keyed agg, no join against a weights
+    * table. TOTAL over empty docs (q_simhash discipline): zero-token
+    * docs surface with logit = bias.
+    *
+    * @return (idCol, score_fp, n_tokens, quality_logit, is_quality)
+    */
+  def qualityClassifier(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    import graft.functions.{QualityWeights => QW}
+    // precompute the double ONCE (never constant-fold on both engines
+    // separately — the q_bm25 rule)
+    val bD = QW.biasFp.toDouble / 1e6
+    val scored = docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
+      .select(col(idCol), element_at(typedLit(QW.weightsFp),
+        (Dedup.portableHash64(col("token")) % QW.D).cast("int") + 1).as("w_fp"))
+      .groupBy(col(idCol))
+      .agg(sum(col("w_fp")).as("score_fp"), count(lit(1)).as("n_tokens"))
+    docs.select(col(idCol)).distinct().join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("score_fp"), lit(0L)).as("score_fp"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .withColumn("quality_logit",
+        when(col("n_tokens") === 0, lit(bD))
+          .otherwise(lit(bD) + col("score_fp").cast("double") / lit(1000000.0)
+            / col("n_tokens").cast("double")))
+      .withColumn("is_quality", (col("quality_logit") >= 0.0).cast("long"))
   }
 }

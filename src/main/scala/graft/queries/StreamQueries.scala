@@ -69,9 +69,19 @@ object StreamQueries {
           .select(col("user_id"), col("ts"), col("event_type"), col("value"))
           .as[Ev].collect()
         val maxTsMs = evs.iterator.map(_.ts.getTime).max
-        // sentinel past max + watermark(1 h) + gap(30 min) + margin, so
-        // the post-sentinel watermark exceeds every real end + gap
-        val sentinel = Ev(-1L, new Timestamp(maxTsMs + (3600L + 1800L + 60L) * 1000L),
+        // TWO sentinel batches, not one: the final seal must ride a DATA
+        // batch. Sentinel A (batch 2) pushes the max event time past
+        // every real end + gap + watermark; the watermark computed from
+        // it takes effect at the NEXT batch — and if that next batch
+        // were a no-data timer batch, processAllAvailable's
+        // offsets-committed check would not wait for it (a stop() race
+        // that silently drops sealed sessions under load). Sentinel B
+        // (batch 3) makes the sealing batch a data batch, which
+        // processAllAvailable provably drains; expired timers for ALL
+        // keys fire in any batch whose watermark passed them.
+        val sentinelA = Ev(-1L, new Timestamp(maxTsMs + (3600L + 1800L + 60L) * 1000L),
+          "sentinel", 0.0)
+        val sentinelB = Ev(-1L, new Timestamp(sentinelA.ts.getTime + 1000L),
           "sentinel", 0.0)
         val ms = MemoryStream[Ev]
         val q = StreamingOps.sessionizeWithState(ms.toDS(), gapMinutes = 30,
@@ -81,7 +91,9 @@ object StreamQueries {
         try {
           ms.addData(evs.toIndexedSeq: _*)
           q.processAllAvailable()
-          ms.addData(sentinel)
+          ms.addData(sentinelA)
+          q.processAllAvailable()
+          ms.addData(sentinelB)
           q.processAllAvailable()
         } finally q.stop()
         s.table("graft_stream_sessions")
@@ -182,25 +194,27 @@ object StreamQueries {
           .sortBy(c => (c.ts_us, c.event_id))
         val slices = changes.grouped(math.max(1, (changes.length + 2) / 3)).toSeq
         val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
-        var snapDir: Option[String] = None
+        // written from the stream-execution thread, read from this one
+        // after stop() — needs the fence an unsynchronized var lacks
+        val snapDir = new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
         val setMap = Map(
           "event_id" -> col("chg.event_id"), "ts_us" -> col("chg.ts_us"),
           "event_type" -> col("chg.event_type"), "value" -> col("chg.value"))
         val ms = MemoryStream[Chg]
         val q = ms.toDS().writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[Chg], id: Long) =>
-            val base = snapDir.map(p => s.read.parquet(p))
+            val base = snapDir.get().map(p => s.read.parquet(p))
               .getOrElse(s.emptyDataset[Snap].toDF())
             val next = graft.operators.Cdc.applyChanges(
               base, batch.toDF(), "user_id", Seq("ts_us", "event_id"), "op", setMap)
             val out = s"$tmp/snap_$id"
             next.write.mode("overwrite").parquet(out)
-            snapDir = Some(out)
+            snapDir.set(Some(out))
           }
           .start()
         try slices.foreach { sl => ms.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
         finally q.stop()
-        s.read.parquet(snapDir.getOrElse(
+        s.read.parquet(snapDir.get().getOrElse(
           sys.error("q_stream_cdc: no micro-batch ran")))
           .select(col("user_id"), col("event_id"), col("ts_us"),
             col("event_type"), col("value"))

@@ -32,6 +32,13 @@ object TextQueries {
   private def sqlHits(vocab: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${vocab.map(w => s"'$w'").mkString(",")})))"
 
+  // frozen quality-classifier constants, interpolated for the oracle
+  // (declared BEFORE defs — object init order, see CLAUDE.md)
+  private val QwListSql =
+    graft.functions.QualityWeights.weightsFp.mkString("[", ", ", "]")
+  private val QwBiasD =
+    graft.functions.QualityWeights.biasFp.toDouble / 1e6
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Corpus token frequencies (explode → agg).
@@ -97,6 +104,37 @@ object TextQueries {
          |FROM (SELECT doc_id, text,
          |             list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
          |      FROM documents)"""),
+
+    // Model-based quality gate beside the heuristic above: the frozen
+    // fastText-class linear classifier (QualityWeights — hashed
+    // bag-of-tokens, 10^-6 fixed-point weights distilled offline from
+    // the stopword heuristic, train acc 0.94). The per-doc dot product
+    // is an exact integer sum over a 256-entry literal-array lookup on
+    // the portable token hash; the logit is two IEEE divisions + one
+    // add from exact integers, so the oracle replays the MODEL bit for
+    // bit — the q_ann_brute precedent applied to a trained classifier.
+    "q_quality_classifier" -> QueryDef(
+      (s, dir) => graft.operators.TextPipeline.qualityClassifier(
+        Tables.documents(s, dir)),
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS token
+         |  FROM documents),
+         |w AS (SELECT $QwListSql AS wl),
+         |scored AS (
+         |  SELECT doc_id,
+         |         CAST(sum(wl[(CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % ${graft.functions.QualityWeights.D}) + 1]) AS BIGINT) AS score_fp,
+         |         CAST(count(*) AS BIGINT) AS n_tokens
+         |  FROM toks CROSS JOIN w GROUP BY doc_id),
+         |ids AS (SELECT DISTINCT doc_id FROM documents)
+         |SELECT doc_id, score_fp, n_tokens, quality_logit,
+         |       CAST(CASE WHEN quality_logit >= 0 THEN 1 ELSE 0 END AS BIGINT) AS is_quality
+         |FROM (
+         |  SELECT ids.doc_id,
+         |         CAST(coalesce(score_fp, 0) AS BIGINT) AS score_fp,
+         |         CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+         |         CASE WHEN coalesce(n_tokens, 0) = 0 THEN ${dsql(QwBiasD)}
+         |              ELSE ${dsql(QwBiasD)} + CAST(coalesce(score_fp, 0) AS DOUBLE) / CAST(1000000 AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS quality_logit
+         |  FROM ids LEFT JOIN scored ON ids.doc_id = scored.doc_id)"""),
 
     // Language ID: argmax over per-language stopword hit counts with a
     // fixed tie order (en > de > es > fr).

@@ -85,30 +85,41 @@ object ScaleLadder {
       println(s"""{"query":"$q","base_s":${num(bSteady)},"scaled_s":${num(sSteady)},"ratio":${num(ratio)},"exponent":${num(expo)},"base_cold":${num(bCold)},"scaled_cold":${num(sCold)}}""")
       (q, bSteady, sSteady, ratio, expo)
     }
-    // The auto-tuned near-dup point: the registered q_embed_neardup pins
-    // planes=4 (its 2k-vector oracle operating point) and goes quadratic
-    // at 10× — this row shows srpPlanesFor restoring ~linear cost on the
-    // SAME corpus pair.
-    val tuned = {
+    // The auto-tuned points: registered queries pin their frozen-oracle
+    // operating points (q_embed_neardup planes=4, q_semdedup 16 cells) —
+    // both measured quadratic-ish once the corpus outgrows that point
+    // (r10: SRP exponent 2.28; r11: semdedup exponent 1.42). These rows
+    // show the sizing rules (srpPlanesFor / cellsFor) restoring ~linear
+    // cost on the SAME corpus pairs.
+    def tunedRow(name: String)(body: String => Unit): (String, Double, Double, Double, Double) = {
       def run(dir: String): Double = {
         val t0 = System.nanoTime()
-        try {
-          graft.operators.Dedup.embeddingNearDupsAuto(
-            spark.read.parquet(s"$dir/embeddings.parquet"),
-            "vec_id", "embedding", dim = 64, threshold = 0.4,
-            tables = 16, maxBucketSize = Some(100000)).count()
-          (System.nanoTime() - t0) / 1e9
-        } finally graft.Caching.release()
+        try { body(dir); (System.nanoTime() - t0) / 1e9 }
+        finally graft.Caching.release()
       }
       run(base); run(out) // cold
       val b = math.min(run(base), run(base))
       val s = math.min(run(out), run(out))
       val ratio = s / b
       val expo = math.log(ratio) / math.log(n.toDouble)
-      println(s"""{"query":"q_embed_neardup_auto","base_s":${num(b)},"scaled_s":${num(s)},"ratio":${num(ratio)},"exponent":${num(expo)}}""")
-      ("q_embed_neardup_auto", b, s, ratio, expo)
+      println(s"""{"query":"$name","base_s":${num(b)},"scaled_s":${num(s)},"ratio":${num(ratio)},"exponent":${num(expo)}}""")
+      (name, b, s, ratio, expo)
     }
-    val allRows = rows :+ tuned
+    val tuned = Seq(
+      tunedRow("q_embed_neardup_auto") { dir =>
+        graft.operators.Dedup.embeddingNearDupsAuto(
+          spark.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", dim = 64, threshold = 0.4,
+          tables = 16, maxBucketSize = Some(100000)).count()
+        ()
+      },
+      tunedRow("q_semdedup_auto") { dir =>
+        graft.operators.SemDedup.dedupAuto(
+          spark.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", threshold = 0.4).count()
+        ()
+      })
+    val allRows = rows ++ tuned
     println(s"| query | base steady (s) | ${n}x steady (s) | ratio | exponent |")
     println("|---|---|---|---|---|")
     allRows.foreach { case (q, b, s, r, e) =>

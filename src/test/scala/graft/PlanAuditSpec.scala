@@ -197,6 +197,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"recall eval went cartesian:\n$p")
   }
 
+  test("q_quality_classifier: literal-array weight lookup, no weights-table join") {
+    val p = planOf("q_quality_classifier")
+    // the 256-entry fixed-point weight vector ships inside the plan as
+    // a literal element_at — ONE keyed agg (+ the totality left join),
+    // never a join against a broadcast/shuffled weights relation, and
+    // the whole dot product stays in codegen
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("element_at"), s"weight lookup left the plan:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      s"classifier should scan documents for tokens + ids only:\n$p")
+  }
+
   test("q_incremental_lsh: keyed band join only — no all-pairs product anywhere") {
     val p = planOf("q_incremental_lsh")
     assert(!p.contains("CartesianProduct"), s"all-pairs product in the incremental path:\n$p")

@@ -62,6 +62,40 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("cellsFor holds expected cell occupancy at the target across corpus sizes") {
+    // ⌈n/target⌉, floored at 1, the honest 4096 flat-assignment ceiling
+    assert(SemDedup.cellsFor(0) == 1)
+    assert(SemDedup.cellsFor(128) == 1)
+    assert(SemDedup.cellsFor(129) == 2)
+    assert(SemDedup.cellsFor(2000) == 16)  // the frozen IvfCentroids point
+    assert(SemDedup.cellsFor(60000) == 469)
+    for (n <- Seq(500L, 5000L, 50000L, 500000L)) {
+      val k = SemDedup.cellsFor(n)
+      assert(n.toDouble / k <= 128.0 || k == 4096, s"occupancy blew past target at n=$n")
+    }
+  }
+
+  test("dedupAuto: single-cell path below the target; trained path partitions like dedup") {
+    // n ≤ target → one cell, no quantizer: behaves as all-pairs dedup
+    val emb = df(
+      1L -> Array(0.9f, 0.1f, 0f, 0f),
+      2L -> Array(0.9f, 0.1f, 0f, 0f),   // exact dup of 1
+      3L -> Array(0f, 1f, 0.2f, 0f))
+    val kept = SemDedup.dedupAuto(emb, "id", "vec", threshold = 0.95)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    // trained path (force multi-cell with a small target): survivors +
+    // losers still partition the corpus, the dedup() invariant
+    val corpus = Tables.embeddings(spark, sf001)
+    val auto = SemDedup.dedupAuto(corpus, "vec_id", "embedding",
+      threshold = 0.4, targetCellSize = 64)
+    val n = corpus.count()
+    assert(auto.count() <= n && auto.count() > 0)
+    // every id appears at most once and comes from the corpus
+    assert(auto.select("vec_id").distinct().count() == auto.count())
+    assert(auto.join(corpus, Seq("vec_id"), "left_anti").isEmpty)
+  }
+
   test("maxCellSize caps candidate generation deterministically") {
     val emb = df(
       1L -> Array(1f, 0f, 0f, 0f),

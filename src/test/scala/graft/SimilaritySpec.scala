@@ -127,6 +127,22 @@ class SimilaritySpec extends SparkSpec {
     assert(auto == fixed && auto.nonEmpty)
   }
 
+  test("ivfTopKAuto sizes nlist by cellsFor and keeps useful recall") {
+    // 500 vectors at target 128 → nlist 4 (occupancy 125): the rule
+    // picks a small quantizer for a small corpus, and the probe set
+    // nprobe=4 then spans the whole index — recall can only beat the
+    // fixed-16-cell pin above
+    assert(graft.operators.SemDedup.cellsFor(emb.count()) == 4)
+    val ivf = Similarity.ivfTopKAuto(emb, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = bruteTop.map { case (q, exact) =>
+      exact.count(ivf.getOrElse(q, Set.empty).contains).toDouble / exact.size
+    }
+    assert(recalls.sum / recalls.size >= 0.4,
+      s"auto-sized IVF recall@10 = ${recalls.sum / recalls.size}")
+  }
+
   test("recallAtK agrees with a driver-side recomputation and keeps recall-0 queries") {
     val approx = Similarity.ivfTopKFrozen(emb, queries, "vec_id", "embedding",
       k = 10, nprobe = 4)

@@ -361,4 +361,60 @@ class TextPipelineSpec extends SparkSpec {
     val train = out.filter(col("split") === "train").count().toDouble
     assert(train / n > 0.6 && train / n < 0.95)
   }
+
+  test("capTokenBudget and packSequences drop NULL ids (reproducible-layout contract)") {
+    import spark.implicits._
+    val docs = Seq(
+      (Some(1L), "g", "a b c"),
+      (Option.empty[Long], "g", "x y z"),   // NULL id: order among NULL peers
+      (Some(2L), "g", "d e")).toDF("id", "grp", "text")
+    val capped = TextPipeline.capTokenBudget(docs, "id", "grp", "text",
+      budget = 100L, salt = "s")
+    assert(capped.filter(col("id").isNull).isEmpty)
+    assert(capped.count() == 2)
+    val packed = TextPipeline.packSequences(docs, "id", "grp", "text", budget = 4L)
+    assert(packed.filter(col("id").isNull).isEmpty)
+    assert(packed.count() == 2)
+    // and the surviving layout is the null-free one, not shifted by it
+    val offs = packed.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(offs == Map(1L -> 0L, 2L -> 3L))
+  }
+
+  test("qualityClassifier: totality, JVM-replay exactness, repartition invariance") {
+    import spark.implicits._
+    import graft.functions.{QualityWeights => QW}
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is a good day for the dog"),
+      (2L, "xxxxx yyyyy zzzzz qqqqq wwwww"),
+      (3L, ""), (4L, "   "),                       // zero-token docs stay
+      (5L, "the the the the")).toDF("doc_id", "text")
+    val out = TextPipeline.qualityClassifier(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L), "total over empty docs")
+    val bD = QW.biasFp.toDouble / 1e6
+    assert(out(3L) == ((0L, 0L, bD, if (bD >= 0) 1L else 0L)))
+    assert(out(4L)._3 == bD)
+    // bit-exact JVM replay of the fixed-point model (the serving contract)
+    def replay(text: String): (Long, Long, Double) = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val s = toks.map(t => QW.weightsFp(
+        (graft.functions.PortableHash60.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)) % QW.D).toInt)).sum
+      val logit = if (toks.isEmpty) bD else bD + s.toDouble / 1e6 / toks.length
+      (s, toks.length.toLong, logit)
+    }
+    Seq(1L -> "the cat sat on the mat and it is a good day for the dog",
+        5L -> "the the the the").foreach { case (id, text) =>
+      val (s, n, logit) = replay(text)
+      assert(out(id) == ((s, n, logit, if (logit >= 0) 1L else 0L)), s"doc $id")
+    }
+    // stopword-heavy text scores above gibberish (the distilled signal)
+    assert(out(1L)._3 > out(2L)._3)
+    // integer dot product ⇒ identical under any partitioning
+    val re = TextPipeline.qualityClassifier(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(re == out)
+  }
 }
