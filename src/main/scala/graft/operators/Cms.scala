@@ -51,7 +51,12 @@ object Cms {
   /** The sketch: (seed, bucket, c) with c = Σ weight — at most d·w rows.
     * Merge two sketches by unionByName + sum over (seed, bucket). */
   def counters(df: DataFrame, value: Column, weight: Column = lit(1L)): DataFrame =
+    // NULL values hash to NULL buckets — d dead counter rows that no
+    // point estimate can ever reach (the equality join drops NULL) but
+    // that survive merges and pollute the frame. NULL is not an item
+    // (the Hll.registers rule).
     df.select(Dedup.portableHash64(value.cast("string")).as("_h"), weight.as("_w"))
+      .filter(col("_h").isNotNull)
       .selectExpr(stackSql("_h"), "_w")
       .groupBy(col("seed"), col("bucket"))
       .agg(sum(col("_w")).as("c"))

@@ -52,9 +52,14 @@ object Hll {
     val rest = h % lit(RestMod)
     val rho = when(rest === 0, lit(55L))
       .otherwise(lit(55L) - length(bin(rest)).cast("long"))
+    // NULL values hash to NULL and would surface as a NULL register row
+    // — inflating regs_hit while contributing nothing to the harmonic
+    // sum (whose `sum` skips NULL), silently skewing the estimate.
+    // count(DISTINCT x) ignores NULLs; so does the sketch.
     df.select(
         keyCols.map(col) ++ Seq(
           shiftright(h, RestBits).as("reg"), rho.as("rho")): _*)
+      .filter(col("reg").isNotNull)
       .groupBy(keyCols.map(col) :+ col("reg"): _*)
       .agg(max(col("rho")).as("mx"))
   }

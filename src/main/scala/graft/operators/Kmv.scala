@@ -45,8 +45,12 @@ object Kmv {
   /** The sketch: ≤ k rows (keys…, h) of the smallest distinct hashes
     * per set. One distinct shuffle + one bounded-heap top-k. */
   def sketch(df: DataFrame, keyCols: Seq[String], value: Column): DataFrame = {
+    // NULL values hash to NULL and would occupy a sketch slot while
+    // max(h) skips them — θ and n_sk disagree by one. count(DISTINCT)
+    // semantics: NULL is not a member (the Hll.registers rule).
     val hashed = df
       .select(keyCols.map(col) :+ Dedup.portableHash64(value.cast("string")).as("h"): _*)
+      .filter(col("h").isNotNull)
       .distinct()
       .withColumn("negh", -col("h"))
     TopK.perGroupNative(hashed, keyCols, "negh", Seq.empty, K).drop("negh")

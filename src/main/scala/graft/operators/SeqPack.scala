@@ -26,7 +26,13 @@ object SeqPack {
   /** Exclusive global prefix sum of `nTokCol` in `orderCol` order,
     * emitted as `tok_start`. Output columns: orderCol, nTokCol,
     * tok_start. The result is independent of the partition count —
-    * boundaries only move which pass computes which prefix. */
+    * boundaries only move which pass computes which prefix.
+    *
+    * CONTRACT: `orderCol` must be a TOTAL order (no duplicates, no
+    * NULLs) or the prefix at tied/NULL rows is partition-order-
+    * dependent — callers either pass a unique id
+    * ([[packSequences]] filters NULLs), or build a struct whose
+    * trailing field is unique ([[Dedup.sortedNeighborhoodPairs]]). */
   def prefixSum(df: DataFrame, orderCol: String, nTokCol: String,
                 partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
@@ -72,7 +78,10 @@ object SeqPack {
     * Output per doc: n_tokens, tok_start, seq_first, seq_last, n_seqs. */
   def packSequences(df: DataFrame, idCol: String, nTokCol: String, seqLen: Long): DataFrame = {
     require(seqLen >= 1, s"seqLen must be positive: $seqLen")
-    prefixSum(df.filter(col(nTokCol) > 0), idCol, nTokCol)
+    // NULL ids violate prefixSum's total-order contract (ties among
+    // NULL peers make the layout partition-order-dependent) — same
+    // reproducible-layout rule as TextPipeline.packSequences
+    prefixSum(df.filter(col(idCol).isNotNull && col(nTokCol) > 0), idCol, nTokCol)
       .select(col(idCol), col(nTokCol), col("tok_start"),
         expr(s"tok_start div $seqLen").as("seq_first"),
         expr(s"(tok_start + $nTokCol - 1) div $seqLen").as("seq_last"))

@@ -112,6 +112,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
+    // zero keys = GLOBAL top-k: ClusteredDistribution(Nil) is rejected
+    // by Catalyst — the single (empty-tuple) group needs all rows on one
+    // partition, which is AllTuples (and the partial phase has already
+    // reduced each partition to ≤ k rows, so the gather is tiny)
+    else if (keys.isEmpty) org.apache.spark.sql.catalyst.plans.physical.AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
 
   override lazy val metrics: Map[String, SQLMetric] = Map(

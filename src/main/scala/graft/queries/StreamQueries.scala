@@ -171,6 +171,107 @@ object StreamQueries {
         |       CAST('${graft.operators.Hll.EstNumerator.toString}' AS DOUBLE) / CAST(harmonic AS DOUBLE) AS hll_estimate
         |FROM s"""),
 
+    // Streaming exact dedup (dropDuplicatesWithinWatermark): the KEPT
+    // row per key is arrival-order-dependent, but the kept KEY SET is
+    // exactly the distinct key set — so the query projects the keys
+    // only and the oracle is a plain DISTINCT. State-bounded dedup
+    // must emit every key exactly once; a duplicate leak or a dropped
+    // key both diverge the row set.
+    "q_stream_dedup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val evs: Array[Ev] = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+          .as[Ev].collect()
+        val ms = MemoryStream[Ev]
+        val q = StreamingOps.dedupWithinWatermark(ms.toDF(),
+            Seq("user_id", "event_type"), "ts", "1 hour")
+          .writeStream.format("memory").queryName("graft_stream_dedup")
+          .outputMode("append").start()
+        try { ms.addData(evs.toIndexedSeq: _*); q.processAllAvailable() }
+        finally q.stop()
+        s.table("graft_stream_dedup").select(col("user_id"), col("event_type"))
+      },
+      """SELECT DISTINCT user_id, event_type FROM events"""),
+
+    // Streaming Misra–Gries heavy hitters (transformWithState): the
+    // candidate SET is arrival-order-dependent inside the don't-care
+    // region, so the oracle checks the GUARANTEE, not set equality (the
+    // error-band-gate discipline): every item with true frequency >
+    // n/(k+1) must be among the ≤ k candidates, and the maintained n
+    // must equal the exact stream length. The replay plants a REAL
+    // heavy hitter (two thirds of each key's items collapse to one
+    // sentinel id), so the inclusion gate is non-vacuous — losing the
+    // hot item under counter decrements flips the gate and the hash.
+    "q_stream_mg" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val mgK = 4
+        val evs: Array[Ev] = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+          .as[Ev].collect()
+          // the MG item is user_id: collapse 2/3 of rows onto sentinel
+          // -7 so each event_type has one genuinely heavy item
+          .map(e => if (e.user_id % 3 != 0) e.copy(user_id = -7L) else e)
+        val confKey = "spark.sql.streaming.stateStore.providerClass"
+        val saved = scala.util.Try(s.conf.get(confKey)).toOption
+        s.conf.set(confKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val ms = MemoryStream[Ev]
+          val q = StreamingOps.heavyHittersSketch(ms.toDS(), k = mgK)
+            .writeStream.format("memory").queryName("graft_stream_mg")
+            .outputMode("update").start()
+          try { ms.addData(evs.toIndexedSeq: _*); q.processAllAvailable() }
+          finally q.stop()
+        } finally saved match {
+          case Some(v) => s.conf.set(confKey, v)
+          case None    => s.conf.unset(confKey)
+        }
+        // exact per-(key, item) counts over the SAME collapsed stream
+        val exact = s.createDataset(evs.toIndexedSeq).toDF()
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("c"))
+        val exactN = exact.groupBy(col("event_type")).agg(sum(col("c")).as("n_exact"))
+        // materialize the (≤ #event_types)-row sink result locally: the
+        // memory-sink relation appears on BOTH sides of the gate join
+        // (streamed ⋈ missedHeavy-derived-from-streamed), and Catalyst
+        // cannot deduplicate conflicting references through a streaming
+        // sink relation — a LocalRelation self-join it can
+        val streamed = s.createDataset(
+            s.table("graft_stream_mg")
+              .select(col("event_type"), col("n"), col("candidates")).collect()
+              .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+              .toIndexedSeq)
+          .toDF("event_type", "n", "candidates")
+          .withColumn("n_candidates", size(col("candidates")).cast("long"))
+        // guarantee: every item with c > n/(k+1) is among the candidates
+        val missedHeavy = streamed
+          .join(exact, Seq("event_type"))
+          .filter(col("c") * (mgK + 1) > col("n") &&
+            !array_contains(col("candidates"), col("user_id").cast("string")))
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_missed"))
+        streamed
+          .join(exactN, Seq("event_type"))
+          .join(missedHeavy, Seq("event_type"), "left")
+          .select(col("event_type"),
+            col("n").as("n_events"),
+            (col("n") === col("n_exact")).cast("long").as("n_matches_exact"),
+            (col("n_candidates") <= mgK).cast("long").as("bounded_state"),
+            (coalesce(col("n_missed"), lit(0L)) === 0L).cast("long").as("guarantee_holds"))
+      },
+      """WITH collapsed AS (
+        |  SELECT event_type,
+        |         CASE WHEN user_id % 3 <> 0 THEN -7 ELSE user_id END AS item
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(1 AS BIGINT) AS n_matches_exact,
+        |       CAST(1 AS BIGINT) AS bounded_state,
+        |       CAST(1 AS BIGINT) AS guarantee_holds
+        |FROM collapsed GROUP BY event_type"""),
+
     // foreachBatch SCD1 MERGE loop: the events table becomes an
     // upsert/delete changelog (op = 'D' on every 10th event_id), sliced
     // into three TIME-ORDERED micro-batches; each batch runs the real

@@ -111,6 +111,21 @@ class SketchCardSpec extends SparkSpec {
     }
   }
 
+  test("all three sketches ignore NULL values (count-distinct semantics)") {
+    // a NULL value used to surface as a NULL register/slot/bucket row:
+    // Hll's regs_hit inflated while the harmonic sum skipped it, Kmv's
+    // n_sk and theta disagreed by one, Cms carried d dead counters
+    val clean = (1L to 300L).map(Option(_)).toDF("k")
+    val dirty = ((1L to 300L).map(Option(_)) ++ Seq.fill(5)(Option.empty[Long])).toDF("k")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Hll.cardinality(dirty, Seq.empty, col("k"))) ==
+      rows(Hll.cardinality(clean, Seq.empty, col("k"))))
+    assert(rows(Kmv.estimateDistinct(Kmv.sketch(dirty, Seq.empty, col("k")), Seq.empty)) ==
+      rows(Kmv.estimateDistinct(Kmv.sketch(clean, Seq.empty, col("k")), Seq.empty)))
+    assert(rows(Cms.counters(dirty, col("k"))) == rows(Cms.counters(clean, col("k"))))
+  }
+
   test("Cms: shard sketches merge by summing counters") {
     val df = (1L to 300L).toDF("k")
     val a = Cms.counters(df.filter(col("k") <= 150), col("k"))

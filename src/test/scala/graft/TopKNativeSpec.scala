@@ -116,6 +116,19 @@ class TopKNativeSpec extends SparkSpec {
     }
   }
 
+  test("zero group keys = global top-k (AllTuples gather, not ClusteredDistribution(Nil))") {
+    // the Kmv-over-no-keys shape: ClusteredDistribution(Nil) is rejected
+    // by Catalyst, so the final phase must require AllTuples — the
+    // partial heaps have already cut each partition to ≤ k rows
+    val df = spark.range(0, 10000)
+      .select(col("id"), ((col("id") * 37) % 1000).cast("double").as("score"))
+    val got = TopK.perGroupNative(df, Seq.empty, "score", Seq("id"), 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expected = df.orderBy(col("score").desc, col("id")).limit(5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
   test("NULL order values rank like the window formulation (nulls last on desc)") {
     import spark.implicits._
     val df = Seq[(Int, Long, java.lang.Double)](
