@@ -171,6 +171,85 @@ object StreamQueries {
         |       CAST('${graft.operators.Hll.EstNumerator.toString}' AS DOUBLE) / CAST(harmonic AS DOUBLE) AS hll_estimate
         |FROM s"""),
 
+    // The canonical streaming op — watermarked tumbling-window
+    // aggregation in APPEND mode: a bucket emits exactly once, when the
+    // watermark passes its end. Sealed by the same two-sentinel data-
+    // batch discipline as q_stream_sessionize; sentinel rows carry
+    // their own event_type and are filtered from the output. The
+    // streamed buckets — counts AND the decimal-exact money sums
+    // (moneySum is order-free, so unlike a raw double fold it CAN be
+    // emitted) — must equal the batch hourly aggregation.
+    "q_stream_hourly" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val evs: Array[Ev] = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+          .as[Ev].collect()
+        val maxTsMs = evs.iterator.map(_.ts.getTime).max
+        val sentinelA = Ev(-1L, new Timestamp(maxTsMs + (3600L + 3600L + 60L) * 1000L),
+          "sentinel", 0.0)
+        val sentinelB = Ev(-1L, new Timestamp(sentinelA.ts.getTime + 1000L),
+          "sentinel", 0.0)
+        val ms = MemoryStream[Ev]
+        val q = StreamingOps.hourlyEventCounts(ms.toDF(), watermark = "1 hour")
+          .writeStream.format("memory").queryName("graft_stream_hourly")
+          .outputMode("append").start()
+        try {
+          ms.addData(evs.toIndexedSeq: _*)
+          q.processAllAvailable()
+          ms.addData(sentinelA)
+          q.processAllAvailable()
+          ms.addData(sentinelB)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table("graft_stream_hourly")
+          .filter(col("event_type") =!= "sentinel")
+          .select(date_format(col("bucket_start"), "yyyy-MM-dd HH").as("hour"),
+            col("event_type"), col("n_events"), col("total_value"))
+      },
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2"""),
+
+    // Watermarked stream-stream inner join (the impression→click
+    // attribution shape): events joined to same-user events within the
+    // following 30 minutes, both sides streamed. An INNER time-bounded
+    // join's matches emit as soon as both rows have arrived, so the
+    // replay needs no sealing; the watermark's job is state EVICTION,
+    // which a correctness replay never reaches. The streamed pair set
+    // must equal the batch interval self-join.
+    "q_stream_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows: Array[(Long, Timestamp, Long)] = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        val msL = MemoryStream[(Long, Timestamp, Long)]
+        val msR = MemoryStream[(Long, Timestamp, Long)]
+        val left = msL.toDF().toDF("user_id", "l_ts", "l_event_id")
+        val right = msR.toDF().toDF("user_id", "r_ts", "r_event_id")
+        val q = StreamingOps.joinWithinWatermark(left, right, "user_id",
+            "l_ts", "r_ts", within = "30 minutes")
+          .select(col("user_id"), col("l_event_id"), col("r_event_id"))
+          .writeStream.format("memory").queryName("graft_stream_join")
+          .outputMode("append").start()
+        try {
+          msL.addData(rows.toIndexedSeq: _*)
+          msR.addData(rows.toIndexedSeq: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table("graft_stream_join")
+          .select(col("user_id"), col("l_event_id"), col("r_event_id"))
+      },
+      """SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND epoch_us(r.ts) >= epoch_us(l.ts)
+        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000"""),
+
     // Streaming exact dedup (dropDuplicatesWithinWatermark): the KEPT
     // row per key is arrival-order-dependent, but the kept KEY SET is
     // exactly the distinct key set — so the query projects the keys

@@ -31,6 +31,30 @@ class StreamQueriesSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("q_stream_hourly buckets equal the batch hourly aggregation") {
+    val streamed = SparkEntry.queries("q_stream_hourly")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("q_events_hourly")(spark, sf001)
+      .select(col("hour"), col("event_type"), col("n_events"), col("total_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("q_stream_join pairs equal the batch 30-minute interval self-join") {
+    val streamed = SparkEntry.queries("q_stream_join")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val batch = ev.toDF("user_id", "l_us", "l_event_id")
+      .join(ev.toDF("user_id", "r_us", "r_event_id"), Seq("user_id"))
+      .filter(col("r_us") >= col("l_us") && col("r_us") <= col("l_us") + 1800000000L)
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("q_stream_cdc snapshot equals global latest-per-key minus deletes") {
     val streamed = SparkEntry.queries("q_stream_cdc")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
