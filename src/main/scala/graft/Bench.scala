@@ -114,7 +114,7 @@ object Bench {
     // carries the complete steady profile in the only encoding that
     // fits: a millisecond-integer array in sorted-name order
     // ("steady_order":"name-asc" — reconstruct names by sorting the
-    // registry keys), ~1k chars for 192 queries. The slowest 8 also get
+    // registry keys), ~1k chars for 192 queries. The slowest 5 also get
     // a named dict so the usual grading targets are readable without
     // reconstruction. xmx_mb records the JVM ceiling so heap_peak_mb
     // numbers are comparable across differently-sized runs (r10's

@@ -166,6 +166,15 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .coalesce(dictPartitions)
       .localCheckpoint(false)
+    // The BMP-only precondition must be LOUD, not silently divergent:
+    // PairArgmaxAgg counts UTF-16 code units (the FreezeBpeMerges char
+    // loop) while the DuckDB oracle counts codepoints — a supplementary
+    // char (emoji → surrogate pair) would diverge the pair counts, and
+    // a pre-existing PUA char would collide with merged symbols. One
+    // tiny job over the dictionary, amortized across all rounds.
+    require(words.filter(col("w").rlike("[\\uD800-\\uF8FF]")).isEmpty,
+      "BPE training corpus contains surrogate-pair or private-use-area " +
+        "chars — the single-char symbol encoding cannot represent them")
     val merges = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
     var i = 0
     var done = false

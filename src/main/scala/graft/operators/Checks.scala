@@ -30,6 +30,10 @@ object Checks {
     * A predicate marks the BAD rows (e.g. `col("x").isNull`). */
   def columnChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "columnChecks needs at least one check")
+    // duplicate names would make the per-check column reference below
+    // ambiguous — fail loudly, not with an AMBIGUOUS_REFERENCE later
+    require(checks.map(_._1).distinct.size == checks.size,
+      "columnChecks names must be unique: " + checks.map(_._1).mkString(", "))
     val aggs = checks.map { case (name, bad) =>
       coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(name)
     }
@@ -43,7 +47,9 @@ object Checks {
   }
 
   /** Violations = surplus rows beyond the first per duplicated key
-    * (0 ⇔ `keyCols` is a unique key). */
+    * (0 ⇔ `keyCols` is a unique key). NULL keys group together like
+    * GROUP BY does — two NULL-keyed rows count as a duplicate, the
+    * strict reading a uniqueness gate wants. */
   def uniquenessCheck(df: DataFrame, name: String, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "uniquenessCheck needs at least one key column")
     val dups = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))

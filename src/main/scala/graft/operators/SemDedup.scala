@@ -122,7 +122,10 @@ object SemDedup {
     * targetCellSize makes pair work n·targetCellSize — linear. */
   def cellsFor(n: Long, targetCellSize: Int = 128): Int = {
     require(n >= 0 && targetCellSize >= 1)
-    math.min(4096L, math.max(1L, (n + targetCellSize - 1) / targetCellSize)).toInt
+    // no clamp here: the rule reports the honest k and the CALLERS own
+    // the flat-assignment ceiling (require(k <= 4096)) — a silent clamp
+    // would re-introduce exactly the fixed-k quadratic past the cap
+    math.min(Int.MaxValue.toLong, math.max(1L, (n + targetCellSize - 1) / targetCellSize)).toInt
   }
 
   /** [[dedup]] with the quantizer sized to the corpus by [[cellsFor]]
@@ -150,27 +153,20 @@ object SemDedup {
                 threshold: Double, targetCellSize: Int = 128,
                 seed: Long = 42L,
                 maxCellSize: Option[Int] = None): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val n = emb.select(col(idCol)).count()
     val k = cellsFor(n, targetCellSize)
-    require(k < 4096,
-      s"cellsFor hit its $k-cell ceiling at n=$n — flat assignment is " +
-        "n·k cosines; use Dedup.embeddingNearDupsAuto (SRP quantizer) " +
-        "or a hierarchical quantizer past ~500k vectors")
+    require(k <= 4096,
+      s"cellsFor chose $k cells at n=$n — past the flat-assignment " +
+        "ceiling; use Dedup.embeddingNearDupsAuto (SRP quantizer) " +
+        "or a hierarchical quantizer beyond ~500k vectors")
     if (k <= 1)
       // n ≤ targetCellSize: one cell IS the whole corpus — no quantizer
       // (a synthetic single centroid would put a zero/NaN cosine in the
       // argmax for nothing)
       dedupAssigned(emb, emb.select(col(idCol), lit(0).as("cell")),
         idCol, vecCol, threshold, maxCellSize)
-    else {
-      val train = emb.select(array_to_vector(col(vecCol)).as("features"))
-      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5).fit(train)
-      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat))
-      }.toSeq
-      dedup(emb, idCol, vecCol, threshold, centroids, maxCellSize)
-    }
+    else
+      dedup(emb, idCol, vecCol, threshold,
+        Similarity.trainCentroids(emb, vecCol, k, seed), maxCellSize)
   }
 }

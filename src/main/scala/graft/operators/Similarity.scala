@@ -131,17 +131,26 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L): DataFrame =
+    ivfSearch(corpus, queries, idCol, vecCol, k, nprobe,
+      trainCentroids(corpus, vecCol, nlist, seed))
+
+  /** The ONE KMeans quantizer-training site (shared with
+    * [[SemDedup.dedupAuto]] — a forked copy would let the training
+    * posture silently drift between the ANN and dedup paths): seeded
+    * distributed fit, centroids as float arrays so the codegen'd
+    * CosineSimilarity getFloat path applies. */
+  private[operators] def trainCentroids(df: DataFrame, vecCol: String,
+                                        k: Int, seed: Long): Seq[(Int, Array[Float])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
-    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5).fit(train)
-    // centroids as float arrays so CosineSimilarity's getFloat applies
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+    // Spark ML's KMeans rejects k = 1 ("Must be > 1")
+    require(k >= 2, s"trainCentroids needs k >= 2, got $k")
+    val train = df.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5).fit(train)
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }.toSeq
-    ivfSearch(corpus, queries, idCol, vecCol, k, nprobe, centroids)
   }
 
   /** [[ivfTopK]] with `nlist` sized to the corpus by
@@ -161,11 +170,16 @@ object Similarity {
     val n = corpus.select(col(idCol)).count()
     require(n >= 1, "ivfTopKAuto needs a non-empty corpus to size and train on")
     val nlist = SemDedup.cellsFor(n, targetCellSize)
-    require(nlist < 4096,
-      s"cellsFor hit its $nlist-cell ceiling at n=$n — use a hierarchical " +
-        "coarse quantizer past ~500k vectors")
-    ivfTopK(corpus, queries, idCol, vecCol, k, nlist = nlist,
-      nprobe = nprobe, seed = seed)
+    require(nlist <= 4096,
+      s"cellsFor chose $nlist cells at n=$n — past the flat-assignment " +
+        "ceiling; use a hierarchical coarse quantizer beyond ~500k vectors")
+    if (nlist <= 1)
+      // n ≤ target: one cell IS the corpus — no quantizer (KMeans
+      // rejects k=1), and probing everything is exact brute force
+      bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    else
+      ivfTopK(corpus, queries, idCol, vecCol, k, nlist = nlist,
+        nprobe = nprobe, seed = seed)
   }
 
   /** IVF search against a FROZEN quantizer — the production "train once,

@@ -429,11 +429,13 @@ object DedupQueries {
         |), tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
         |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h FROM tok),
         |sig AS (SELECT doc_id, $SimhashPack AS simhash FROM h GROUP BY doc_id)
-        |-- left join: zero-token docs have no exploded rows but must not
-        |-- vanish from a dedup signature frame (engine contract) —
-        |-- convention simhash 0 for "no votes cast"
+        |-- left join from DISTINCT ids: zero-token docs must not vanish
+        |-- (engine contract, simhash 0 = "no votes cast") and the engine
+        |-- emits ONE row per id even under repeated doc ids — a raw
+        |-- documents source would emit one per input row and diverge
         |SELECT d.doc_id, CAST(coalesce(sig.simhash, 0) AS BIGINT) AS simhash
-        |FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id"""),
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN sig ON sig.doc_id = d.doc_id"""),
 
     // Exact substring containment (operators/Dedup.containmentPairs):
     // the duplicate class Jaccard under-scores — a short doc embedded

@@ -394,8 +394,22 @@ object StreamQueries {
           .start()
         try slices.foreach { sl => ms.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
         finally q.stop()
-        s.read.parquet(snapDir.get().getOrElse(
-          sys.error("q_stream_cdc: no micro-batch ran")))
+        // materialize the final snapshot locally (one row per surviving
+        // key — small by construction) and DELETE the temp snapshots:
+        // leaving them would leak 3 parquet dirs per invocation across
+        // every Verify dump and Bench run
+        val out =
+          try s.read.parquet(snapDir.get().getOrElse(
+              sys.error("q_stream_cdc: no micro-batch ran")))
+            .select(col("user_id"), col("event_id"), col("ts_us"),
+              col("event_type"), col("value"))
+            .as[Snap].collect()
+          finally {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+              .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        s.createDataset(out.toIndexedSeq).toDF()
           .select(col("user_id"), col("event_id"), col("ts_us"),
             col("event_type"), col("value"))
       },

@@ -63,15 +63,25 @@ class SemDedupSpec extends SparkSpec {
   }
 
   test("cellsFor holds expected cell occupancy at the target across corpus sizes") {
-    // ⌈n/target⌉, floored at 1, the honest 4096 flat-assignment ceiling
+    // ⌈n/target⌉, floored at 1 — unclamped: the 4096 flat-assignment
+    // ceiling is the CALLERS' require, so the rule never silently
+    // under-reports k (a clamp would re-introduce the fixed-k quadratic)
     assert(SemDedup.cellsFor(0) == 1)
     assert(SemDedup.cellsFor(128) == 1)
     assert(SemDedup.cellsFor(129) == 2)
     assert(SemDedup.cellsFor(2000) == 16)  // the frozen IvfCentroids point
     assert(SemDedup.cellsFor(60000) == 469)
+    assert(SemDedup.cellsFor(10000000) == 78125) // honest k past the callers' ceiling
     for (n <- Seq(500L, 5000L, 50000L, 500000L)) {
       val k = SemDedup.cellsFor(n)
-      assert(n.toDouble / k <= 128.0 || k == 4096, s"occupancy blew past target at n=$n")
+      assert(n.toDouble / k <= 128.0, s"occupancy blew past target at n=$n")
+    }
+    // callers refuse past the ceiling rather than degrading silently
+    // (the require fires on the id count, before any training work)
+    intercept[IllegalArgumentException] {
+      SemDedup.dedupAuto(
+        spark.range(0, 600000).selectExpr("id", "array(1.0f) AS vec"),
+        "id", "vec", 0.5)
     }
   }
 
