@@ -149,24 +149,47 @@ object SemDedup {
     * this path is spec/ladder-pinned, not oracle-hashed — the
     * registered q_semdedup keeps the frozen [[IvfCentroids]] operating
     * point (the q_embed_neardup precedent). */
+  /** Above this k, flat nearest-centroid assignment (n·k cosines) and
+    * full-corpus Lloyd stop being the cheap part — [[dedupAuto]]
+    * switches to sampled training + the two-level
+    * [[Similarity.assignCellsHierarchical]] assigner (per-row cost
+    * (1+probes)·√k). */
+  val FlatAssignCeiling = 4096
+
   def dedupAuto(emb: DataFrame, idCol: String, vecCol: String,
                 threshold: Double, targetCellSize: Int = 128,
                 seed: Long = 42L,
                 maxCellSize: Option[Int] = None): DataFrame = {
     val n = emb.select(col(idCol)).count()
     val k = cellsFor(n, targetCellSize)
-    require(k <= 4096,
-      s"cellsFor chose $k cells at n=$n — past the flat-assignment " +
-        "ceiling; use Dedup.embeddingNearDupsAuto (SRP quantizer) " +
-        "or a hierarchical quantizer beyond ~500k vectors")
+    require(k <= 65536,
+      s"cellsFor chose $k cells at n=$n — even hierarchical flat-within-" +
+        "coarse assignment is past its sweet spot; semantic dedup at this " +
+        "scale should ride the SRP quantizer (Dedup.embeddingNearDupsAuto, " +
+        "assignment n·log n, ladder-measured linear)")
     if (k <= 1)
       // n ≤ targetCellSize: one cell IS the whole corpus — no quantizer
       // (a synthetic single centroid would put a zero/NaN cosine in the
       // argmax for nothing)
       dedupAssigned(emb, emb.select(col(idCol), lit(0).as("cell")),
         idCol, vecCol, threshold, maxCellSize)
-    else
+    else if (k <= FlatAssignCeiling)
       dedup(emb, idCol, vecCol, threshold,
         Similarity.trainCentroids(emb, vecCol, k, seed), maxCellSize)
+    else {
+      // past the flat ceiling: (a) train on a bounded sample — full-
+      // corpus Lloyd is itself n·k per round (the faiss
+      // max-points-per-centroid discipline; 64·k keeps every cell ~64
+      // training points); (b) assign two-level. Cell sizes still target
+      // `targetCellSize`, so the pair join stays linear.
+      val frac = math.min(1.0, 64.0 * k / n.toDouble)
+      val trainDf = if (frac >= 1.0) emb else emb.sample(frac, seed)
+      val centroids = Similarity.trainCentroids(trainDf, vecCol, k, seed)
+      dedupAssigned(emb,
+        Similarity.assignCellsHierarchical(emb, idCol, vecCol,
+            idCol, "_hv", probes = 1, centroids)
+          .select(col(idCol), col("cell")),
+        idCol, vecCol, threshold, maxCellSize)
+    }
   }
 }

@@ -76,11 +76,13 @@ class SemDedupSpec extends SparkSpec {
       val k = SemDedup.cellsFor(n)
       assert(n.toDouble / k <= 128.0, s"occupancy blew past target at n=$n")
     }
-    // callers refuse past the ceiling rather than degrading silently
-    // (the require fires on the id count, before any training work)
+    // dedupAuto refuses past even the hierarchical sweet spot (65536
+    // cells ≈ 8.4M rows at the default target) rather than degrading
+    // silently — the require fires on the id count, before any
+    // training or assignment work touches a vector
     intercept[IllegalArgumentException] {
       SemDedup.dedupAuto(
-        spark.range(0, 600000).selectExpr("id", "array(1.0f) AS vec"),
+        spark.range(0, 8500000).selectExpr("id", "array(1.0f) AS vec"),
         "id", "vec", 0.5)
     }
   }

