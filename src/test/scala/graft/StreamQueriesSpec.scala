@@ -44,7 +44,9 @@ class StreamQueriesSpec extends SparkSpec {
   test("q_stream_join pairs equal the batch 30-minute interval self-join") {
     val streamed = SparkEntry.queries("q_stream_join")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // same deterministic quarter of the users the query replays
     val ev = Tables.events(spark, sf001)
+      .filter(pmod(col("user_id"), lit(4)) === 0)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
     val batch = ev.toDF("user_id", "l_us", "l_event_id")
       .join(ev.toDF("user_id", "r_us", "r_event_id"), Seq("user_id"))
