@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   * (as any as-of semantics requires).
   *
   * Left-join semantics: unmatched left rows keep NULL right columns.
+  *
+  * NULL handling: NULL keys GROUP TOGETHER (window partitioning, not
+  * SQL equality) — a NULL-key left row can match a NULL-key right row,
+  * where a SQL ASOF equi-join would emit no match; NULL order keys
+  * sort first, so a NULL-ts left row only ever sees NULL-ts right
+  * rows. Pre-filter NULLs for SQL-equality semantics.
   */
 object AsOfJoin {
 
