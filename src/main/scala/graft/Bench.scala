@@ -65,7 +65,8 @@ object Bench {
       .getMemoryPoolMXBeans.asScala
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
     val loadStart = loadavg
-    final case class QRes(cold: Double, steady: Double, gcMs: Long, heapPeakMb: Double)
+    final case class QRes(cold: Double, steady: Double, gcMs: Long,
+                          heapPeakMb: Double, spread: Double)
     // name-sorted so the compact `steady_ms` array in the final line has a
     // deterministic, externally reconstructible order (sorted registry names)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -77,11 +78,18 @@ object Bench {
       heapPools.foreach(_.resetPeakUsage())
       val gc0 = gcMillis
       val cold = time(name, fn)
-      val steady =
-        if (cold < 0) -1.0
+      // spread = max/min of the two steady runs: a min-of-2 steady can
+      // swing 2.7× round to round under driver load (the r11 verdict
+      // burned an investigation adjudicating a PQ-family false alarm),
+      // so the record must carry how much the two runs DISAGREED — a
+      // small spread makes a delta self-attributing as real, a big one
+      // flags load noise
+      val (steady, spread) =
+        if (cold < 0) (-1.0, -1.0)
         else {
           val (s1, s2) = (time(name, fn), time(name, fn))
-          if (s1 < 0 || s2 < 0) -1.0 else math.min(s1, s2)
+          if (s1 < 0 || s2 < 0) (-1.0, -1.0)
+          else (math.min(s1, s2), math.max(s1, s2) / math.max(math.min(s1, s2), 1e-9))
         }
       // GC delta spans all three runs of THIS query (the System.gc()
       // above fences off the previous query's debt); peak heap is the
@@ -93,7 +101,7 @@ object Bench {
       // column for trends and order-of-magnitude, not absolutes
       val gcDelta = gcMillis - gc0
       val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1e6
-      name -> QRes(cold, steady, gcDelta, peakMb)
+      name -> QRes(cold, steady, gcDelta, peakMb, spread)
     }
     def jsonMap(sel: QRes => String): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
@@ -127,8 +135,18 @@ object Bench {
       .map { case (k, r) =>
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(r.steady))
       }.mkString("{", ",", "}")
+    // per-query run-spread, one char per query in the SAME name-asc
+    // order as steady_ms (~200 chars for 200 queries — fits the tail):
+    // digit d = max/min of the two steady runs bucketed in 0.25 steps
+    // (0: <1.25, 1: <1.50, …, 9: ≥3.25), '-' = failed. Reading a
+    // round-over-round delta: spread 0–1 on both rounds → the delta is
+    // the engine; spread ≥3 → that round's min was still contaminated.
+    val spreadStr = results.map { case (_, r) =>
+      if (r.spread < 0) "-"
+      else math.min(9, math.floor((r.spread - 1.0) / 0.25).toInt).toString
+    }.mkString
     val xmxMb = math.round(Runtime.getRuntime.maxMemory / 1e6)
-    println(s"""{"metric":"total","value":$totalSteady,"unit":"sec","total_cold":$totalCold,"gc_ms_total":$totalGcMs,"n_queries":${results.size},"xmx_mb":$xmxMb,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failed.mkString("[", ",", "]")},"top_steady_sec":$top,"steady_order":"name-asc","steady_ms":$steadyMsArr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalSteady,"unit":"sec","total_cold":$totalCold,"gc_ms_total":$totalGcMs,"n_queries":${results.size},"xmx_mb":$xmxMb,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failed.mkString("[", ",", "]")},"top_steady_sec":$top,"steady_order":"name-asc","steady_ms":$steadyMsArr,"spread_q25":"$spreadStr","sf":"$sfDir"}""")
     spark.stop()
   }
 }

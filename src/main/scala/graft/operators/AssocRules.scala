@@ -47,9 +47,17 @@ object AssocRules {
       .distinct()
     val items = maxBasketSize match {
       case Some(cap) =>
-        import org.apache.spark.sql.expressions.Window
-        items0.withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("bid"))))
-          .filter(col("_bsz") <= cap).drop("_bsz")
+        // Basket sizes via map-side-combinable groupBy + left-semi join
+        // on the keep set — NEVER a window on the hot basket key (the
+        // house rule the cap path itself exists to defend: the cap
+        // guards against a mega-basket, exactly the input on which a
+        // window's per-bid sort hurts most; the keyed count partial-aggs
+        // the mega-basket down to one row before it ever shuffles).
+        val keep = items0.groupBy(col("bid"))
+          .agg(count(lit(1)).as("_bsz"))
+          .filter(col("_bsz") <= cap)
+          .select(col("bid"))
+        items0.join(keep, Seq("bid"), "left_semi")
       case None => items0
     }
 

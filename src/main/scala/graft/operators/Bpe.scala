@@ -121,12 +121,15 @@ object Bpe {
     *    vocabulary, not corpus size, so 100 TB of text trains over the
     *    same few-MB frame a laptop would (the [[tokenStats]] scale
     *    argument, applied to training);
-    *  - each round is ONE keyed pair-count aggregation (adjacent-pair
-    *    explode → groupBy(l, r) → sum(n)) plus a 1-row argmax collected
-    *    to the driver (min_by over struct(-cnt, l, r) — count desc,
-    *    then left/right codepoint asc via binary string order, the
-    *    FreezeBpeMerges tie-break; single-char BMP strings compare in
-    *    codepoint order on both engines);
+    *  - each round is ONE fused pair-count+argmax aggregation
+    *    ([[graft.functions.SketchAggs.PairArgmaxAgg]]: a single
+    *    TypedImperativeAggregate buffer counts adjacent pairs AND keeps
+    *    the running argmax — 2 stages, partial maps over the dictionary
+    *    partitions then a single-partition merge) plus a 1-row collect
+    *    of the winner; the tie-break is a packed (l_code, r_code) key —
+    *    count desc, then left/right codepoint asc, the FreezeBpeMerges
+    *    tie-break (single-char BMP strings compare in codepoint order
+    *    on both engines);
     *  - the winning pair applies as one codegen'd 2-char → 1-char
     *    `replace` (merged symbol = U+E000+round), and the dictionary is
     *    re-checkpointed (lazy) so the next round's action materializes
@@ -170,11 +173,17 @@ object Bpe {
     // PairArgmaxAgg counts UTF-16 code units (the FreezeBpeMerges char
     // loop) while the DuckDB oracle counts codepoints — a supplementary
     // char (emoji → surrogate pair) would diverge the pair counts, and
-    // a pre-existing PUA char would collide with merged symbols. One
-    // tiny job over the dictionary, amortized across all rounds.
-    require(words.filter(col("w").rlike("[\\uD800-\\uF8FF]")).isEmpty,
-      "BPE training corpus contains surrogate-pair or private-use-area " +
-        "chars — the single-char symbol encoding cannot represent them")
+    // a pre-existing PUA char would collide with merged symbols. TWO
+    // regex classes, because Java regex matches by CODE POINT: a valid
+    // surrogate PAIR is a single supplementary code point (≥ U+10000)
+    // that never lands in [\uD800-] — that class only catches
+    // LONE surrogate halves and the PUA. One tiny job over the
+    // dictionary, amortized across all rounds.
+    require(words.filter(col("w").rlike("[\\uD800-\\uF8FF]")
+        || col("w").rlike("[\\x{10000}-\\x{10FFFF}]")).isEmpty,
+      "BPE training corpus contains supplementary-plane, lone-surrogate " +
+        "or private-use-area chars — the single-char symbol encoding " +
+        "cannot represent them")
     val merges = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
     var i = 0
     var done = false

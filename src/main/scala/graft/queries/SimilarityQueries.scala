@@ -469,15 +469,31 @@ object SimilarityQueries {
     // (each p has a DISTINCT Random(42) layout, so each branch carries
     // its own 16-table constants). Plane sets cover p ∈ {2,3,4} — the
     // rule's output at every verified corpus size (500 → 2, 2000 → 4)
-    // plus the gap point; a p outside the range yields NULL codes →
-    // zero oracle candidates → a loud rows mismatch, never silent
-    // acceptance. Same candidate join + exact-cosine filter as
-    // q_embed_neardup, so the pair stands as fixed-vs-auto evidence.
+    // plus the gap point. A p outside the covered range can NOT pass
+    // vacuously (r11 ADVICE: NULL codes → zero oracle candidates could
+    // coincide with a genuinely pair-free corpus): both sides emit a
+    // SENTINEL row (id1 = -1) carrying the replayed p and COUNT(*) —
+    // the oracle maps an uncovered p to NULL there, so rule drift or
+    // an uncovered corpus size hash-mismatches on the sentinel even
+    // when the pair set is empty on both sides. Same candidate join +
+    // exact-cosine filter as q_embed_neardup, so the pair stands as
+    // fixed-vs-auto evidence.
     "q_embed_neardup_auto" -> QueryDef(
-      (s, dir) => graft.operators.Dedup.embeddingNearDupsAuto(
-        Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64,
-        threshold = 0.4, tables = 16, targetBucketSize = 128,
-        maxBucketSize = Some(100000)),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        // replay the engine's own sizing inputs for the sentinel (same
+        // rule embeddingNearDupsAuto applies internally — deterministic
+        // in n, so computing it twice is exact)
+        val n = emb.count()
+        val p = graft.operators.Similarity.srpPlanesFor(n, 128)
+        graft.operators.Dedup.embeddingNearDupsAuto(
+          emb, "vec_id", "embedding", dim = 64,
+          threshold = 0.4, tables = 16, targetBucketSize = 128,
+          maxBucketSize = Some(100000))
+          .unionByName(s.range(1).select(
+            lit(-1L).as("id1"), lit(p.toLong).as("id2"),
+            lit(n.toDouble).as("cos_sim")))
+      },
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |pp AS (SELECT min(i) AS p FROM generate_series(1, 32) AS g(i)
         |       WHERE (SELECT count(*) FROM e) // (1::BIGINT << i) <= 128),
@@ -496,7 +512,12 @@ object SimilarityQueries {
         |         list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos_sim
         |  FROM cand JOIN e qe ON qe.vec_id = cand.id1
         |            JOIN e ce ON ce.vec_id = cand.id2)
-        |WHERE cos_sim >= 0.4"""),
+        |WHERE cos_sim >= 0.4
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS id1,
+        |       CAST(CASE WHEN (SELECT p FROM pp) IN (2, 3, 4)
+        |                 THEN (SELECT p FROM pp) END AS BIGINT) AS id2,
+        |       CAST((SELECT count(*) FROM e) AS DOUBLE) AS cos_sim"""),
 
     "q_ann_lsh" -> QueryDef(
       (s, dir) => {

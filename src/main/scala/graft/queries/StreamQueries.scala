@@ -65,6 +65,26 @@ object StreamQueries {
     try body finally s.conf.set(key, saved)
   }
 
+  /** Replay-harness size fence. Collecting the replay slice to the
+    * driver is the inherent shape of memory-source replay — this file
+    * is a VERIFICATION harness, not a data path: the operators under
+    * test consume an unbounded `readStream` in production and never
+    * collect. At the gate SFs the slice is 10k–100k rows; pointing
+    * Verify/Bench at a much larger SF must fail LOUDLY here instead of
+    * silently building a multi-GB driver array. The count() is one
+    * cheap extra job over the already-pruned slice. */
+  private[graft] val MaxReplayRows = 2000000L
+  private[graft] def collectReplay[T](ds: org.apache.spark.sql.Dataset[T],
+      what: String, cap: Long = MaxReplayRows): Array[T] = {
+    val n = ds.count()
+    require(n <= cap,
+      s"streaming replay harness: $what would collect $n rows (cap $cap) " +
+        "to the driver to feed the memory source — this harness verifies " +
+        "streamed-vs-batch equivalence at gate SFs; run a smaller SF or " +
+        "raise the cap deliberately")
+    ds.collect()
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // flatMapGroupsWithState sessionization, streamed end to end: all
@@ -81,9 +101,9 @@ object StreamQueries {
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val evs: Array[Ev] = Tables.events(s, dir)
+        val evs: Array[Ev] = collectReplay(Tables.events(s, dir)
           .select(col("user_id"), col("ts"), col("event_type"), col("value"))
-          .as[Ev].collect()
+          .as[Ev], "events replay slice")
         val maxTsMs = evs.iterator.map(_.ts.getTime).max
         // TWO sentinel batches, not one: the final seal must ride a DATA
         // batch. Sentinel A (batch 2) pushes the max event time past
@@ -148,9 +168,9 @@ object StreamQueries {
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val evs: Array[Ev] = Tables.events(s, dir)
+        val evs: Array[Ev] = collectReplay(Tables.events(s, dir)
           .select(col("user_id"), col("ts"), col("event_type"), col("value"))
-          .as[Ev].collect()
+          .as[Ev], "events replay slice")
         val confKey = "spark.sql.streaming.stateStore.providerClass"
         val saved = scala.util.Try(s.conf.get(confKey)).toOption
         s.conf.set(confKey,
@@ -203,9 +223,9 @@ object StreamQueries {
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val evs: Array[Ev] = Tables.events(s, dir)
+        val evs: Array[Ev] = collectReplay(Tables.events(s, dir)
           .select(col("user_id"), col("ts"), col("event_type"), col("value"))
-          .as[Ev].collect()
+          .as[Ev], "events replay slice")
         val maxTsMs = evs.iterator.map(_.ts.getTime).max
         val sentinelA = Ev(-1L, new Timestamp(maxTsMs + (3600L + 3600L + 60L) * 1000L),
           "sentinel", 0.0)
@@ -250,10 +270,12 @@ object StreamQueries {
         // oracle): the stream-stream join exec's buffered-state cost is
         // the one replay that grows with BOTH sides, and the gate is
         // exactly as strong on 25% of the keys
-        val rows: Array[(Long, Timestamp, Long)] = Tables.events(s, dir)
-          .filter(pmod(col("user_id"), lit(4)) === 0)
-          .select(col("user_id"), col("ts"), col("event_id"))
-          .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        val rows: Array[(Long, Timestamp, Long)] = collectReplay(
+          Tables.events(s, dir)
+            .filter(pmod(col("user_id"), lit(4)) === 0)
+            .select(col("user_id"), col("ts"), col("event_id")),
+          "stream-stream join replay slice")
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
         val msL = MemoryStream[(Long, Timestamp, Long)]
         val msR = MemoryStream[(Long, Timestamp, Long)]
         val left = msL.toDF().toDF("user_id", "l_ts", "l_event_id")
@@ -290,9 +312,9 @@ object StreamQueries {
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val evs: Array[Ev] = Tables.events(s, dir)
+        val evs: Array[Ev] = collectReplay(Tables.events(s, dir)
           .select(col("user_id"), col("ts"), col("event_type"), col("value"))
-          .as[Ev].collect()
+          .as[Ev], "events replay slice")
         val ms = MemoryStream[Ev]
         val q = withReplayPartitions(s) {
           StreamingOps.dedupWithinWatermark(ms.toDF(),
@@ -320,9 +342,9 @@ object StreamQueries {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val mgK = 4
-        val evs: Array[Ev] = Tables.events(s, dir)
+        val evs: Array[Ev] = collectReplay(Tables.events(s, dir)
           .select(col("user_id"), col("ts"), col("event_type"), col("value"))
-          .as[Ev].collect()
+          .as[Ev], "events replay slice")
           // the MG item is user_id: collapse 2/3 of rows onto sentinel
           // -7 so each event_type has one genuinely heavy item
           .map(e => if (e.user_id % 3 != 0) e.copy(user_id = -7L) else e)
@@ -400,11 +422,11 @@ object StreamQueries {
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val changes: Array[Chg] = Tables.events(s, dir)
+        val changes: Array[Chg] = collectReplay(Tables.events(s, dir)
           .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
             col("event_type"), col("value"),
             when(pmod(col("event_id"), lit(10)) === 0, lit("D")).otherwise(lit("U")).as("op"))
-          .as[Chg].collect()
+          .as[Chg], "CDC change replay slice")
           .sortBy(c => (c.ts_us, c.event_id))
         val slices = changes.grouped(math.max(1, (changes.length + 2) / 3)).toSeq
         val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString

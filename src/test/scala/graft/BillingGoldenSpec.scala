@@ -92,6 +92,27 @@ class BillingGoldenSpec extends SparkSpec {
     assert(pairs.exceptAll(viaJoinEdge).isEmpty && viaJoinEdge.exceptAll(pairs).isEmpty)
   }
 
+  test("maxBasketSize cap: drops the mega-basket, keyed count — no window on bid") {
+    import spark.implicits._
+    // adversarial skew fixture: one mega-basket (the pair-blowup input
+    // the cap exists for) among normal baskets
+    val mega = (1 to 200).map(i => (99L, s"item_$i"))
+    val normal = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "c"))
+    val baskets = (normal ++ mega).toDF("bid", "item")
+    val capped = AssocRules.rules(baskets, "bid", "item", maxBasketSize = Some(10))
+    // semantics: identical to running rules() on the input minus the
+    // mega-basket (support denominator excludes dropped baskets too)
+    val manual = AssocRules.rules(normal.toDF("bid", "item"), "bid", "item")
+    assert(capped.exceptAll(manual).isEmpty && manual.exceptAll(capped).isEmpty)
+    assert(capped.filter(col("support") === 1.0).count() > 0) // 2 baskets, (a,b) in both
+    // plan pin (house rule): the cap path counts basket sizes via
+    // partial-aggregable groupBy + semi join, never a window sort on the
+    // hot basket key — the window formulation funnels the mega-basket
+    // through one sorting task exactly when the cap is needed most
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window "), s"cap path planned a window on bid:\n$plan")
+  }
+
   test("golden Q2: revenue per item per month from dialect B") {
     val path = fixtureFile("priced2.txt",
       "2015-1-3,15 pane,12 uova\n2015-1-20,3 pane\n2016-1-3,7 pane\n")

@@ -173,6 +173,22 @@ class BpeSpec extends SparkSpec {
     assert(gotTiny.length < 50, "exhaustion must stop the loop early")
   }
 
+  test("train rejects supplementary-plane and PUA corpora loudly") {
+    import spark.implicits._
+    // U+1F600 is a surrogate PAIR in UTF-16 but ONE code point to Java
+    // regex — the old surrogate/PUA range class silently admitted it
+    // (a compiled [surrogate-range] pattern does not match the emoji);
+    // PairArgmaxAgg would then count code units against a codepoint
+    // oracle. The supplementary-plane class must make it loud.
+    val emoji = Seq((1L, "ab ab 😀 cd")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException](Bpe.train(emoji, numMerges = 4))
+    assert(e1.getMessage.contains("supplementary"))
+    // pre-existing private-use char would collide with merged symbols
+    val pua = Seq((1L, "ab  cd")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException](Bpe.train(pua, numMerges = 4))
+    assert(e2.getMessage.contains("private-use"))
+  }
+
   test("train reproduces the frozen BpeMerges table on its training corpus") {
     // the done-criterion made a repo pin: 96 distributed rounds on the
     // sf0.01 documents corpus — the exact corpus FreezeBpeMerges froze —

@@ -73,4 +73,15 @@ class StreamQueriesSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("collectReplay fences oversized replay slices loudly") {
+    import spark.implicits._
+    val small = spark.range(10).map(_.toInt)
+    // at or under the cap: passes through
+    assert(graft.queries.StreamQueries.collectReplay(small, "t", cap = 10).length == 10)
+    // over the cap: the harness must refuse BEFORE building the array
+    val e = intercept[IllegalArgumentException](
+      graft.queries.StreamQueries.collectReplay(spark.range(11).map(_.toInt), "t", cap = 10))
+    assert(e.getMessage.contains("replay harness"))
+  }
 }
