@@ -136,14 +136,15 @@ object SemDedup {
     * against the pair join they right-size (measured on the 30×
     * ladder corpus: 55.9 s frozen-16-cells → s-range at k = 469).
     *
-    * Honest asymptote: brute nearest-centroid assignment is n·k
-    * cosines, so with k ∝ n the ASSIGNMENT becomes the n²/target term
-    * past k ≈ 4096 (the [[cellsFor]] ceiling, ~500k vectors at the
-    * default target). Beyond that, semantic dedup should ride the
-    * data-independent SRP quantizer ([[Dedup.embeddingNearDupsAuto]] —
-    * assignment cost n·log n, measured linear on the same ladder) or a
-    * hierarchical coarse-within-coarse assignment; the ceiling is a
-    * require so the cliff is loud, not silent.
+    * Tiered by corpus size, ONE entry point end to end: k ≤ 1 all-pairs
+    * → k ≤ [[FlatAssignCeiling]] flat assignment + full-corpus Lloyd
+    * (brute nearest-centroid is n·k cosines — fine while k is small)
+    * → k ≤ [[HierAssignCeiling]] sampled training + two-level
+    * assignment ([[dedupHier]], (1+probes)·√k cosines/row) → beyond,
+    * the data-independent SRP quantizer ([[dedupSrp]] →
+    * [[Dedup.embeddingNearDupsAuto]], assignment n·log n, ladder-
+    * measured linear; cell = NULL at that tier — that crossing changes
+    * the output shape, so it logs loudly). No tier is a crash.
     *
     * Trained centroids carry KMeans' float-reduction nondeterminism, so
     * this path is spec/ladder-pinned, not oracle-hashed — the
@@ -162,12 +163,20 @@ object SemDedup {
                 maxCellSize: Option[Int] = None): DataFrame = {
     val n = emb.select(col(idCol)).count()
     val k = cellsFor(n, targetCellSize)
-    require(k <= 65536,
-      s"cellsFor chose $k cells at n=$n — even hierarchical flat-within-" +
-        "coarse assignment is past its sweet spot; semantic dedup at this " +
-        "scale should ride the SRP quantizer (Dedup.embeddingNearDupsAuto, " +
-        "assignment n·log n, ladder-measured linear)")
-    if (k <= 1)
+    if (k > HierAssignCeiling) {
+      // ONE ingest entry point for every corpus size (r11 verdict task
+      // 3 — this was a require-crash with advice): past the
+      // hierarchical assigner's sweet spot, route to the SRP-bucketed
+      // candidate generator, whose assignment is n·log n and
+      // ladder-measured linear. Loud, because the output contract
+      // changes shape (cell = NULL — see [[dedupSrp]]).
+      org.slf4j.LoggerFactory.getLogger("graft.operators.SemDedup").info(
+        s"dedupAuto: n=$n wants $k cells (> $HierAssignCeiling) — routing to " +
+          "the SRP near-dup quantizer (Dedup.embeddingNearDupsAuto); " +
+          "survivors carry cell = NULL at this tier")
+      dedupSrp(emb, idCol, vecCol, threshold, targetCellSize, maxCellSize)
+    }
+    else if (k <= 1)
       // n ≤ targetCellSize: one cell IS the whole corpus — no quantizer
       // (a synthetic single centroid would put a zero/NaN cosine in the
       // argmax for nothing)
@@ -184,12 +193,62 @@ object SemDedup {
       // `targetCellSize`, so the pair join stays linear.
       val frac = math.min(1.0, 64.0 * k / n.toDouble)
       val trainDf = if (frac >= 1.0) emb else emb.sample(frac, seed)
-      val centroids = Similarity.trainCentroids(trainDf, vecCol, k, seed)
-      dedupAssigned(emb,
-        Similarity.assignCellsHierarchical(emb, idCol, vecCol,
-            idCol, "_hv", probes = 1, centroids)
-          .select(col(idCol), col("cell")),
-        idCol, vecCol, threshold, maxCellSize)
+      dedupHier(emb, idCol, vecCol, threshold,
+        Similarity.trainCentroids(trainDf, vecCol, k, seed), maxCellSize)
     }
   }
+
+  /** Above this k, even the two-level assigner's (1+probes)·√k cosines
+    * per row stop being cheap — [[dedupAuto]] routes to [[dedupSrp]]. */
+  val HierAssignCeiling = 65536
+
+  /** The SRP tier of [[dedupAuto]]: dup edges from the data-independent
+    * SRP-LSH candidate generator ([[Dedup.embeddingNearDupsAuto]] —
+    * plane count sized by the same ∝-corpus rule as [[cellsFor]]),
+    * then the identical exact-cosine filter and min-id survivor rule.
+    * The cosine-τ mapping is IDENTITY: embeddingNearDups already
+    * filters candidates by exact cosine ≥ τ, so only the candidate
+    * GENERATOR changes across the tiers (quantizer cells vs SRP
+    * buckets — both approximate, both recall-bounded by their bucket
+    * caps). `targetCellSize` maps to the SRP target bucket size and
+    * `maxCellSize` to the bucket cap: the same knobs, same meaning.
+    *
+    * Output contract: (id, cell) like every tier, but cell is NULL —
+    * there IS no quantizer cell here, and an invented surrogate (an
+    * SRP bucket id) would silently mean something different to a
+    * caller grouping by it. Honest NULL + the dispatch log line. */
+  private[graft] def dedupSrp(emb: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, targetCellSize: Int,
+                              maxCellSize: Option[Int]): DataFrame = {
+    // dim learned from the data (one 1-row action): dedupAuto's
+    // signature has no dim, and the SRP hyperplane family needs it
+    val dim = emb.select(org.apache.spark.sql.functions.size(col(vecCol)).as("d"))
+      .head().getInt(0)
+    val losers = Dedup.embeddingNearDupsAuto(emb, idCol, vecCol, dim,
+        threshold, targetBucketSize = targetCellSize,
+        maxBucketSize = maxCellSize)
+      .select(col("id2").as(idCol)).distinct()
+    emb.select(col(idCol), lit(null).cast("int").as("cell"))
+      .join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedup]] on the two-level assigner — the >FlatAssignCeiling tier
+    * of [[dedupAuto]] as a directly callable operator: same survivor
+    * rule, but assignment goes through
+    * [[Similarity.assignCellsHierarchical]] ((1+coarseProbes)·√k
+    * cosines per row instead of k). Callable with ANY centroid set;
+    * with the deterministic [[Similarity.hashCentroids]] quantizer the
+    * whole operator — coarsen's driver Lloyd included — is
+    * oracle-replayable, which is how q_semdedup_hier hash-gates this
+    * path (dedupAuto's trained-centroid entry stays spec/ladder-pinned,
+    * the q_semdedup precedent). */
+  def dedupHier(emb: DataFrame, idCol: String, vecCol: String,
+                threshold: Double, centroids: Seq[(Int, Array[Float])],
+                maxCellSize: Option[Int] = None,
+                coarseProbes: Int = 2): DataFrame =
+    dedupAssigned(emb,
+      Similarity.assignCellsHierarchical(emb, idCol, vecCol,
+          idCol, "_hv", probes = 1, centroids, coarseProbes)
+        .select(col(idCol), col("cell")),
+      idCol, vecCol, threshold, maxCellSize)
 }

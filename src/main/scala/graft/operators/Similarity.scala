@@ -260,6 +260,39 @@ object Similarity {
       .select(col(outId), col(outVec), col("cell"))
   }
 
+  /** Deterministic hash-derived quantizer: centroid c's component d is
+    * `((portable_hash60("tag:c:d") % 256) − 127.5) / 128` ∈ (−1, 1).
+    * Two properties make it the ORACLE-GATE quantizer for the
+    * hierarchical assignment tier (trained k-means centroids carry
+    * float-reduction nondeterminism, and freezing >4096 cells × dim
+    * floats as source constants is not viable):
+    *
+    *  - cross-engine exact: the hash is the md5-derived portable
+    *    family ([[graft.functions.PortableHash60]]), so DuckDB rebuilds
+    *    the identical centroids from `md5()` + integer arithmetic;
+    *  - every component is a DYADIC rational (odd multiple of 2⁻⁸,
+    *    |x| < 1, never 0), so float32 storage is exact AND any sum of
+    *    ≤2¹² of them is exactly representable in double — which makes
+    *    [[coarsen]]'s Lloyd means ORDER-INDEPENDENT exact (means are
+    *    recomputed from these originals every round, never chained),
+    *    so a plain SQL `sum()` replays the driver loop bit for bit.
+    *
+    * Also a serviceable data-independent quantizer in its own right
+    * (random vertices of a scaled hypercube — the SRP idea without the
+    * sign collapse), but the trained path wins on recall; use this
+    * where verifiability or data-independence is the requirement. */
+  def hashCentroids(k: Int, dim: Int, tag: String = "hc"): Seq[(Int, Array[Float])] = {
+    require(k >= 1 && dim >= 1, s"need k >= 1, dim >= 1, got k=$k dim=$dim")
+    import org.apache.spark.unsafe.types.UTF8String
+    (0 until k).map { c =>
+      (c, Array.tabulate(dim) { d =>
+        val h = graft.functions.PortableHash60.hash(
+          UTF8String.fromString(s"$tag:$c:$d"))
+        (((h % 256).toDouble - 127.5) / 128.0).toFloat
+      })
+    }
+  }
+
   /** Group the k fine centroids into ⌈√k⌉ coarse groups — a driver-side
     * Lloyd over k rows (k ≤ 10⁵ → trivial local compute, deterministic:
     * spread seeding over cell-id order, fixed 8 rounds, cosine metric,

@@ -169,6 +169,84 @@ object SimilarityQueries {
       |  JOIN cb b3 ON b3.m = 3 AND b3.code = x.code_3
       |  WHERE x.vec_id % 13 <> 0)"""
 
+  /** The frozen >FlatAssignCeiling operating point for q_semdedup_hier:
+    * hash-derived deterministic quantizer (k = 4100 > 4096 forces the
+    * two-level tier; the corpus is gate-SF-sized, so this is a CODE-PATH
+    * gate, not a sizing claim — SCALE.md carries the sizing evidence).
+    * Lazy: 262k driver-side md5 calls, computed once per JVM. */
+  private lazy val HierCentroids =
+    graft.operators.Similarity.hashCentroids(4100, 64)
+
+  /** DuckDB replay of the FULL hierarchical semantic-dedup chain:
+    * [[Similarity.hashCentroids]] (md5 + integer arithmetic — the
+    * portable-hash family) → [[Similarity.coarsen]]'s driver Lloyd
+    * (`rounds` unrolled MATERIALIZED CTE pairs, the q_bpe_train
+    * pattern) → two-level coarse→fine assignment → intra-cell dup
+    * edges → min-id survivor rule. Bit-exactness rests on two pillars:
+    * every hashCentroids component is a dyadic rational, so Lloyd's
+    * per-round means (always recomputed from the ORIGINALS) are
+    * order-independent exact under plain `sum()`; and every cosine is
+    * a sequential ascending-index fold on both engines
+    * (list_dot_product ≡ the fused CosineSimilarity loop). Faithful
+    * corners: coarsen's `dot/sqrt/sqrt` two-division form with the
+    * −2.0 zero-norm guard vs CosineSimilarity's `dot/(sqrt·sqrt)`;
+    * the returned grouping is the LAST round's assignment (computed
+    * against round R−1 means) while the returned coarse centers are
+    * the round-R means, float32-rounded. */
+  private def hierOracleSql(k: Int, dim: Int, rounds: Int,
+                            coarseProbes: Int, tag: String): String = {
+    val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val roundCtes = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+        |  SELECT c, j FROM (
+        |    SELECT c, j, row_number() OVER (PARTITION BY c ORDER BY s DESC, j) AS rn
+        |    FROM (SELECT fc.c, m.j,
+        |            CASE WHEN list_dot_product(m.m, m.m) = 0 OR list_dot_product(fc.ctr, fc.ctr) = 0
+        |                 THEN CAST('-2.0' AS DOUBLE)
+        |                 ELSE list_dot_product(m.m, fc.ctr) / sqrt(list_dot_product(m.m, m.m)) / sqrt(list_dot_product(fc.ctr, fc.ctr)) END AS s
+        |          FROM fc CROSS JOIN m${r - 1} m))
+        |  WHERE rn = 1),
+        |m$r AS MATERIALIZED (
+        |  SELECT mp.j, coalesce(nm.m, mp.m) AS m
+        |  FROM m${r - 1} mp LEFT JOIN (
+        |    SELECT j, list(mx ORDER BY d) AS m
+        |    FROM (SELECT a.j, fcv.d, sum(fcv.x) / count(*) AS mx
+        |          FROM a$r a JOIN fcv ON fcv.c = a.c GROUP BY a.j, fcv.d)
+        |    GROUP BY j) nm ON nm.j = mp.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |fcv AS MATERIALIZED (
+      |  SELECT cd // $dim AS c, cd % $dim AS d,
+      |         (CAST(CAST(concat('0x', substr(md5('$tag:' || CAST(cd // $dim AS VARCHAR) || ':' || CAST(cd % $dim AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS DOUBLE)
+      |          - CAST('127.5' AS DOUBLE)) / CAST('128.0' AS DOUBLE) AS x
+      |  FROM generate_series(0, ${k * dim - 1}) AS t(cd)),
+      |fc AS MATERIALIZED (SELECT c, list(x ORDER BY d) AS ctr FROM fcv GROUP BY c),
+      |m0 AS (SELECT j, (SELECT ctr FROM fc WHERE c = least($k - 1, (j * $k) // $g)) AS m
+      |       FROM generate_series(0, ${g - 1}) AS t(j)),
+      |$roundCtes,
+      |gc AS (SELECT j, list_transform(m, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS gm FROM m$rounds),
+      |pg AS (SELECT vec_id, j FROM (
+      |    SELECT e.vec_id, gc.j,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, gc.gm) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(gc.gm, gc.gm))) DESC, gc.j) AS rn
+      |    FROM e CROSS JOIN gc) WHERE rn <= $coarseProbes),
+      |asgn AS MATERIALIZED (SELECT vec_id, cell FROM (
+      |    SELECT pg.vec_id, fc.c AS cell,
+      |      row_number() OVER (PARTITION BY pg.vec_id ORDER BY
+      |        list_dot_product(e.v, fc.ctr) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(fc.ctr, fc.ctr))) DESC, fc.c) AS rn
+      |    FROM pg JOIN a$rounds cg ON cg.j = pg.j JOIN fc ON fc.c = cg.c JOIN e ON e.vec_id = pg.vec_id)
+      |  WHERE rn = 1),
+      |edges AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2
+      |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  JOIN e qe ON qe.vec_id = a.vec_id
+      |  JOIN e ce ON ce.vec_id = b.vec_id
+      |  WHERE list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) >= 0.4)
+      |SELECT vec_id, CAST(cell AS BIGINT) AS cell
+      |FROM asgn
+      |WHERE vec_id NOT IN (SELECT id2 FROM edges)""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Incremental ANN ingest: the new batch (vec_id % 13 = 0) searches
@@ -726,6 +804,21 @@ object SimilarityQueries {
         |SELECT vec_id, CAST(cell AS BIGINT) AS cell
         |FROM asgn
         |WHERE vec_id NOT IN (SELECT id2 FROM edges)"""),
+
+    // The >FlatAssignCeiling tier of semantic dedup, hash-gated end to
+    // end (r11 verdict task 2): the engine path is SemDedup.dedupHier →
+    // Similarity.assignCellsHierarchical (coarsen's driver Lloyd + the
+    // two-level coarse→fine probe) on the DETERMINISTIC hashCentroids
+    // quantizer at k = 4100 > 4096 — the first cell count past the flat
+    // assigner's ceiling. The oracle retrains the coarse Lloyd from
+    // scratch (8 unrolled rounds) and replays the full assignment +
+    // survivor rule; see hierOracleSql for the exactness argument.
+    "q_semdedup_hier" -> QueryDef(
+      (s, dir) => graft.operators.SemDedup.dedupHier(
+        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4,
+        centroids = HierCentroids)
+        .select(col("vec_id"), col("cell").cast("long").as("cell")),
+      hierOracleSql(k = 4100, dim = 64, rounds = 8, coarseProbes = 2, tag = "hc")),
 
     // Scalar int8 quantization with per-vector abs-max calibration (the
     // faiss/llama.cpp Q8 shape, the MEMORY lever beside PQ): 4 B float →

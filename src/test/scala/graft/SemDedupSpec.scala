@@ -76,15 +76,53 @@ class SemDedupSpec extends SparkSpec {
       val k = SemDedup.cellsFor(n)
       assert(n.toDouble / k <= 128.0, s"occupancy blew past target at n=$n")
     }
-    // dedupAuto refuses past even the hierarchical sweet spot (65536
-    // cells ≈ 8.4M rows at the default target) rather than degrading
-    // silently — the require fires on the id count, before any
-    // training or assignment work touches a vector
-    intercept[IllegalArgumentException] {
-      SemDedup.dedupAuto(
-        spark.range(0, 8500000).selectExpr("id", "array(1.0f) AS vec"),
-        "id", "vec", 0.5)
-    }
+    // past even the hierarchical sweet spot (65536 cells ≈ 8.4M rows at
+    // the default target) dedupAuto ROUTES to the SRP tier instead of
+    // refusing (r12): the returned plan is lazy, so asserting its shape
+    // — the SRP tier's NULL cell column — proves the dispatch fired
+    // without executing an 8.5M-row candidate join in a unit test
+    val routed = SemDedup.dedupAuto(
+      spark.range(0, 8500000).selectExpr("id", "array(1.0f) AS vec"),
+      "id", "vec", 0.5)
+    assert(routed.columns.toSeq == Seq("id", "cell"))
+    assert(routed.schema("cell").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // only the SRP tier plans an LSH bucket join (srp_code appears in
+    // the analyzed plan); the quantizer tiers never do
+    assert(routed.queryExecution.analyzed.toString.contains("srp_code"))
+  }
+
+  test("SRP tier agrees with the quantizer tier where both run (the dispatch seam)") {
+    // same τ on both tiers (the threshold mapping is identity — both
+    // filter candidates by exact cosine ≥ τ; only the candidate
+    // generator differs), so on a corpus small enough for both, the
+    // survivor sets should be near-identical: high-cosine dup pairs are
+    // exactly what SRP buckets preserve best
+    // corpus seeded with KNOWN exact dups (cosine 1.0, ids shifted
+    // +10000 so the planted copy is always the droppable higher id):
+    // identical vectors share every SRP code AND every quantizer cell,
+    // so BOTH tiers must drop every planted id — the hard floor. The
+    // soft floor covers the random corpus's marginal ~0.4-cosine pairs,
+    // where the two approximate candidate generators legitimately miss
+    // DIFFERENT pairs (random embeddings are the least routable input;
+    // real near-dup corpora run 0.9+ cosine, the hard-floor regime).
+    val base = Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val plantedIds = planted.select("vec_id").as[Long].collect().toSet
+    val corpus = base.unionByName(planted)
+    val srp = SemDedup.dedupSrp(corpus, "vec_id", "embedding", 0.4,
+        targetCellSize = 128, maxCellSize = None)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = SemDedup.dedupAuto(corpus, "vec_id", "embedding", 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(plantedIds.nonEmpty)
+    assert(srp.intersect(plantedIds).isEmpty, "SRP tier kept a planted exact dup")
+    assert(quant.intersect(plantedIds).isEmpty, "quantizer tier kept a planted exact dup")
+    val agree = (srp.intersect(quant).size + 0.0) /
+      math.max(1.0, srp.union(quant).size)
+    assert(agree >= 0.9, s"tier survivor sets diverged: jaccard=$agree")
+    assert(srp.size > 0 && quant.size > 0)
   }
 
   test("dedupAuto: single-cell path below the target; trained path partitions like dedup") {
@@ -106,6 +144,40 @@ class SemDedupSpec extends SparkSpec {
     // every id appears at most once and comes from the corpus
     assert(auto.select("vec_id").distinct().count() == auto.count())
     assert(auto.join(corpus, Seq("vec_id"), "left_anti").isEmpty)
+  }
+
+  test("hashCentroids: deterministic, dyadic-exact, oracle-replayable components") {
+    val a = graft.operators.Similarity.hashCentroids(64, 16)
+    val b = graft.operators.Similarity.hashCentroids(64, 16)
+    assert(a.map(_._1) == (0 until 64))
+    // bit-identical across calls (the determinism the oracle rests on)
+    a.zip(b).foreach { case ((_, x), (_, y)) => assert(x.sameElements(y)) }
+    // every component is an ODD multiple of 2^-8 in (-1, 1): ×256 is an
+    // odd integer — exact in float32, never zero, and sums of them stay
+    // exact in double (what makes the Lloyd replay order-independent)
+    a.foreach { case (_, v) =>
+      v.foreach { x =>
+        val n = x * 256.0f
+        assert(n == math.rint(n.toDouble).toFloat && math.abs(n) <= 255f)
+        assert(math.rint(n.toDouble).toLong % 2 != 0)
+      }
+    }
+    // different tag → different quantizer
+    val c = graft.operators.Similarity.hashCentroids(64, 16, tag = "other")
+    assert(a.zip(c).exists { case ((_, x), (_, y)) => !x.sameElements(y) })
+  }
+
+  test("dedupHier at full coarse fan-out equals flat dedup on the same centroids") {
+    val corpus = Tables.embeddings(spark, sf001)
+    val cents = graft.operators.Similarity.hashCentroids(16, 64)
+    // probing every coarse group reproduces the flat assignment exactly
+    // (the SimilaritySpec pin), so the survivor set must match too
+    val g = math.ceil(math.sqrt(16.0)).toInt
+    val hier = SemDedup.dedupHier(corpus, "vec_id", "embedding", 0.4,
+      cents, coarseProbes = g)
+    val flat = SemDedup.dedup(corpus, "vec_id", "embedding", 0.4, cents)
+    assert(hier.exceptAll(flat).isEmpty && flat.exceptAll(hier).isEmpty)
+    assert(hier.count() > 0)
   }
 
   test("maxCellSize caps candidate generation deterministically") {
