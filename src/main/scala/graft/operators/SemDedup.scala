@@ -65,13 +65,22 @@ object SemDedup {
 
   private def edgesOf(emb: DataFrame, assigned: DataFrame, idCol: String,
                       vecCol: String, threshold: Double): DataFrame = {
-    val left = assigned.select(col("cell"), col(idCol).as("id1"))
-    val right = assigned.select(col("cell"), col(idCol).as("id2"))
-    val cand = left.join(right, Seq("cell")).filter(col("id1") < col("id2"))
+    // attach each id's vector ONCE to its (cell, id) assignment — n
+    // narrow rows per side through the cell exchange — so the candidate
+    // pair stream (the operator's biggest frame, n·occupancy rows)
+    // materializes WITH both vectors in place and flows straight into
+    // the codegen'd cosine filter with no further shuffle. The LSH
+    // family's ids-only discipline exists to dedup multi-table
+    // candidates BEFORE paying for vector re-attach; SemDedup generates
+    // each pair exactly once (one cell per id), so ids-only here would
+    // shuffle the full pair frame twice (once per id re-attach join)
+    // for nothing — at 100 TB that is the difference between exchanging
+    // the corpus and exchanging the candidate set.
     val vecs = emb.select(col(idCol), col(vecCol))
-    cand
-      .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("v1")), Seq("id1"))
-      .join(vecs.select(col(idCol).as("id2"), col(vecCol).as("v2")), Seq("id2"))
+    val withVec = assigned.join(vecs, Seq(idCol))
+    val left = withVec.select(col("cell"), col(idCol).as("id1"), col(vecCol).as("v1"))
+    val right = withVec.select(col("cell"), col(idCol).as("id2"), col(vecCol).as("v2"))
+    left.join(right, Seq("cell")).filter(col("id1") < col("id2"))
       .withColumn("cos_sim", Similarity.cosine(col("v1"), col("v2")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id1"), col("id2"), col("cell"), col("cos_sim"))
@@ -186,15 +195,18 @@ object SemDedup {
       dedup(emb, idCol, vecCol, threshold,
         Similarity.trainCentroids(emb, vecCol, k, seed), maxCellSize)
     else {
-      // past the flat ceiling: (a) train on a bounded sample — full-
-      // corpus Lloyd is itself n·k per round (the faiss
+      // past the flat ceiling: (a) train on a bounded sample (the faiss
       // max-points-per-centroid discipline; 64·k keeps every cell ~64
-      // training points); (b) assign two-level. Cell sizes still target
-      // `targetCellSize`, so the pair join stays linear.
+      // training points) — and train TWO-LEVEL: even sampled, a flat
+      // Lloyd is 64k·k ≈ Θ(k²) distances per round, which the r12
+      // HierLadder measured dominating this tier end-to-end;
+      // trainCentroidsHier brings training to Θ(k^1.5), distributed.
+      // (b) assign two-level. Cell sizes still target `targetCellSize`,
+      // so the pair join stays linear.
       val frac = math.min(1.0, 64.0 * k / n.toDouble)
       val trainDf = if (frac >= 1.0) emb else emb.sample(frac, seed)
       dedupHier(emb, idCol, vecCol, threshold,
-        Similarity.trainCentroids(trainDf, vecCol, k, seed), maxCellSize)
+        Similarity.trainCentroidsHier(trainDf, vecCol, k, seed), maxCellSize)
     }
   }
 

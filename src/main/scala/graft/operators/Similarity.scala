@@ -153,6 +153,157 @@ object Similarity {
     }.toSeq
   }
 
+  /** Two-level quantizer TRAINING for large k — the complement of
+    * [[assignCellsHierarchical]]: with k ∝ corpus (the [[SemDedup.cellsFor]]
+    * rule) and the training sample bounded at 64·k points (the faiss
+    * max-points-per-centroid discipline), a FLAT sampled Lloyd still
+    * costs 64k·k ≈ Θ(k²) distance evaluations per round — the training
+    * stage itself becomes the quadratic term of the >4096-cell tier
+    * (measured by HierLadder r12: it dominates end-to-end wall there).
+    * Two-level training brings it to Θ(k^1.5), distributed:
+    *
+    *   1. coarse: ⌈√k⌉ group centroids via [[trainCentroids]] on a
+    *      64·√k-point sub-sample (cost ≈ 64k — trivial);
+    *   2. partition: assign the full training sample to its nearest
+    *      coarse group ([[assignCells]], broadcast — 64k·√k cosines);
+    *   3. fine: each group trains its PROPORTIONAL share of the k fine
+    *      centroids locally inside one `mapGroups` pass (seeded local
+    *      Lloyd, cosine metric, means recomputed from originals each
+    *      round) — Σ_j (points_j · k_j) ≈ 64√k·√k per group × √k
+    *      groups ≈ 64k^1.5 total, spread across the cluster.
+    *
+    * Proportional allocation (largest-remainder, floor 1 for non-empty
+    * groups, capped at the group's point count) keeps expected cell
+    * occupancy uniform, so [[SemDedup]]'s per-cell pair bound carries
+    * over. Returns exactly k cells (ids 0..k−1) unless the sample has
+    * fewer than k points (loud require — the big-k callers always
+    * sample ≥ 64 points per centroid). Same nondeterminism class as
+    * [[trainCentroids]] (KMeans float reductions + partition-order
+    * group iteration), so this path is spec/ladder-pinned, never
+    * oracle-hashed. */
+  private[graft] def trainCentroidsHier(df: DataFrame, vecCol: String,
+                                        k: Int, seed: Long): Seq[(Int, Array[Float])] = {
+    require(k >= 2, s"trainCentroidsHier needs k >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val sample = graft.Caching.persistTracked(
+      df.select(col(vecCol).as("_v")))
+    val nSample = sample.count()
+    require(nSample >= k,
+      s"trainCentroidsHier: sample has $nSample points for $k centroids — " +
+        "pass a training frame with at least k (ideally 64·k) points")
+    val coarseFrac = math.min(1.0, 64.0 * g / nSample.toDouble)
+    val coarseDf = if (coarseFrac >= 1.0) sample else sample.sample(coarseFrac, seed)
+    val coarse = trainCentroids(coarseDf, "_v", g, seed)
+
+    val assigned = graft.Caching.persistTracked(
+      assignCells(sample.withColumn("_tid", monotonically_increasing_id()),
+          "_tid", "_v", "_tid", "_v", probes = 1, coarse)
+        .select(col("cell").as("_grp"), col("_v")))
+    val counts: Map[Int, Long] = assigned.groupBy(col("_grp")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    // largest-remainder proportional allocation of the k fine centroids
+    // over non-empty groups: floor 1, capped at the group's point count,
+    // remainder to the largest fractional parts (grp-id tie-break)
+    val grps = counts.toSeq.sortBy(_._1)
+    val exact = grps.map { case (j, nj) => (j, nj, k.toDouble * nj / nSample) }
+    var alloc = scala.collection.mutable.LinkedHashMap(
+      exact.map { case (j, nj, e) =>
+        j -> math.min(nj, math.max(1L, e.toLong)).toInt }: _*)
+    // fix the sum: add to (remainder-desc) groups with spare points,
+    // remove from the largest allocations, until Σ = k
+    var delta = k - alloc.values.sum
+    val byRem = exact.sortBy { case (j, _, e) => (-(e - e.toLong), j) }.map(_._1)
+    var guard = 0
+    while (delta != 0 && guard < 4 * k) {
+      guard += 1
+      if (delta > 0) {
+        val cand = byRem.find(j => alloc(j) < counts(j))
+          .getOrElse(throw new IllegalStateException(
+            "trainCentroidsHier: sample cannot host k centroids"))
+        alloc(cand) = alloc(cand) + 1; delta -= 1
+      } else {
+        val cand = alloc.maxBy { case (j, a) => (a, j) }._1
+        require(alloc(cand) > 1, "trainCentroidsHier: allocation underflow")
+        alloc(cand) = alloc(cand) - 1; delta += 1
+      }
+    }
+    require(alloc.values.sum == k, "trainCentroidsHier: allocation did not converge")
+    val offsets: Map[Int, Int] = {
+      var off = 0
+      alloc.toSeq.sortBy(_._1).map { case (j, kj) =>
+        val o = off; off += kj; j -> o }.toMap
+    }
+    val allocB = alloc.toMap
+
+    val fine = assigned.as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (j, it) =>
+        val pts = it.map(_._2).toArray
+        val kj = allocB(j)
+        localLloyd(pts, kj).zipWithIndex.map { case (c, i) =>
+          (offsets(j) + i, c)
+        }.iterator
+      }
+      .collect()
+    fine.sortBy(_._1).toSeq
+  }
+
+  /** Deterministic-in-input-order local Lloyd (cosine metric) used for
+    * the per-group fine step of [[trainCentroidsHier]]: seeds = evenly
+    * spaced points, fixed 8 rounds, means recomputed from the ORIGINAL
+    * points every round (never chained), empty clusters keep their
+    * previous mean — the same discipline as [[coarsen]]'s driver loop,
+    * but over points instead of centroids. */
+  private def localLloyd(pts: Array[Array[Float]], k: Int): Array[Array[Float]] = {
+    val n = pts.length
+    if (n == 0) return Array.empty
+    val kk = math.min(k, n)
+    val dim = pts(0).length
+    def cos(a: Array[Double], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) -2.0 else dot / math.sqrt(na) / math.sqrt(nb)
+    }
+    val means: Array[Array[Double]] =
+      Array.tabulate(kk)(j => pts(math.min(n - 1, j * n / kk)).map(_.toDouble))
+    val assign = new Array[Int](n)
+    for (_ <- 1 to 8) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestS = Double.NegativeInfinity; var j = 0
+        while (j < kk) {
+          val sv = cos(means(j), pts(i))
+          if (sv > bestS) { bestS = sv; best = j }
+          j += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(kk, dim)(0.0); val cnt = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val j = assign(i); cnt(j) += 1
+        var d = 0
+        while (d < dim) { sums(j)(d) += pts(i)(d); d += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < kk) {
+        if (cnt(j) > 0) {
+          var d = 0
+          while (d < dim) { means(j)(d) = sums(j)(d) / cnt(j); d += 1 }
+        }
+        j += 1
+      }
+    }
+    means.map(_.map(_.toFloat))
+  }
+
   /** [[ivfTopK]] with `nlist` sized to the corpus by
     * [[SemDedup.cellsFor]] (cells ∝ n, occupancy ≈ targetCellSize) —
     * the sizing-rule discipline applied to the ANN index: at FIXED
@@ -160,26 +311,43 @@ object Similarity {
     * linearly with the corpus; holding occupancy constant keeps
     * per-query cost ≈ nprobe·targetCellSize. Same honest asymptote as
     * [[SemDedup.dedupAuto]]: flat nearest-centroid assignment is n·k
-    * cosines, so the rule's 4096-cell ceiling is a loud require, and
-    * beyond it the quantizer should go hierarchical. Trained centroids
-    * are KMeans-nondeterministic in the low bits, so this path is
-    * spec-pinned; frozen-constant serving stays [[ivfTopKFrozen]]. */
+    * cosines, so past the flat ceiling the quantizer goes hierarchical
+    * (r12): sampled two-level TRAINING ([[trainCentroidsHier]], Θ(k^1.5))
+    * plus two-level ASSIGNMENT ([[assignCellsHierarchical]],
+    * (1+coarseProbes)·√k cosines per row) — the same tier structure as
+    * [[SemDedup.dedupAuto]], serving the ANN index up to ~8.4M vectors
+    * at the default target. Beyond [[SemDedup.HierAssignCeiling]] the
+    * right index family changes (SRP [[lshTopK]] — data-independent,
+    * n·log n assignment), so the require stays loud there. Trained
+    * centroids are KMeans-nondeterministic in the low bits, so this
+    * path is spec-pinned; frozen-constant serving stays
+    * [[ivfTopKFrozen]]. */
   def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, nprobe: Int = 4,
                   targetCellSize: Int = 128, seed: Long = 42L): DataFrame = {
     val n = corpus.select(col(idCol)).count()
     require(n >= 1, "ivfTopKAuto needs a non-empty corpus to size and train on")
     val nlist = SemDedup.cellsFor(n, targetCellSize)
-    require(nlist <= 4096,
-      s"cellsFor chose $nlist cells at n=$n — past the flat-assignment " +
-        "ceiling; use a hierarchical coarse quantizer beyond ~500k vectors")
+    require(nlist <= SemDedup.HierAssignCeiling,
+      s"cellsFor chose $nlist cells at n=$n — past even the hierarchical " +
+        "assigner's sweet spot (~8.4M vectors at the default target); use " +
+        "the SRP index (Similarity.lshTopK with srpPlanesFor) at that scale")
     if (nlist <= 1)
       // n ≤ target: one cell IS the corpus — no quantizer (KMeans
       // rejects k=1), and probing everything is exact brute force
       bruteForceTopK(corpus, queries, idCol, vecCol, k)
-    else
+    else if (nlist <= SemDedup.FlatAssignCeiling)
       ivfTopK(corpus, queries, idCol, vecCol, k, nlist = nlist,
         nprobe = nprobe, seed = seed)
+    else {
+      // the faiss max-points-per-centroid sampling discipline, then the
+      // two-level train + assign pair (see SemDedup.dedupAuto's big-k
+      // branch for the cost argument)
+      val frac = math.min(1.0, 64.0 * nlist / n.toDouble)
+      val trainDf = if (frac >= 1.0) corpus else corpus.sample(frac, seed)
+      ivfSearch(corpus, queries, idCol, vecCol, k, nprobe,
+        trainCentroidsHier(trainDf, vecCol, nlist, seed), hier = true)
+    }
   }
 
   /** IVF search against a FROZEN quantizer — the production "train once,
@@ -390,9 +558,15 @@ object Similarity {
 
   private def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                         vecCol: String, k: Int, nprobe: Int,
-                        centroids: Seq[(Int, Array[Float])]): DataFrame = {
-    val c = assignCells(corpus, idCol, vecCol, "neighbor_id", "cvec", 1, centroids)
-    val q = assignCells(queries, idCol, vecCol, "query_id", "qvec", nprobe, centroids)
+                        centroids: Seq[(Int, Array[Float])],
+                        hier: Boolean = false): DataFrame = {
+    // hier: both sides assign through the two-level path — same output
+    // contract as assignCells, (1+coarseProbes)·√k cosines per row
+    def assignFn(df: DataFrame, outId: String, outVec: String, probes: Int) =
+      if (hier) assignCellsHierarchical(df, idCol, vecCol, outId, outVec, probes, centroids)
+      else assignCells(df, idCol, vecCol, outId, outVec, probes, centroids)
+    val c = assignFn(corpus, "neighbor_id", "cvec", 1)
+    val q = assignFn(queries, "query_id", "qvec", nprobe)
     val scored = c.join(q.hint("broadcast"), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")

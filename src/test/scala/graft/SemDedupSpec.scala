@@ -180,6 +180,56 @@ class SemDedupSpec extends SparkSpec {
     assert(hier.count() > 0)
   }
 
+  test("trainCentroidsHier: k cells, contiguous ids, right dims, occupancy-capable") {
+    // deterministic synthetic corpus: 600 vectors, 8 dims, hash-derived
+    val corpus = spark.range(0, 600).selectExpr("id",
+      "transform(sequence(0, 7), d -> cast((pmod(xxhash64(id, d), 200) - 100) / 100.0 as float)) AS vec")
+    val k = 40
+    val cents = graft.operators.Similarity.trainCentroidsHier(
+      corpus.select(col("vec")), "vec", k, 42L)
+    graft.Caching.release()
+    assert(cents.map(_._1) == (0 until k))
+    assert(cents.forall(_._2.length == 8))
+    // centroids are usable as a quantizer: every corpus row assigns
+    val assigned = SemDedup.assign(corpus, "id", "vec", cents)
+    assert(assigned.count() == 600)
+    assert(assigned.select("cell").distinct().count() > 1)
+  }
+
+  test("trainCentroidsHier: loud when the sample cannot host k centroids") {
+    val tiny = spark.range(0, 5).selectExpr("cast(array(id, 1.0) as array<float>) AS vec")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.trainCentroidsHier(tiny, "vec", 10, 42L)
+    }
+    graft.Caching.release()
+    assert(e.getMessage.contains("at least k"))
+  }
+
+  test("dedupAuto big-k branch end to end at unit scale (hier training + assignment)") {
+    // force the >FlatAssignCeiling branch without a 500k corpus:
+    // targetCellSize = 1 on 4200 rows → k = 4200 > 4096. Planted exact
+    // dups (higher ids) share every cell by definition, so the min-id
+    // survivor rule must drop ALL of them even on this degenerate
+    // operating point — the recall hard floor of the hierarchical tier.
+    val base = spark.range(0, 4200).selectExpr("id AS vec_id",
+      "transform(sequence(0, 7), d -> cast((pmod(xxhash64(id, d), 200) - 100) / 100.0 as float)) AS embedding")
+    val planted = base.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val plantedIds = planted.select("vec_id").as[Long].collect().toSet
+    val corpus = base.unionByName(planted)
+    val kept = SemDedup.dedupAuto(corpus, "vec_id", "embedding",
+        threshold = 0.95, targetCellSize = 1)
+      .select("vec_id").as[Long].collect().toSet
+    graft.Caching.release()
+    assert(plantedIds.nonEmpty)
+    assert(kept.intersect(plantedIds).isEmpty,
+      "hierarchical tier kept a planted exact dup")
+    // survivors ⊆ corpus, no dup ids, and the originals of planted
+    // copies all survive (they are the LOWER id of their pair)
+    val origOfPlanted = plantedIds.map(_ - 100000)
+    assert(origOfPlanted.subsetOf(kept))
+  }
+
   test("maxCellSize caps candidate generation deterministically") {
     val emb = df(
       1L -> Array(1f, 0f, 0f, 0f),

@@ -143,6 +143,40 @@ class SimilaritySpec extends SparkSpec {
       s"auto-sized IVF recall@10 = ${recalls.sum / recalls.size}")
   }
 
+  test("ivfTopKAuto big-nlist branch: hier train + assign, exact dups found, loud SRP ceiling") {
+    // targetCellSize = 1 on 4200 rows → nlist = 4200 > FlatAssignCeiling:
+    // the r12 hierarchical branch (trainCentroidsHier +
+    // assignCellsHierarchical on both sides). Identical vectors rank the
+    // same coarse groups and fine cells, so a query that IS a corpus
+    // vector must find its twin at cosine 1.0 even at occupancy ~1.
+    val corpus = spark.range(0, 4200).selectExpr("id AS vec_id",
+      "transform(sequence(0, 7), d -> cast((pmod(xxhash64(id, d), 200) - 100) / 100.0 as float)) AS embedding")
+    val qs = corpus.filter(org.apache.spark.sql.functions.col("vec_id") % 1000 === 7)
+      .selectExpr("vec_id + 100000 AS vec_id", "embedding")
+    val got = Similarity.ivfTopKAuto(corpus, qs, "vec_id", "embedding",
+        k = 3, targetCellSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    graft.Caching.release()
+    val byQuery = got.groupBy(_._1)
+    qs.select("vec_id").collect().map(_.getLong(0)).foreach { q =>
+      val hits = byQuery.getOrElse(q, Array.empty)
+      assert(hits.exists { case (_, nb, cs) => nb == q - 100000 && cs >= 0.999999 },
+        s"query $q did not find its identical twin")
+    }
+    // past HierAssignCeiling the index family must change — loud require
+    val huge = spark.range(0, 10).selectExpr("id", "array(1.0f) AS v")
+    val ex = intercept[IllegalArgumentException] {
+      // fake a >8.4M corpus cheaply via a tiny target on a count that
+      // overflows the ceiling: 10 rows can't, so call cellsFor directly
+      require(graft.operators.SemDedup.cellsFor(9000000L) >
+        graft.operators.SemDedup.HierAssignCeiling)
+      Similarity.ivfTopKAuto(
+        spark.range(0, 70000).selectExpr("id", "array(1.0f) AS v"),
+        huge, "id", "v", k = 1, targetCellSize = 1)
+    }
+    assert(ex.getMessage.contains("SRP"))
+  }
+
   test("hierarchical assignment: exact at full coarse fan-out, ≥90% agreement at 2 probes") {
     val cents = graft.operators.IvfCentroids.cells // k=16 → g=4 coarse groups
     val flat = Similarity.assignCells(emb, "vec_id", "embedding",
