@@ -23,6 +23,15 @@ import org.apache.spark.storage.StorageLevel
   * each query dump, Bench after each timed run, a spec, a user
   * session — calls [[release]] afterwards. CachingSpec pins that
   * release() actually empties the cache.
+  *
+  * CONTRACT — one action at a time: the registry is session-global, so
+  * [[release]] unpersists EVERY tracked frame, including one a
+  * concurrently-executing query is still reusing (Spark would silently
+  * recompute it — correct, but the reuse the persist bought is gone).
+  * Verify/Bench/specs are sequential, so this never bites the gates; a
+  * concurrent serving deployment needs scoped ownership (e.g. one
+  * registry per query context) before calling release() from more than
+  * one thread.
   */
 object Caching {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()

@@ -47,6 +47,13 @@ object AsOfJoin {
             "micros before joining — implicit session-zone conversion is " +
             "non-monotonic across DST transitions")
       case org.apache.spark.sql.types.DateType => unix_date(col(ts)).cast("long")
+      // fractional numerics order as double — a cast("long") here would
+      // truncate (right ts 1.7 "matching" left ts 1.2), the same silent
+      // mis-merge class as whole-second timestamp truncation above.
+      // DECIMAL is rejected in orderUnit (a double detour can collapse
+      // distinct >2^53 values), so only float/double reach this arm.
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => col(ts).cast("double")
       case _ => col(ts).cast("long")
     }
 
@@ -60,8 +67,21 @@ object AsOfJoin {
       // orderKey's specific, actionable rejection message
       case org.apache.spark.sql.types.TimestampNTZType => "wallclock-ntz"
       case org.apache.spark.sql.types.DateType => "epoch-days"
-      // all numerics go through the same cast("long") — one family
-      case _: org.apache.spark.sql.types.NumericType => "numeric"
+      // DECIMAL first (it is Fractional): its values can exceed double's
+      // 2^53 exact-integer range, so BOTH numeric detours (long
+      // truncates the scale, double collapses distinct values) are
+      // silently wrong — reject with the fix in hand
+      case d: org.apache.spark.sql.types.DecimalType =>
+        throw new IllegalArgumentException(
+          s"AsOfJoin: column '$ts' is ${d.sql}; scale it to an integral " +
+            "epoch (e.g. multiply by 10^scale and cast to BIGINT) before " +
+            "joining — a long cast truncates and a double cast can " +
+            "collapse distinct values")
+      // integral and fractional are DIFFERENT families: int-vs-double
+      // sides would otherwise merge a truncated long against a double
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => "numeric-fractional"
+      case _: org.apache.spark.sql.types.NumericType => "numeric-integral"
       // anything else (STRING, BINARY, ...) would cast("long") to NULL
       // order keys and silently mis-merge — reject loudly instead
       case other => throw new IllegalArgumentException(

@@ -58,11 +58,17 @@ object BloomJoin {
   }
 
   /** Exact left-semi join with a bloom prefilter on the probe side.
-    * Result ≡ `big.join(small, bigKey === smallKey, "left_semi")`. */
+    * Result ≡ `big.join(small, bigKey === smallKey, "left_semi")`.
+    * The build side is projected to the key ALIASED and the condition
+    * re-written against that alias: re-referencing `smallKey` after the
+    * projection only resolves for simple column refs — an EXPRESSION
+    * key (e.g. `upper(col)`) would reference columns the projection
+    * just dropped (r12 review finding). */
   def semiJoin(big: DataFrame, bigKey: Column, small: DataFrame,
                smallKey: Column, expectedItems: Long = 1000000L): DataFrame =
     prefilter(big, bigKey, small, smallKey, expectedItems)
-      .join(small.select(smallKey), bigKey === smallKey, "left_semi")
+      .join(small.select(smallKey.as("_bj_key")),
+        bigKey === col("_bj_key"), "left_semi")
 
   /** Exact inner join with a bloom prefilter on the probe side.
     * Result ≡ `big.join(small, bigKey === smallKey)`. */

@@ -61,7 +61,12 @@ object Cdc {
     val b = base.alias("base")
     val joined = b.join(last, col(s"base.$keyCol") === col(s"chg.$keyCol"), "full_outer")
     val hasChange = col(s"chg.$keyCol").isNotNull
-    val isDelete = hasChange && col(s"chg.$opCol") === "D"
+    // NULL-safe: a NULL op is NOT a delete (SQL MERGE semantics — `WHEN
+    // MATCHED AND op = 'D'` is simply false for NULL). Without the
+    // coalesce, `=== "D"` yields NULL, `filter(!isDelete)` drops the
+    // row, and a malformed change with a missing op SILENTLY DELETES
+    // its key (r12 review finding; CdcSpec pins the upsert behavior).
+    val isDelete = hasChange && coalesce(col(s"chg.$opCol") === "D", lit(false))
     val outCols = base.columns.toSeq.map { c =>
       val baseVal = col(s"base.$c")
       if (c == keyCol) coalesce(col(s"base.$keyCol"), col(s"chg.$keyCol")).as(c)

@@ -25,10 +25,18 @@ object IntervalJoin {
     *                 any sign (bucketing is true floor division, so
     *                 negative epochs land in the right bucket too)
     * @param windowUs max ts2 − ts1 for a pair (inclusive); also the
-    *                 bucket width */
+    *                 bucket width
+    *
+    * NULL handling (SQL-join semantics, unlike [[AsOfJoin]]'s window
+    * grouping): a NULL key or NULL ts never equality-joins, so such
+    * rows silently appear in NO pair — pre-filter or fill if they
+    * should participate. windowUs is capped well under Long.Max/2 so
+    * the non-negative-remainder bucketing and the `ts1 + window` upper
+    * bound cannot overflow (ANSI mode would throw mid-query). */
   def selfPairs(df: DataFrame, keyCol: String, idCol: String, tsCol: String,
                 windowUs: Long): DataFrame = {
-    require(windowUs > 0, s"window must be positive, got $windowUs")
+    require(windowUs > 0 && windowUs <= (Long.MaxValue >> 2),
+      s"window must be in (0, 2^61], got $windowUs")
     val base = df.select(col(keyCol).as("_k"), col(idCol).as("_id"), col(tsCol).as("_ts"))
     // True floor division: `div` truncates toward zero, which for a
     // negative ts not on a bucket boundary lands one bucket too high and

@@ -76,6 +76,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(ex.getMessage.contains("order units"))
   }
 
+  test("backward as-of on DOUBLE ts keeps fractional precision (no long truncation)") {
+    import spark.implicits._
+    // pre-r12, fractional ts went through cast("long"): 1.2 and 1.7
+    // both became 1, and the 1.7 quote "matched" the 1.2 event
+    val left = Seq((1L, 1.2, "early"), (1L, 1.9, "late")).toDF("k", "ts", "ev")
+    val right = Seq((1L, 1.1, "q1"), (1L, 1.7, "q2")).toDF("k", "ts", "v")
+    val out = AsOfJoin.backward(left, right, "k", "ts")
+      .select("ev", "r_v").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("early" -> "q1", "late" -> "q2"))
+  }
+
+  test("backward as-of rejects integral-vs-fractional numeric sides and DECIMAL ts") {
+    import spark.implicits._
+    // int left vs double right: the long family would truncate the
+    // fractional side — different unit families, refuse loudly
+    val li = Seq((1L, 10L, "e")).toDF("k", "ts", "ev")
+    val rd = Seq((1L, 10.5, "v")).toDF("k", "ts", "v")
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(li, rd, "k", "ts")
+    }
+    assert(ex.getMessage.contains("order units"))
+    // DECIMAL: both numeric detours lose information — actionable reject
+    val ld = li.withColumn("ts",
+      org.apache.spark.sql.functions.col("ts").cast("decimal(20,2)"))
+    val ex2 = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(ld, ld, "k", "ts")
+    }
+    assert(ex2.getMessage.contains("integral epoch"))
+  }
+
   test("backward as-of rejects non-temporal, non-numeric order keys (string ts)") {
     import spark.implicits._
     // a STRING ts would cast("long") to NULL order keys on both sides

@@ -39,6 +39,22 @@ class CdcSpec extends SparkSpec {
     assert(out(4L) == ("new-4", 400.0)) // inserted with default name
   }
 
+  test("applyChanges: NULL op is an upsert, never a silent delete") {
+    // SQL MERGE semantics: `WHEN MATCHED AND op = 'D'` is false for a
+    // NULL op, so the row updates (or inserts) — before the r12 fix the
+    // three-valued NULL propagated through filter(!isDelete) and the
+    // key vanished
+    val nullOps = Seq(
+      (1L, 1L, 0L, null.asInstanceOf[String], 111.0), // matched, NULL op → UPDATE
+      (6L, 1L, 0L, null.asInstanceOf[String], 600.0)  // unmatched, NULL op → INSERT
+    ).toDF("k", "seq", "tie", "op", "nv")
+    val out = Cdc.applyChanges(base, nullOps, "k", Seq("seq", "tie"), "op",
+        set = Map("v" -> col("chg.nv")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 6L))
+    assert(out(1L) == 111.0 && out(6L) == 600.0)
+  }
+
   test("applyChanges with no matching changes returns base unchanged") {
     val none = changes.filter(col("k") > 100)
     val out = Cdc.applyChanges(base, none, "k", Seq("seq", "tie"), "op",
