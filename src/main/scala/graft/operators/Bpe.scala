@@ -144,6 +144,25 @@ object Bpe {
     * sequential ≡ distributed on a synthetic corpus, and q_bpe_train's
     * DuckDB oracle replays every round).
     *
+    * WHY THE ROUNDS STAY SERIAL (the r11 verdict's batched-BPE
+    * question, decided r12): batching the top-b symbol-disjoint pairs
+    * per round does NOT preserve the serial merge sequence. Merging the
+    * round's argmax (a,b) (i) creates NEW pairs containing the merged
+    * symbol `ab` with counts up to cnt(a,b), and (ii) decrements every
+    * pair sharing a or b — so the true round-2 argmax is often a pair a
+    * disjoint-restricted pick can never select (e.g. cnt(a,b)=100,
+    * cnt(b,c)=99, best disjoint pair 50: serial merges (b,c)-after-
+    * decrement at 98; batched would merge the 50). A batch admission
+    * rule strong enough to PROVE serial equivalence has to dominate
+    * both effects (disjointness + count ≥ every pair sharing a symbol
+    * with any earlier pick + tie-safe vs all new `ab`-pairs), which on
+    * real corpora admits ~1 pair per round — serial again, with extra
+    * machinery. Batched-BPE is therefore a DIFFERENT training
+    * definition (a separate operator with its own frozen artifact and
+    * oracle, if ever needed), not an optimization of this one; and the
+    * serial cost is already dictionary-bounded, not corpus-bounded —
+    * the 1-row collect per round is the latency floor, 2 stages/round.
+    *
     * @return (rank, left_code, right_code, merged_code, cnt) — one row
     *         per learned merge, ranks 0-based, codes as BIGINT
     *         codepoints, merged_code = 0xE000 + rank

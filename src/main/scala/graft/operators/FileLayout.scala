@@ -32,23 +32,28 @@ object FileLayout {
     * frame's order via limit, not a random sample. */
   def calibrate(df: DataFrame, sampleRows: Int = 10000): Double = {
     val dir = java.nio.file.Files.createTempDirectory("graft-calibrate")
-    val path = dir.resolve("sample").toString
-    df.limit(sampleRows).write.mode("overwrite").parquet(path)
-    // count the WRITTEN rows: limit() picks a nondeterministic subset,
-    // so a second action over it could count rows other than the ones
-    // on disk — bytes and n must come from the same materialization
-    val n = df.sparkSession.read.parquet(path).count()
     def walked[A](f: java.util.stream.Stream[java.nio.file.Path] => A): A = {
       val s = java.nio.file.Files.walk(dir)
       try f(s) finally s.close()
     }
-    val bytes = walked(_.toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(p => p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p))
-      .map(java.nio.file.Files.size).sum)
-    walked(_.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p)))
-    require(n > 0, "calibrate needs a non-empty frame")
-    bytes.toDouble / n
+    try {
+      val path = dir.resolve("sample").toString
+      df.limit(sampleRows).write.mode("overwrite").parquet(path)
+      // count the WRITTEN rows: limit() picks a nondeterministic subset,
+      // so a second action over it could count rows other than the ones
+      // on disk — bytes and n must come from the same materialization
+      val n = df.sparkSession.read.parquet(path).count()
+      val bytes = walked(_.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p))
+        .map(java.nio.file.Files.size).sum)
+      require(n > 0, "calibrate needs a non-empty frame")
+      bytes.toDouble / n
+    } finally {
+      // the sample dir must go even when the write/read throws (the
+      // q_stream_cdc tmp-leak lesson)
+      walked(_.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p)))
+    }
   }
 
   /** Write `df` as parquet with files sized near `targetBytes`, using a

@@ -31,6 +31,9 @@ object DataGen {
   /** Baskets as (billId, date DATE, items ARRAY<STRING>). */
   def baskets(spark: SparkSession, n: Long, maxItems: Int = 10,
               vocab: Seq[String] = DefaultVocab, seed: Long = 42L): DataFrame = {
+    require(maxItems >= 1 && vocab.nonEmpty,
+      s"need maxItems >= 1 (got $maxItems) and a non-empty vocab " +
+        "(pmod by zero would NULL every basket)")
     val vocabCol = array(vocab.map(lit): _*)
     spark.range(n).select(col("id").as("billId"))
       .withColumn("day", draw(365, "day", seed)) // 2015 is not a leap year
