@@ -146,7 +146,14 @@ object Bench {
       else math.min(9, math.floor((r.spread - 1.0) / 0.25).toInt).toString
     }.mkString
     val xmxMb = math.round(Runtime.getRuntime.maxMemory / 1e6)
-    println(s"""{"metric":"total","value":$totalSteady,"unit":"sec","total_cold":$totalCold,"gc_ms_total":$totalGcMs,"n_queries":${results.size},"xmx_mb":$xmxMb,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failed.mkString("[", ",", "]")},"top_steady_sec":$top,"steady_order":"name-asc","steady_ms":$steadyMsArr,"spread_q25":"$spreadStr","sf":"$sfDir"}""")
+    // the driver records only the LAST ~2000 chars of stdout: if the
+    // registry grows the line past the 1.9k bar, shed spread_q25 first
+    // (the newest, least load-bearing field) rather than letting the
+    // head — "metric":"total" itself — get truncated off (r12 review)
+    def line(spread: String) =
+      s"""{"metric":"total","value":$totalSteady,"unit":"sec","total_cold":$totalCold,"gc_ms_total":$totalGcMs,"n_queries":${results.size},"xmx_mb":$xmxMb,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"failed":${failed.mkString("[", ",", "]")},"top_steady_sec":$top,"steady_order":"name-asc","steady_ms":$steadyMsArr,"spread_q25":"$spread","sf":"$sfDir"}"""
+    val full = line(spreadStr)
+    println(if (full.length <= 1900) full else line("omitted:line-budget"))
     spark.stop()
   }
 }

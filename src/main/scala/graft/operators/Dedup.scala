@@ -329,12 +329,17 @@ object Dedup {
     * quadratic past it (measured: planes=4 tuned at 2k vectors ran
     * exponent-2.28 at 10× corpus). Costs one extra `count()` scan of
     * the id column to learn n; at ingest that is noise against the
-    * candidate join it right-sizes. */
+    * candidate join it right-sizes — and a caller that already counted
+    * (SemDedup.dedupAuto's tier dispatch, q_embed_neardup_auto's
+    * sentinel) passes `knownCount` so the corpus is not re-scanned
+    * (r12 review: the redundant pass sat on exactly the >8.4M-row tier
+    * whose rationale is avoiding wasted passes). */
   def embeddingNearDupsAuto(emb: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double, tables: Int = 16,
                             targetBucketSize: Int = 128,
-                            maxBucketSize: Option[Int] = None): DataFrame = {
-    val n = emb.select(col(idCol)).count()
+                            maxBucketSize: Option[Int] = None,
+                            knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(emb.select(col(idCol)).count())
     embeddingNearDups(emb, idCol, vecCol, dim, threshold,
       planes = Similarity.srpPlanesFor(n, targetBucketSize),
       tables = tables, maxBucketSize = maxBucketSize)

@@ -36,7 +36,7 @@ object IntervalJoin {
   def selfPairs(df: DataFrame, keyCol: String, idCol: String, tsCol: String,
                 windowUs: Long): DataFrame = {
     require(windowUs > 0 && windowUs <= (Long.MaxValue >> 2),
-      s"window must be in (0, 2^61], got $windowUs")
+      s"window must be in (0, 2^61), got $windowUs")
     val base = df.select(col(keyCol).as("_k"), col(idCol).as("_id"), col(tsCol).as("_ts"))
     // True floor division: `div` truncates toward zero, which for a
     // negative ts not on a bucket boundary lands one bucket too high and

@@ -183,7 +183,8 @@ object SemDedup {
         s"dedupAuto: n=$n wants $k cells (> $HierAssignCeiling) — routing to " +
           "the SRP near-dup quantizer (Dedup.embeddingNearDupsAuto); " +
           "survivors carry cell = NULL at this tier")
-      dedupSrp(emb, idCol, vecCol, threshold, targetCellSize, maxCellSize)
+      dedupSrp(emb, idCol, vecCol, threshold, targetCellSize, maxCellSize,
+        knownCount = Some(n))
     }
     else if (k <= 1)
       // n ≤ targetCellSize: one cell IS the whole corpus — no quantizer
@@ -231,14 +232,17 @@ object SemDedup {
     * caller grouping by it. Honest NULL + the dispatch log line. */
   private[graft] def dedupSrp(emb: DataFrame, idCol: String, vecCol: String,
                               threshold: Double, targetCellSize: Int,
-                              maxCellSize: Option[Int]): DataFrame = {
+                              maxCellSize: Option[Int],
+                              knownCount: Option[Long] = None): DataFrame = {
     // dim learned from the data (one 1-row action): dedupAuto's
-    // signature has no dim, and the SRP hyperplane family needs it
+    // signature has no dim, and the SRP hyperplane family needs it.
+    // knownCount rides through so the tier dispatch's count() is not
+    // re-run as a full corpus scan inside embeddingNearDupsAuto.
     val dim = emb.select(org.apache.spark.sql.functions.size(col(vecCol)).as("d"))
       .head().getInt(0)
     val losers = Dedup.embeddingNearDupsAuto(emb, idCol, vecCol, dim,
         threshold, targetBucketSize = targetCellSize,
-        maxBucketSize = maxCellSize)
+        maxBucketSize = maxCellSize, knownCount = knownCount)
       .select(col("id2").as(idCol)).distinct()
     emb.select(col(idCol), lit(null).cast("int").as("cell"))
       .join(losers, Seq(idCol), "left_anti")

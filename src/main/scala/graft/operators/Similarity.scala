@@ -204,39 +204,12 @@ object Similarity {
     val counts: Map[Int, Long] = assigned.groupBy(col("_grp")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
-    // largest-remainder proportional allocation of the k fine centroids
-    // over non-empty groups: floor 1, capped at the group's point count,
-    // remainder to the largest fractional parts (grp-id tie-break)
-    val grps = counts.toSeq.sortBy(_._1)
-    val exact = grps.map { case (j, nj) => (j, nj, k.toDouble * nj / nSample) }
-    var alloc = scala.collection.mutable.LinkedHashMap(
-      exact.map { case (j, nj, e) =>
-        j -> math.min(nj, math.max(1L, e.toLong)).toInt }: _*)
-    // fix the sum: add to (remainder-desc) groups with spare points,
-    // remove from the largest allocations, until Σ = k
-    var delta = k - alloc.values.sum
-    val byRem = exact.sortBy { case (j, _, e) => (-(e - e.toLong), j) }.map(_._1)
-    var guard = 0
-    while (delta != 0 && guard < 4 * k) {
-      guard += 1
-      if (delta > 0) {
-        val cand = byRem.find(j => alloc(j) < counts(j))
-          .getOrElse(throw new IllegalStateException(
-            "trainCentroidsHier: sample cannot host k centroids"))
-        alloc(cand) = alloc(cand) + 1; delta -= 1
-      } else {
-        val cand = alloc.maxBy { case (j, a) => (a, j) }._1
-        require(alloc(cand) > 1, "trainCentroidsHier: allocation underflow")
-        alloc(cand) = alloc(cand) - 1; delta += 1
-      }
-    }
-    require(alloc.values.sum == k, "trainCentroidsHier: allocation did not converge")
+    val allocB = allocateFineCentroids(counts, k, nSample)
     val offsets: Map[Int, Int] = {
       var off = 0
-      alloc.toSeq.sortBy(_._1).map { case (j, kj) =>
+      allocB.toSeq.sortBy(_._1).map { case (j, kj) =>
         val o = off; off += kj; j -> o }.toMap
     }
-    val allocB = alloc.toMap
 
     val fine = assigned.as[(Int, Array[Float])]
       .groupByKey(_._1)
@@ -249,6 +222,46 @@ object Similarity {
       }
       .collect()
     fine.sortBy(_._1).toSeq
+  }
+
+  /** Largest-remainder proportional allocation of the k fine centroids
+    * over the coarse groups: floor 1 for non-empty groups, capped at
+    * the group's point count, positive remainder distributed ONE per
+    * eligible group per cycle in remainder-desc order (grp-id
+    * tie-break) — a find() that restarted from the front each time
+    * would dump the whole remainder into the first group with spare
+    * capacity and skew cell occupancy, the r12 review catch. Removals
+    * peel one at a time from the largest allocations. Exposed
+    * private[graft] so the spec pins uniformity directly. */
+  private[graft] def allocateFineCentroids(counts: Map[Int, Long], k: Int,
+                                           nSample: Long): Map[Int, Int] = {
+    val exact = counts.toSeq.sortBy(_._1)
+      .map { case (j, nj) => (j, nj, k.toDouble * nj / nSample) }
+    val alloc = scala.collection.mutable.LinkedHashMap(
+      exact.map { case (j, nj, e) =>
+        j -> math.min(nj, math.max(1L, e.toLong)).toInt }: _*)
+    var delta = k - alloc.values.sum
+    val byRem = exact.sortBy { case (j, _, e) => (-(e - e.toLong), j) }.map(_._1)
+    var cursor = 0
+    var sinceProgress = 0
+    while (delta > 0) {
+      val j = byRem(cursor % byRem.size)
+      if (alloc(j) < counts(j)) {
+        alloc(j) = alloc(j) + 1; delta -= 1; sinceProgress = 0
+      } else {
+        sinceProgress += 1
+        if (sinceProgress >= byRem.size) throw new IllegalStateException(
+          "trainCentroidsHier: sample cannot host k centroids")
+      }
+      cursor += 1
+    }
+    while (delta < 0) {
+      val cand = alloc.maxBy { case (j, a) => (a, j) }._1
+      require(alloc(cand) > 1, "trainCentroidsHier: allocation underflow")
+      alloc(cand) = alloc(cand) - 1; delta += 1
+    }
+    require(alloc.values.sum == k, "trainCentroidsHier: allocation did not converge")
+    alloc.toMap
   }
 
   /** Deterministic-in-input-order local Lloyd (cosine metric) used for

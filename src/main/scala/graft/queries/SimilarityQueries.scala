@@ -221,7 +221,7 @@ object SimilarityQueries {
       |          - CAST('127.5' AS DOUBLE)) / CAST('128.0' AS DOUBLE) AS x
       |  FROM generate_series(0, ${k * dim - 1}) AS t(cd)),
       |fc AS MATERIALIZED (SELECT c, list(x ORDER BY d) AS ctr FROM fcv GROUP BY c),
-      |m0 AS (SELECT j, (SELECT ctr FROM fc WHERE c = least($k - 1, (j * $k) // $g)) AS m
+      |m0 AS MATERIALIZED (SELECT j, (SELECT ctr FROM fc WHERE c = least($k - 1, (j * $k) // $g)) AS m
       |       FROM generate_series(0, ${g - 1}) AS t(j)),
       |$roundCtes,
       |gc AS (SELECT j, list_transform(m, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS gm FROM m$rounds),
@@ -559,15 +559,15 @@ object SimilarityQueries {
     "q_embed_neardup_auto" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        // replay the engine's own sizing inputs for the sentinel (same
-        // rule embeddingNearDupsAuto applies internally — deterministic
-        // in n, so computing it twice is exact)
+        // the sentinel's sizing inputs, computed ONCE and handed to
+        // embeddingNearDupsAuto via knownCount (r12: the previous
+        // exact-but-duplicate count() scanned the corpus twice per run)
         val n = emb.count()
         val p = graft.operators.Similarity.srpPlanesFor(n, 128)
         graft.operators.Dedup.embeddingNearDupsAuto(
           emb, "vec_id", "embedding", dim = 64,
           threshold = 0.4, tables = 16, targetBucketSize = 128,
-          maxBucketSize = Some(100000))
+          maxBucketSize = Some(100000), knownCount = Some(n))
           .unionByName(s.range(1).select(
             lit(-1L).as("id1"), lit(p.toLong).as("id2"),
             lit(n.toDouble).as("cos_sim")))

@@ -125,11 +125,11 @@ object HierLadder {
       // ---- recall floor at scale (untimed): planted exact dups with
       // higher ids must all be dropped by the min-id survivor rule
       val planted = emb.filter(col("vec_id") % 200 === 0)
-        .select((col("vec_id") + lit(100000000000L)).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + lit(1000000000000L)).as("vec_id"), col("embedding"))
       val nPlanted = planted.count()
       val kept = SemDedup.dedupAuto(emb.unionByName(planted),
           "vec_id", "embedding", threshold = 0.4)
-        .filter(col("vec_id") >= 100000000000L).count()
+        .filter(col("vec_id") >= 1000000000000L).count()
       graft.Caching.release()
       val recall = (nPlanted - kept).toDouble / math.max(1L, nPlanted).toDouble
 
@@ -161,6 +161,15 @@ object HierLadder {
     * transform): within-replica cosines/norms exactly preserved,
     * cross-replica structure decorrelated. Idempotent per (base, N). */
   def generateEmbeddings(spark: SparkSession, base: String, out: String, n: Int): Unit = {
+    // r12 review: two bounds, both LOUD. (a) the sign-hash product
+    // (r·1000003 + i)·2654435761 overflows Long at r = 3475 (ANSI
+    // arithmetic would throw mid-generation; ScaleLadder's driver-side
+    // copy would silently wrap and diverge). (b) replica id offsets
+    // reach r·10⁸ + 2000, and the planted-dup probe in main() offsets
+    // by 10¹² — n beyond 9999 would collide replica ids with planted
+    // ids and corrupt the recall metric.
+    require(n >= 1 && n <= 3474,
+      s"replication factor must be in [1, 3474] (sign-hash Long bound), got $n")
     val done = new java.io.File(s"$out/_EMB_OK")
     val stamp = s"$base|$n"
     if (done.exists() &&
@@ -169,7 +178,7 @@ object HierLadder {
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val reps = spark.range(0, n.toLong).select(col("id").cast("int").as("_r"))
     // sign(r, i) = +1 if bit 16 of (r·1000003 + i)·2654435761 is 0 —
-    // ScaleLadder's exact function; products stay < 2^63 for r ≤ 10⁶
+    // ScaleLadder's exact function; products stay < 2^63 for r ≤ 3474 (the require above)
     emb.crossJoin(reps)
       .select(
         (col("vec_id") + col("_r").cast("long") * lit(off)).as("vec_id"),

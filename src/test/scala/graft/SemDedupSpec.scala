@@ -196,6 +196,25 @@ class SemDedupSpec extends SparkSpec {
     assert(assigned.select("cell").distinct().count() > 1)
   }
 
+  test("allocateFineCentroids: largest-remainder, uniform on equal groups, caps honored") {
+    import graft.operators.Similarity.allocateFineCentroids
+    // the r12 review catch: 5 equal groups of 200, k=9 — the buggy loop
+    // gave (5,1,1,1,1); largest-remainder gives every group 1 or 2
+    val equal = allocateFineCentroids(Map(0 -> 200L, 1 -> 200L, 2 -> 200L, 3 -> 200L, 4 -> 200L), 9, 1000L)
+    assert(equal.values.sum == 9)
+    assert(equal.values.forall(a => a == 1 || a == 2), s"skewed: $equal")
+    // proportionality: a group with 10x the points gets ~10x the cells
+    val prop = allocateFineCentroids(Map(0 -> 1000L, 1 -> 100L), 22, 1100L)
+    assert(prop.values.sum == 22 && prop(0) == 20 && prop(1) == 2)
+    // cap at group size: a 1-point group can host at most 1 centroid
+    val capped = allocateFineCentroids(Map(0 -> 1L, 1 -> 999L), 10, 1000L)
+    assert(capped.values.sum == 10 && capped(0) == 1 && capped(1) == 9)
+    // loud when the sample genuinely cannot host k
+    intercept[IllegalStateException] {
+      allocateFineCentroids(Map(0 -> 2L, 1 -> 2L), 10, 4L)
+    }
+  }
+
   test("trainCentroidsHier: loud when the sample cannot host k centroids") {
     val tiny = spark.range(0, 5).selectExpr("cast(array(id, 1.0) as array<float>) AS vec")
     val e = intercept[IllegalArgumentException] {
