@@ -42,8 +42,12 @@ object AssocRules {
     */
   def rules(baskets: DataFrame, basketCol: String, itemCol: String,
             maxBasketSize: Option[Int] = None): DataFrame = {
+    // bid keeps its NATIVE type: a cast("long") here would silently NULL
+    // every non-numeric basket id (string/UUID keys) and collapse ALL
+    // such baskets into one giant null basket — wrong rules AND a pair
+    // blowup (r12 review). groupBy/join key on any comparable type.
     val items0 = baskets
-      .select(col(basketCol).cast("long").as("bid"), col(itemCol).as("item"))
+      .select(col(basketCol).as("bid"), col(itemCol).as("item"))
       .distinct()
     val items = maxBasketSize match {
       case Some(cap) =>

@@ -92,6 +92,23 @@ class BillingGoldenSpec extends SparkSpec {
     assert(pairs.exceptAll(viaJoinEdge).isEmpty && viaJoinEdge.exceptAll(pairs).isEmpty)
   }
 
+  test("string basket ids keep their identity (no silent long-cast collapse)") {
+    import spark.implicits._
+    // pre-r12, rules() cast bid to LONG: every UUID-ish string id became
+    // NULL and ALL such baskets merged into one giant null basket —
+    // wrong rules and a pair blowup. Two disjoint string baskets must
+    // yield NO cross-basket pair.
+    val baskets = Seq(
+      ("basket-A", "x"), ("basket-A", "y"),
+      ("basket-B", "p"), ("basket-B", "q")).toDF("bid", "item")
+    val rules = AssocRules.rules(baskets, "bid", "item")
+    val pairs = rules.select("antecedent", "consequent").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("x", "y"), ("y", "x"), ("p", "q"), ("q", "p")))
+    // support denominator sees BOTH baskets
+    assert(rules.filter(col("antecedent") === "x").head().getAs[Double]("support") == 0.5)
+  }
+
   test("maxBasketSize cap: drops the mega-basket, keyed count — no window on bid") {
     import spark.implicits._
     // adversarial skew fixture: one mega-basket (the pair-blowup input
