@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Blocked fuzzy (edit-distance) self-join — the entity-resolution
@@ -28,8 +27,17 @@ object FuzzyJoin {
     val base0 = df.select(col(idCol), col(strCol), blockKey.as("_blk"))
     val base = maxBlockSize match {
       case Some(cap) =>
-        base0.withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_blk"))))
-          .filter(col("_bsz") <= cap).drop("_bsz")
+        // Block sizes via map-side-combinable groupBy + left-semi join on
+        // the keep set — NEVER a window on the hot block key (the
+        // AssocRules cap-path rule: the cap guards against a degenerate
+        // hot block, exactly the input a window's per-block sort buffers
+        // whole in one task before the filter can drop it; the keyed
+        // count partial-aggs the hot block down to one row pre-shuffle).
+        val keep = base0.groupBy(col("_blk"))
+          .agg(count(lit(1)).as("_bsz"))
+          .filter(col("_bsz") <= cap)
+          .select(col("_blk"))
+        base0.join(keep, Seq("_blk"), "left_semi")
       case None => base0
     }
     val a = base.select(col("_blk"), col(idCol).as("id1"), col(strCol).as("s1"))

@@ -262,7 +262,13 @@ object WindowQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n_lines, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""),
 
-    // Distinct aggregation (Catalyst expands to a two-phase agg).
+    // Distinct aggregation — the BUILT-IN multi-distinct surface, kept
+    // deliberately: with two distinct column sets Catalyst plans an
+    // Expand (3 projections → 3× the scanned rows through the first
+    // shuffle). That cost is acceptable here only because this query
+    // demonstrates the surface itself; at 100 TB the house plan is
+    // q_tpch_q21's — one keyed agg per distinct set, joined on the
+    // group key — which PlanAuditSpec pins Expand-free.
     "q_distinct_agg" -> QueryDef(
       (s, dir) => Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))

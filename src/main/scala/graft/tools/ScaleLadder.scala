@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   *    l_orderkey and l_partkey by r·10⁸ — the co-occurrence graph
   *    becomes N disjoint copies of the original, again "more data,
   *    same shape".
+  *  - customer (fuzzy/entity family's name source): replica r PREFIXES
+  *    every name with `r~` (prefixing preserves Levenshtein distances —
+  *    the DP consumes the equal prefix for free — and keeps the
+  *    suffix-stripped block key replica-disjoint, so each replica's
+  *    block/pair structure is exactly the original's). c_custkey shifts
+  *    by r·10⁸.
   *
   * Usage: runMain graft.tools.ScaleLadder [baseDir] [scaledDir] [N] [mode]
   * where [mode] is `all` (default ladder set), `tuned`, or a
@@ -39,7 +45,8 @@ object ScaleLadder {
   private val LadderQueries = Seq(
     "q_prefix_jaccard", "q_ngram_jaccard", "q_incremental_cc",
     "q_dup_spans", "q_star_clusters", "q_embed_neardup",
-    "q_pagerank", "q_label_prop", "q_degree_dist")
+    "q_pagerank", "q_label_prop", "q_degree_dist",
+    "q_fuzzy_names", "q_entity_clusters")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -65,16 +72,18 @@ object ScaleLadder {
       try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
       finally graft.Caching.release()
     }
-    // mode: "all" (default) = full sweep + tuned point; "tuned" = only
-    // the srpPlanesFor-tuned near-dup point; a comma-separated query
-    // list = that subset + tuned (the untuned quadratic near-dup is the
-    // one to EXCLUDE at larger N — at 30× it alone would cost ~an hour)
+    // mode: "all" (default) = full sweep + tuned points; "tuned" = only
+    // the auto-sized near-dup points; a comma-separated query list =
+    // EXACTLY that subset, tuned points skipped (the untuned quadratic
+    // near-dup is the one to EXCLUDE at larger N — at 30× it alone
+    // would cost ~an hour)
     val mode = args.lift(3).getOrElse("all")
     val selected = mode match {
       case "all"   => LadderQueries
       case "tuned" => Seq.empty[String]
       case list    => list.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     }
+    val wantTuned = mode == "all" || mode == "tuned"
     val rows = selected.map { q =>
       val bCold = time(q, base)
       val bSteady = math.min(time(q, base), time(q, base))
@@ -105,7 +114,7 @@ object ScaleLadder {
       println(s"""{"query":"$name","base_s":${num(b)},"scaled_s":${num(s)},"ratio":${num(ratio)},"exponent":${num(expo)}}""")
       (name, b, s, ratio, expo)
     }
-    val tuned = Seq(
+    val tuned = if (!wantTuned) Seq.empty else Seq(
       tunedRow("q_embed_neardup_auto") { dir =>
         graft.operators.Dedup.embeddingNearDupsAuto(
           spark.read.parquet(s"$dir/embeddings.parquet"),
@@ -135,7 +144,11 @@ object ScaleLadder {
     * with no error). */
   def generate(spark: SparkSession, base: String, out: String, n: Int): Unit = {
     val done = new java.io.File(s"$out/_LADDER_OK")
-    val stamp = s"$base|$n"
+    // v2: customer added to the generated set — the version bump forces
+    // regeneration of pre-customer ladder dirs (their marker would
+    // otherwise skip generate() and the fuzzy queries would read the
+    // BASE-SIZED customer table, understating every fuzzy exponent)
+    val stamp = s"$base|$n|v2"
     if (done.exists() &&
         new String(java.nio.file.Files.readAllBytes(done.toPath)) == stamp) return
     val off = 100000000L
@@ -169,6 +182,21 @@ object ScaleLadder {
     }.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    (0 until n).map { r =>
+      val named =
+        if (r == 0) cust
+        // PREFIX, not suffix: the fuzzy block key strips the LAST 2
+        // chars, so a replica prefix keeps each replica's block/pair
+        // structure identical to the original's (prepending a common
+        // string never changes Levenshtein distance) while cross-replica
+        // blocks stay disjoint — "more customers, same shape"
+        else cust.withColumn("c_name", concat(lit(s"$r~"), col("c_name")))
+      named.withColumn("c_custkey", col("c_custkey") + lit(r * off))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
 
     val li = spark.read.parquet(s"$base/lineitem.parquet")
     (0 until n).map { r =>

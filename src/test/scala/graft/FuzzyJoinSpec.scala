@@ -37,4 +37,23 @@ class FuzzyJoinSpec extends SparkSpec {
       maxBlockSize = Some(10))
     assert(capped.count() == 0L)
   }
+
+  test("cap path plans as keyed count + semi join, never a window (AssocRules rule)") {
+    // the cap guards against a hot block — a window would buffer that
+    // block whole in one task's sort before the filter could drop it
+    val df = (1 to 50).map(i => (i.toLong, s"x$i")).toDF("id", "name")
+    val p = FuzzyJoin.selfJoin(df, "id", "name", lit(1), maxDist = 99,
+      maxBlockSize = Some(10)).queryExecution.executedPlan.toString
+    assert(!p.contains("Window "), s"hot block key planned as a window:\n$p")
+    assert(p.contains("LeftSemi"), s"keep-set semi join missing from the cap path:\n$p")
+  }
+
+  test("mixed blocks: capped block vanishes, small blocks keep their pairs") {
+    val hot = (1 to 20).map(i => (100L + i, s"h$i", "H"))
+    val cool = Seq((1L, "kitten", "C"), (2L, "sitten", "C"))
+    val df = (hot ++ cool).toDF("id", "name", "blk")
+    val got = FuzzyJoin.selfJoin(df, "id", "name", col("blk"), maxDist = 2,
+      maxBlockSize = Some(10)).select("s1", "s2").as[(String, String)].collect().toSet
+    assert(got == Set(("kitten", "sitten")))
+  }
 }
