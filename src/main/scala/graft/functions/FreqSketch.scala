@@ -46,6 +46,16 @@ object FreqSketch {
 
     require(k >= 1 && k <= 100000, s"k must be in 1..100000, got $k")
 
+    // update() reads the child as UTF8String; without this check a
+    // non-string child would pass analysis and throw ClassCastException
+    // mid-job instead of failing at plan time
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"misra_gries_agg needs a STRING item column, got ${other.sql}")
+      }
+
     override def dataType: DataType = StructType(Seq(
       StructField("items", ArrayType(StringType, containsNull = false), nullable = false),
       StructField("n", LongType, nullable = false)))

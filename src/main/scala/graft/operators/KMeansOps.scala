@@ -74,7 +74,13 @@ object KMeansOps {
                 centroids: Seq[(Int, Array[Float])]): DataFrame =
     lloydStep(emb, idCol, vecCol, centroidsDf(emb.sparkSession, centroids))
 
-  /** DataFrame-centroid Lloyd step — the body of [[lloydIterate]]. */
+  /** DataFrame-centroid Lloyd step — the body of [[lloydIterate]].
+    *
+    * Overflow bound: the per-(cell,pos) BIGINT sum holds while
+    * |members| · 2³⁰ · max|x| < 2⁶³, i.e. ~8.6e9 members per cell at
+    * unit-scale components — far above any occupancy the cellsFor /
+    * trainCentroidsHier sizing rules produce (they hold occupancy near a
+    * constant target); only a degenerate k≪corpus call approaches it. */
   def lloydStep(emb: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
     val fp = 1073741824.0 // 2^30

@@ -49,6 +49,15 @@ class FreqSketchSpec extends SparkSpec {
     assert(viaSketch.nonEmpty)
   }
 
+  test("non-string input fails at analysis, not mid-job") {
+    val df = Seq(1, 2, 2, 3).toDF("item")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(FreqSketch.mg_candidates(col("item"), 4).as("sk")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("misra_gries_agg") ||
+      e.getMessage.contains("STRING"))
+  }
+
   test("fewer distinct items than counters: candidates are exhaustive") {
     val df = Seq("a", "b", "a", "c", "a", "b").toDF("item")
     val row = df.agg(FreqSketch.mg_candidates(col("item"), 10).as("sk"))
