@@ -30,6 +30,15 @@ object SketchAggs {
 
   private[graft] val MersenneP: Long = 2147483647L // 2^31 − 1
 
+  // update() casts child values without runtime checks (tight loops);
+  // these fail a wrong-typed column at analysis instead of mid-job —
+  // same contract as misra_gries_agg
+  private def requireType(name: String, e: Expression, t: DataType):
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (e.dataType == t) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$name needs ${t.sql}, got ${e.dataType.sql}")
+
   /** Fixed-seed affine family h_i(x) = (a_i·x + b_i) mod p, materialized
     * as flat arrays. The constants are also interpolated into the DuckDB
     * oracle SQL (DedupQueries.SigList) so signatures verify bit-exactly
@@ -62,6 +71,9 @@ object SketchAggs {
 
     require(numHashes >= 1 && numHashes <= famA.length,
       s"numHashes must be in 1..${famA.length}, got $numHashes")
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      requireType("minhash_agg (pre-hashed shingle)", child, LongType)
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
@@ -106,6 +118,9 @@ object SketchAggs {
                         override val mutableAggBufferOffset: Int = 0,
                         override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      requireType("simhash_agg (pre-hashed token)", child, LongType)
 
     override def dataType: DataType = LongType
     override def nullable: Boolean = false
@@ -174,6 +189,11 @@ object SketchAggs {
                            override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[scala.collection.mutable.LongMap[Long]]
     with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val l = requireType("pair_argmax (word)", left, org.apache.spark.sql.types.StringType)
+      if (l.isSuccess) requireType("pair_argmax (weight)", right, LongType) else l
+    }
 
     override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("l_code", LongType, nullable = false),

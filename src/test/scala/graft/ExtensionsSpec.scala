@@ -62,4 +62,24 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(sh != 0L)
   }
+
+  test("sketch aggregates reject wrong-typed input at analysis, not mid-job") {
+    // update() paths cast without checks (tight loops); the SQL surface
+    // must fail these at plan time — un-hashed strings into minhash/
+    // simhash, an INT weight into pair_argmax
+    val s = extSpark
+    for (q <- Seq(
+      "SELECT minhash_agg(t, 8) FROM (SELECT explode(array('x','y')) AS t)",
+      "SELECT simhash_agg(t) FROM (SELECT explode(array('x','y')) AS t)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](s.sql(q).collect())
+      assert(e.getMessage.contains("BIGINT"), s"$q:\n${e.getMessage}")
+    }
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      Seq(("ab", 1)).toDF("w", "n")
+        .agg(graft.functions.SketchAggs.pair_argmax(col("w"), col("n"))).collect()
+    }
+    assert(e.getMessage.contains("BIGINT"), e.getMessage)
+  }
 }
