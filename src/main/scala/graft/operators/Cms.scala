@@ -63,12 +63,20 @@ object Cms {
 
   /** Point estimates for every row of `items`: min over the d bucket
     * slices of the item's hash. The counter table broadcasts; items
-    * are never shuffled. */
+    * are never shuffled.
+    *
+    * A bucket with no counter row counts as ZERO (left join +
+    * coalesce) — an inner join would silently drop the zeros from the
+    * min, answering an unseen item with the smallest OCCUPIED bucket
+    * (or no row at all when every slice is empty) instead of the
+    * textbook 0. The distinction only shows for items absent from (or
+    * vanishingly rare in) the sketched corpus — exactly the membership
+    * probe a 100 TB decontamination pass runs. */
   def pointEstimates(sketch: DataFrame, items: DataFrame, itemCol: String): DataFrame =
     items.select(col(itemCol),
         Dedup.portableHash64(col(itemCol).cast("string")).as("_h"))
       .selectExpr(itemCol, stackSql("_h"))
-      .join(broadcast(sketch), Seq("seed", "bucket"))
+      .join(broadcast(sketch), Seq("seed", "bucket"), "left")
       .groupBy(col(itemCol))
-      .agg(min(col("c")).as("cms_estimate"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
 }

@@ -86,25 +86,37 @@ object Kmv {
       .withColumn("theta_min", least(col("theta_a"), col("theta_b")))
     val a = sk.select(col(tagCol).as("ta"), col("h").as("ha"))
     val b = sk.select(col(tagCol).as("tb"), col("h").as("hb"))
-    val counts = pairs
+    val aCounts = pairs
       .join(a, col("tag_a") === col("ta")).drop("ta")
       .filter(col("ha") < col("theta_min"))
       .join(b, col("tag_b") === col("tb") && col("ha") === col("hb"), "left")
-      .groupBy(col("tag_a"), col("tag_b"), col("theta_min"))
+      .groupBy(col("tag_a"), col("tag_b"))
       .agg(count(lit(1)).as("n_a_lt"), count(col("hb")).as("n_common"))
     // n_either = |{h < θ*} in A| + |{h < θ*} in B| − n_common
     val bCounts = pairs
       .join(b, col("tag_b") === col("tb"))
       .filter(col("hb") < col("theta_min"))
       .groupBy(col("tag_a"), col("tag_b")).agg(count(lit(1)).as("n_b_lt"))
-    counts.join(bCounts, Seq("tag_a", "tag_b"))
+    // LEFT joins from the pair frame: a side with no hashes below θ*
+    // groups to NO row, and inner joins would silently drop the whole
+    // pair — every (a, b) must report, with zero counts and a NULL
+    // jaccard when the θ*-sample is empty (0/0 is "no evidence", and
+    // NULL beats a NaN that hashes differently per engine).
+    pairs.select(col("tag_a"), col("tag_b"), col("theta_min"))
+      .join(aCounts, Seq("tag_a", "tag_b"), "left")
+      .join(bCounts, Seq("tag_a", "tag_b"), "left")
+      .select(col("tag_a"), col("tag_b"), col("theta_min"),
+        coalesce(col("n_a_lt"), lit(0L)).as("n_a_lt"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("n_b_lt"), lit(0L)).as("n_b_lt"))
       .withColumn("n_either", col("n_a_lt") + col("n_b_lt") - col("n_common"))
       .select(col("tag_a"), col("tag_b"), col("n_common"), col("n_either"),
         (col("n_common").cast("double") *
           (lit(HashSpace) / col("theta_min").cast("double"))).as("inter_est"),
         (col("n_either").cast("double") *
           (lit(HashSpace) / col("theta_min").cast("double"))).as("union_est"),
-        (col("n_common").cast("double") / col("n_either").cast("double"))
+        when(col("n_either") > 0L,
+          col("n_common").cast("double") / col("n_either").cast("double"))
           .as("jaccard_est"))
   }
 }

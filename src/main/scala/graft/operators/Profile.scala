@@ -78,13 +78,19 @@ object Profile {
     * a broadcast — no collect, no driver round-trip. The bucket index is
     * a fixed IEEE expression (floor((x−mn)·B/(mx−mn)), max clamped to
     * the last bucket) so histograms hash-match across engines. Constant
-    * columns get one bucket holding everything. */
+    * columns get one bucket holding everything. NULL values land in a
+    * single `bucket IS NULL` row (lo/hi NULL) rather than being
+    * silently dropped — the profile() n_null cross-check. */
   def histogram(df: DataFrame, c: String, nBuckets: Int = 20): DataFrame = {
     require(nBuckets >= 1 && nBuckets <= 10000, s"nBuckets in [1,10000], got $nBuckets")
     val v = numView(df, c)
     val bounds = df.agg(min(v).as("mn"), max(v).as("mx"))
     val b = lit(nBuckets.toDouble)
-    val bucket = when(col("mx") === col("mn"), lit(0L))
+    // NULL guard FIRST: the constant-column arm doesn't reference v, so
+    // without it a constant column's NULL rows would be swept into
+    // bucket 0 while a non-constant column's land in the NULL bucket
+    val bucket = when(v.isNull, lit(null).cast("long"))
+      .when(col("mx") === col("mn"), lit(0L))
       .otherwise(least(
         floor((v - col("mn")) * b / (col("mx") - col("mn"))),
         lit(nBuckets - 1L)))

@@ -52,7 +52,8 @@ object ProfileQueries {
         |         max(CAST(l_extendedprice AS DOUBLE)) AS mx
         |  FROM lineitem),
         |bk AS (
-        |  SELECT CAST(CASE WHEN mx = mn THEN 0
+        |  SELECT CAST(CASE WHEN l_extendedprice IS NULL THEN NULL
+        |         WHEN mx = mn THEN 0
         |         ELSE least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn) * 20.0 / (mx - mn)) AS BIGINT), 19)
         |         END AS BIGINT) AS bucket, mn, mx
         |  FROM lineitem CROSS JOIN bounds)
@@ -140,8 +141,8 @@ object ProfileQueries {
         |ib AS (SELECT l_partkey, seed, (h >> (seed * 11)) % ${Cms.W} AS bucket
         |       FROM items CROSS JOIN seeds),
         |est AS (
-        |  SELECT l_partkey, CAST(min(c) AS BIGINT) AS cms_estimate
-        |  FROM ib JOIN counters USING (seed, bucket) GROUP BY 1),
+        |  SELECT l_partkey, CAST(min(COALESCE(c, 0)) AS BIGINT) AS cms_estimate
+        |  FROM ib LEFT JOIN counters USING (seed, bucket) GROUP BY 1),
         |x AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_exact FROM lineitem GROUP BY 1)
         |SELECT x.l_partkey, x.n_exact, est.cms_estimate,
         |       CAST(est.cms_estimate - x.n_exact AS BIGINT) AS overcount
@@ -251,11 +252,13 @@ object ProfileQueries {
         |  SELECT p.tag_a, p.tag_b, CAST(count(*) AS BIGINT) AS n_b_lt
         |  FROM pairs p JOIN sk sb ON sb.tag = p.tag_b AND sb.h < p.theta_min
         |  GROUP BY 1, 2)
-        |SELECT ac.tag_a, ac.tag_b, ac.n_common,
-        |       CAST(ac.n_a_lt + bc.n_b_lt - ac.n_common AS BIGINT) AS n_either,
-        |       CAST(ac.n_common AS DOUBLE) * (CAST('${Kmv.HashSpace.toString}' AS DOUBLE) / CAST(ac.theta_min AS DOUBLE)) AS inter_est,
-        |       CAST(ac.n_a_lt + bc.n_b_lt - ac.n_common AS DOUBLE) * (CAST('${Kmv.HashSpace.toString}' AS DOUBLE) / CAST(ac.theta_min AS DOUBLE)) AS union_est,
-        |       CAST(ac.n_common AS DOUBLE) / CAST(ac.n_a_lt + bc.n_b_lt - ac.n_common AS DOUBLE) AS jaccard_est
-        |FROM ac JOIN bc USING (tag_a, tag_b)""")
+        |SELECT p.tag_a, p.tag_b, COALESCE(ac.n_common, 0) AS n_common,
+        |       CAST(COALESCE(ac.n_a_lt, 0) + COALESCE(bc.n_b_lt, 0) - COALESCE(ac.n_common, 0) AS BIGINT) AS n_either,
+        |       CAST(COALESCE(ac.n_common, 0) AS DOUBLE) * (CAST('${Kmv.HashSpace.toString}' AS DOUBLE) / CAST(p.theta_min AS DOUBLE)) AS inter_est,
+        |       CAST(COALESCE(ac.n_a_lt, 0) + COALESCE(bc.n_b_lt, 0) - COALESCE(ac.n_common, 0) AS DOUBLE) * (CAST('${Kmv.HashSpace.toString}' AS DOUBLE) / CAST(p.theta_min AS DOUBLE)) AS union_est,
+        |       CASE WHEN COALESCE(ac.n_a_lt, 0) + COALESCE(bc.n_b_lt, 0) - COALESCE(ac.n_common, 0) > 0
+        |            THEN CAST(COALESCE(ac.n_common, 0) AS DOUBLE) / CAST(COALESCE(ac.n_a_lt, 0) + COALESCE(bc.n_b_lt, 0) - COALESCE(ac.n_common, 0) AS DOUBLE)
+        |            END AS jaccard_est
+        |FROM pairs p LEFT JOIN ac USING (tag_a, tag_b) LEFT JOIN bc USING (tag_a, tag_b)""")
   )
 }

@@ -57,4 +57,17 @@ class ProfileSpec extends SparkSpec {
     val hc = Profile.histogram(const, "x", 4).collect()
     assert(hc.length == 1 && hc.head.getLong(0) == 0L && hc.head.getLong(3) == 3L)
   }
+
+  test("histogram: NULLs land in one NULL-bucket row — also for constant columns") {
+    // the constant-column arm doesn't reference the value, so NULLs
+    // there were once swept into bucket 0
+    val const = Seq(Some(5.0), Some(5.0), None, None).toDF("x")
+    val hc = Profile.histogram(const, "x", 4).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getLong(3)).toMap
+    assert(hc == Map(Some(0L) -> 2L, None -> 2L), hc.toString)
+    val mixed = Seq(Some(1.0), Some(2.0), None).toDF("x")
+    val hm = Profile.histogram(mixed, "x", 2).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getLong(3)).toMap
+    assert(hm(None) == 1L && hm(Some(0L)) == 1L && hm(Some(1L)) == 1L)
+  }
 }

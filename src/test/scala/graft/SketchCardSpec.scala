@@ -54,6 +54,35 @@ class SketchCardSpec extends SparkSpec {
     assert(exactFrac >= 0.95, s"only $exactFrac of estimates exact")
   }
 
+  test("Cms: unseen items get a row and (on a sparse sketch) estimate 0") {
+    // 10 sketched items in 8192 counters → an unseen item's 4 buckets
+    // are overwhelmingly likely all empty; the membership-probe shape
+    // must answer 0, not drop the item or return an occupied bucket
+    val sketch = Cms.counters((1L to 10L).toDF("k"), col("k"))
+    val probes = (1001L to 1100L).toDF("k")
+    val est = Cms.pointEstimates(sketch, probes, "k")
+    assert(est.count() == 100L, "every probed item must get an estimate row")
+    assert(est.filter(col("cms_estimate") === 0L).count() >= 95L,
+      "unseen items on a near-empty sketch should estimate 0")
+    assert(est.filter(col("cms_estimate") < 0L).count() == 0L)
+  }
+
+  test("Kmv: overlap keeps every tag pair — empty θ*-samples report zeros, not vanish") {
+    // single-member sets: each sketch is one hash, so NO hash is below
+    // θ* on either side of any pair — the inner-join formulation
+    // dropped all three pairs silently
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("tag", "v")
+    val ov = Kmv.overlap(Kmv.sketch(df, Seq("tag"), col("v")), "tag")
+    val rows = ov.orderBy(col("tag_a"), col("tag_b")).collect()
+    assert(rows.length == 3, s"expected all 3 tag pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_common")) == 0L)
+      assert(r.getLong(r.fieldIndex("n_either")) == 0L)
+      assert(r.isNullAt(r.fieldIndex("jaccard_est")),
+        "0/0 jaccard must be NULL (no evidence), not NaN")
+    }
+  }
+
   test("Kmv: sketch bounded at K, exact below K, estimate within 15% above it") {
     val li = Tables.lineitem(spark, sf001)
     val sk = Kmv.sketch(li, Seq("l_returnflag"), col("l_orderkey"))
