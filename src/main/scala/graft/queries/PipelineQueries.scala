@@ -649,6 +649,64 @@ object PipelineQueries {
         |  FROM c)
         |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(CASE WHEN spans THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
-        |FROM e GROUP BY seq_id""")
+        |FROM e GROUP BY seq_id"""),
+
+    // End-to-end curation: the stages above CHAINED as one dataflow —
+    // PII scrub (+audit counts) → language keep → token-count quality
+    // gate on the SCRUBBED text → per-source token-budget mixture —
+    // proving the operators compose (filters, per-row scrubs, and the
+    // budget window agree on one frame) and that each stage stays
+    // oracle-replayable inside a chain, not just standalone. PII is
+    // synthesized deterministically per doc (the q_pii_scrub
+    // precedent: the corpus carries none), so the scrub stage is
+    // materially active — every surviving doc audits n_redactions = 3.
+    // Every stage is a narrow projection/filter except the one budget
+    // window (per-source running sum, the q_token_budget shape): at
+    // 100 TB the chain fuses into the scan plus ONE partitioned window.
+    "q_curate_e2e" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Redact
+        val raw = Tables.documents(s, dir).select(
+          col("doc_id"), col("source"), col("lang"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com 10.0.0.1 call 555-0042")).as("_raw"))
+        val (ne, ni, np) = Redact.counts(col("_raw"))
+        val scrubbed = raw
+          .filter(col("lang").isin("en", "de"))
+          .select(col("doc_id"), col("source"),
+            Redact.scrub(col("_raw")).as("_clean"),
+            (ne + ni + np).as("n_redactions"))
+        val gated = scrubbed.filter(
+          size(graft.functions.TextFns.tokens(col("_clean"))).cast("long") >= 30L)
+        TextPipeline.capTokenBudget(gated, "doc_id", "source", "_clean",
+            budget = 500L, salt = "graft-v1")
+          .select(col("doc_id"), col("source"), col("n_redactions"),
+            col("n_tokens"), col("cum_tokens"))
+      },
+      s"""WITH raw AS (
+        |  SELECT doc_id, source, lang,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com 10.0.0.1 call 555-0042' AS r
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, source, lang, r,
+        |              regexp_replace(r, '${Redact.EmailPattern}', '${Redact.EmailToken}', 'g') AS r1
+        |       FROM raw),
+        |s2 AS (SELECT *, regexp_replace(r1, '${Redact.Ipv4Pattern}', '${Redact.Ipv4Token}', 'g') AS r2 FROM s1),
+        |s3 AS (SELECT doc_id, source,
+        |              regexp_replace(r2, '${Redact.PhonePattern}', '${Redact.PhoneToken}', 'g') AS clean,
+        |              CAST(len(regexp_extract_all(r, '${Redact.EmailPattern}'))
+        |                 + len(regexp_extract_all(r1, '${Redact.Ipv4Pattern}'))
+        |                 + len(regexp_extract_all(r2, '${Redact.PhonePattern}')) AS BIGINT) AS n_redactions
+        |       FROM s2
+        |       WHERE lang IN ('en', 'de')),
+        |tk AS (SELECT doc_id, source, n_redactions,
+        |              CAST(len(list_filter(string_split_regex(trim(lower(clean)), '\\s+'), t -> t <> '')) AS BIGINT) AS n_toks
+        |       FROM s3),
+        |q AS (SELECT * FROM tk WHERE n_toks >= 30),
+        |h AS (SELECT *, CAST(concat('0x', substr(md5('graft-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh FROM q),
+        |c AS (SELECT doc_id, source, n_redactions, n_toks AS n_tokens,
+        |             CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY hh, doc_id) AS BIGINT) AS cum_tokens
+        |      FROM h)
+        |SELECT doc_id, source, n_redactions, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 500""")
   )
 }
