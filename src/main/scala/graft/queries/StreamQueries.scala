@@ -49,6 +49,18 @@ object StreamQueries {
   // one definition of the sessionize gap (µs) — oracle interpolates it
   private val GapUs = 1800000000L
 
+  // q_stream_cms probe: the point-queried user id, with its d bucket
+  // indices precomputed from the SAME portable hash the processor uses
+  // (interpolated into the oracle's VALUES relation). Declared before
+  // `defs` — object init order silently interpolates null otherwise.
+  private val CmsProbeId = "7"
+  private val CmsProbeBuckets: Seq[Long] = {
+    val ph = graft.functions.PortableHash60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(CmsProbeId))
+    (0 until graft.operators.Cms.D).map(i =>
+      (ph >>> (11 * i)) % graft.operators.Cms.W)
+  }
+
   /** Plan the enclosed stream with few shuffle partitions: stateful
     * exec cost on a few-MB replay is FIXED state-store machinery — one
     * open/commit per partition per store per micro-batch (a
@@ -210,6 +222,67 @@ object StreamQueries {
         |SELECT event_type, regs_hit, harmonic,
         |       CAST('${graft.operators.Hll.EstNumerator.toString}' AS DOUBLE) / CAST(harmonic AS DOUBLE) AS hll_estimate
         |FROM s"""),
+
+    // Streaming count-min sketch — the frequency face of the streaming
+    // sketch family (HLL = cardinality, MG = heavy hitters, CMS =
+    // point frequency): per-event-type d×w counter array (64 KiB of
+    // typed ValueState per key, ever) updated per event. Counters are
+    // pure integer sums — order-free, so the streamed array after the
+    // replay equals the batch Cms.counters array exactly, and the
+    // emitted stats (exact n, occupied counters, max counter, and the
+    // zeros-included point estimate for probe user '7') hash-match the
+    // batch oracle. The same exact-replay class as q_stream_hll.
+    "q_stream_cms" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val evs: Array[Ev] = collectReplay(Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+          .as[Ev], "events replay slice")
+        val confKey = "spark.sql.streaming.stateStore.providerClass"
+        val saved = scala.util.Try(s.conf.get(confKey)).toOption
+        s.conf.set(confKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val ms = MemoryStream[Ev]
+          val q = withReplayPartitions(s) {
+            StreamingOps.frequencySketch(ms.toDS(), CmsProbeId)
+              .writeStream.format("memory").queryName("graft_stream_cms")
+              .outputMode("update").start()
+          }
+          try { ms.addData(evs.toIndexedSeq: _*); q.processAllAvailable() }
+          finally q.stop()
+        } finally saved match {
+          case Some(v) => s.conf.set(confKey, v)
+          case None    => s.conf.unset(confKey)
+        }
+        s.table("graft_stream_cms")
+          .select(col("event_type"), col("n"), col("nonzero"),
+            col("max_c"), col("probe_est"))
+      },
+      s"""WITH h AS (
+        |  SELECT event_type,
+        |         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |seeds AS (SELECT unnest(generate_series(0, ${graft.operators.Cms.D - 1})) AS seed),
+        |x AS (SELECT event_type, seed, (h >> (seed * 11)) % ${graft.operators.Cms.W} AS bucket
+        |      FROM h CROSS JOIN seeds),
+        |counters AS (SELECT event_type, seed, bucket, CAST(count(*) AS BIGINT) AS c
+        |             FROM x GROUP BY 1, 2, 3),
+        |stats AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nonzero,
+        |                 CAST(max(c) AS BIGINT) AS max_c
+        |          FROM counters GROUP BY 1),
+        |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |probe AS (SELECT * FROM (VALUES ${CmsProbeBuckets.zipWithIndex
+            .map { case (b, i) => s"($i, $b)" }.mkString(", ")}) AS t(seed, bucket)),
+        |pe AS (SELECT e.event_type, CAST(min(COALESCE(c.c, 0)) AS BIGINT) AS probe_est
+        |       FROM (SELECT DISTINCT event_type FROM events) e
+        |       CROSS JOIN probe p
+        |       LEFT JOIN counters c ON c.event_type = e.event_type
+        |                           AND c.seed = p.seed AND c.bucket = p.bucket
+        |       GROUP BY 1)
+        |SELECT nn.event_type, nn.n, stats.nonzero, stats.max_c, pe.probe_est
+        |FROM nn JOIN stats USING (event_type) JOIN pe USING (event_type)"""),
 
     // The canonical streaming op — watermarked tumbling-window
     // aggregation in APPEND mode: a bucket emits exactly once, when the

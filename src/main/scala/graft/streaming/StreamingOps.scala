@@ -390,4 +390,70 @@ object StreamingOps {
     events.groupByKey(_.event_type)
       .transformWithState(new HeavyHittersProcessor(k), TimeMode.None(), OutputMode.Update())
   }
+
+  // --------------------- streaming frequency: count-min sketch -------
+
+  final case class CmsState(counters: Seq[Long], n: Long)
+  final case class CmsSummary(event_type: String, n: Long, nonzero: Long,
+                              max_c: Long, probe_est: Long)
+
+  /** Per-event-type count-min frequency sketch over user occurrences
+    * with BOUNDED state: the [[graft.operators.Cms]] d×w counter array
+    * (4×2048 longs ≈ 64 KiB per group key, EVER) in a typed ValueState
+    * — the streaming face of the batch sketch, and the two agree
+    * EXACTLY: same md5-derived 60-bit hash, same bit-slice buckets,
+    * and counters are pure integer sums, so micro-batch boundaries
+    * cannot change any counter value (order-free — the streamed
+    * counter array after n events ≡ the batch array over the same
+    * rows, pinned by StreamingSpec). Each update emits the exact event
+    * count, occupied-counter/max stats, and the point estimate for
+    * `probeId` — a direct array min that counts EMPTY buckets as zero,
+    * the [[graft.operators.Cms.pointEstimates]] membership-probe
+    * semantics. */
+  class CmsProcessor(probeId: String) extends StatefulProcessor[String, Ev, CmsSummary] {
+    @transient private var state: ValueState[CmsState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CmsState]("cms", Encoders.product[CmsState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[CmsSummary] = {
+      val d = graft.operators.Cms.D
+      val w = graft.operators.Cms.W
+      val st = Option(state.get())
+      val cs = st.map(_.counters.toArray).getOrElse(new Array[Long](d * w))
+      var n = st.map(_.n).getOrElse(0L)
+      rows.foreach { e =>
+        val h = portableHash64Jvm(e.user_id.toString)
+        var i = 0
+        while (i < d) { cs(i * w + ((h >>> (11 * i)) % w).toInt) += 1L; i += 1 }
+        n += 1L
+      }
+      state.update(CmsState(cs.toSeq, n))
+      val ph = portableHash64Jvm(probeId)
+      var probe = Long.MaxValue
+      var i = 0
+      while (i < d) {
+        val c = cs(i * w + ((ph >>> (11 * i)) % w).toInt)
+        if (c < probe) probe = c
+        i += 1
+      }
+      var nonzero = 0L; var maxc = 0L; var j = 0
+      while (j < cs.length) {
+        val c = cs(j)
+        if (c > 0L) nonzero += 1L
+        if (c > maxc) maxc = c
+        j += 1
+      }
+      Iterator.single(CmsSummary(key, n, nonzero, maxc, probe))
+    }
+  }
+
+  def frequencySketch(events: Dataset[Ev], probeId: String): Dataset[CmsSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new CmsProcessor(probeId), TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -248,6 +248,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CMS: streamed counters agree exactly with the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = util.Try(spark.conf.get("spark.sql.streaming.stateStore.providerClass")).toOption
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // counters are integer sums (order-free), so the array must come
+      // out identical no matter where the micro-batch boundary falls;
+      // probe user 7 is odd → present in 'view' only, so the 'click'
+      // probe exercises the zeros-included unseen-item min
+      val batch1 = (1L to 250L).map(u => Ev(u, ts(0), if (u % 2 == 0) "click" else "view", 0.0))
+      val batch2 = (200L to 400L).map(u => Ev(u, ts(1), if (u % 2 == 0) "click" else "view", 0.0))
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.frequencySketch(ms.toDS(), probeId = "7")
+        .writeStream.format("memory").queryName("cms_stream").outputMode("update").start()
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+      q.stop()
+      // update mode: every emitted stat is monotone nondecreasing, so
+      // max() per key is the final state
+      val streamed = spark.table("cms_stream").groupBy("event_type")
+        .agg(max("n").as("n"), max("nonzero").as("nz"),
+          max("max_c").as("mc"), max("probe_est").as("pe"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val all = batch1 ++ batch2
+      for (tp <- Seq("click", "view")) {
+        val df = all.filter(_.event_type == tp).toDF()
+        val sk = graft.operators.Cms.counters(df, col("user_id"))
+        val Array(nz, mc) = sk.agg(count(lit(1)), max(col("c")))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val pe = graft.operators.Cms.pointEstimates(sk, Seq(7L).toDF("item"), "item")
+          .collect().head.getAs[Long]("cms_estimate")
+        assert(streamed(tp) == ((df.count(), nz, mc, pe)),
+          s"$tp: streamed ${streamed(tp)} vs batch (${df.count()}, $nz, $mc, $pe)")
+      }
+      assert(streamed("view")._4 >= 1L, "probe user 7 is in 'view' — estimate must be >= 1")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming heavy hitters: MG guarantee holds across micro-batches, state stays <= k") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
