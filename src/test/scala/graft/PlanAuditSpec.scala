@@ -47,6 +47,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_curate_e2e: chain fuses to the scan + one budget-window exchange") {
+    // scrub/gate/lang are per-row — everything before the per-source
+    // token budget must fuse map-side, the lang filter reaching the
+    // parquet scan; exactly ONE exchange (the window's partitionBy)
+    val p = planOf("q_curate_e2e")
+    assert(p.contains("PushedFilters: [In(lang, [de,en])"),
+      s"lang keep no longer reaches the scan:\n$p")
+    assert("Exchange ".r.findAllIn(p).size == 1,
+      s"curation chain grew a second exchange:\n$p")
+    assert("Window ".r.findAllIn(p).size == 1, p)
+  }
+
   test("q_contrastive_negs: corpus count broadcasts; the draw is one keyed join") {
     val p = planOf("q_contrastive_negs")
     assert(p.contains("BroadcastExchange"), s"corpus count must broadcast:\n$p")
