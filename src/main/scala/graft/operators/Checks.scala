@@ -27,7 +27,13 @@ object Checks {
     (violations === 0L).as("passed"))
 
   /** Count violations of each named predicate in ONE pass over `df`.
-    * A predicate marks the BAD rows (e.g. `col("x").isNull`). */
+    * A predicate marks the BAD rows (e.g. `col("x").isNull`).
+    *
+    * Three-valued semantics: a predicate that evaluates to NULL (e.g.
+    * `col("x") > 5` on a NULL x) counts as NOT violating — SQL's
+    * `CASE WHEN` rule, and what the DuckDB oracle replays. A range
+    * check that must also reject NULLs says so explicitly:
+    * `col("x").isNull || col("x") > 5` (spec-pinned). */
   def columnChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "columnChecks needs at least one check")
     // duplicate names would make the per-check column reference below
