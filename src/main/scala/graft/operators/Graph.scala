@@ -41,8 +41,13 @@ object Graph {
     // family's shared edge build (the q_degree_dist oracle still runs
     // the self-join formulation; its hash match is the equivalence
     // proof)
+    // bid keeps its NATIVE type (the AssocRules.rules rule): a
+    // cast("long") here silently NULLed every non-numeric basket id
+    // (string/UUID keys), collapsing ALL such baskets into one giant
+    // null basket — phantom co-occurrence edges AND the k² blowup the
+    // cap exists to prevent. groupBy keys on any comparable type.
     val sets = baskets
-      .select(col(basketCol).cast("long").as("bid"), col(itemCol).as("item"))
+      .select(col(basketCol).as("bid"), col(itemCol).as("item"))
       .groupBy(col("bid")).agg(collect_set(col("item")).as("items"))
     val capped = maxBasketSize match {
       case Some(cap) => sets.filter(size(col("items")) <= cap)
@@ -107,6 +112,18 @@ object Graph {
     require(checkpointInterval >= 1,
       s"checkpointInterval must be >= 1, got $checkpointInterval")
     require(idCol != "label", "idCol 'label' collides with the output column")
+    // labels ARE node ids cast to the BIGINT label domain (the output
+    // contract and the (−cnt, label) vote ordering need it): on a
+    // non-integral id type that cast silently yields NULL labels and
+    // NULL votes — fail loudly instead (hash string ids to int64
+    // upstream, e.g. xxhash64, the caller's choice of collision domain)
+    val idType = nodes.schema(idCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(idType),
+      s"labelPropagation needs an integral id column for the label domain, got ${idType.sql} — " +
+        "hash non-integral ids to BIGINT upstream")
     val sym = symmetrize(edges)
       .repartition(col("src")).localCheckpoint(false)
     var labels = nodes.select(col(idCol).as("nid"), col(idCol).cast("long").as("label"))

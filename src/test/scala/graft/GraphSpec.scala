@@ -24,6 +24,27 @@ class GraphSpec extends SparkSpec {
     assert(e.toSet == Set(("a", "b", 3L))) // (a,c) and (b,c) have support 1
   }
 
+  test("coOccurrenceEdges keeps basket ids native: disjoint string baskets never merge") {
+    // the old cast("long") NULLed string ids, collapsing every basket
+    // into one — phantom edges between items that never co-occurred
+    val baskets = Seq(
+      ("b-1", "a"), ("b-1", "b"),
+      ("b-2", "c"), ("b-2", "d")).toDF("bid", "item")
+    val e = Graph.coOccurrenceEdges(baskets, "bid", "item", minSupport = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(e == Set(("a", "b"), ("c", "d")), s"cross-basket phantom edges: $e")
+  }
+
+  test("labelPropagation rejects non-integral id columns at call time") {
+    import org.apache.spark.sql.functions.col
+    val edges = Seq(("x", "y")).toDF("src", "dst")
+    val nodes = Seq("x", "y").toDF("item")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.labelPropagation(edges, nodes, "item")
+    }
+    assert(ex.getMessage.contains("integral id column"), ex.getMessage)
+  }
+
   test("pageRank: hand-computed fixed-point values on a star") {
     // star 1–2, 1–3: deg(1)=2, deg(2)=deg(3)=1, SCALE=1e12
     // r1(1) = 0.15·S + (85 · (S div 1 + S div 1)) div 100 = 1.85·S
