@@ -21,6 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Synthesis ids drive INTEGER parameter arithmetic (dims, rates,
+    * pixel bases), so the id column must be integral: a non-integral
+    * column would cast to NULL and die as an encoder NPE mid-job —
+    * reject it at call time instead (the labelPropagation rule). */
+  private def requireIntegralId(df: DataFrame, idCol: String, fn: String): Unit = {
+    val t = df.schema(idCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(t),
+      s"$fn needs an integral id column (synthesis parameters are integer arithmetic on it), got ${t.sql}")
+  }
+
+
   /** A media row: opaque payload + source metadata. */
   final case class MediaRow(media_id: Long, payload: Array[Byte], format: String)
 
@@ -132,6 +146,7 @@ object Multimodal {
     * n_samples = 500 + id%1000). Every parameter is integer arithmetic
     * on the id, so an oracle replays the ground truth without decoding. */
   def synthesizeMedia(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    requireIntegralId(df, idCol, "synthesizeMedia")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
@@ -242,6 +257,7 @@ object Multimodal {
     * Every parameter is id arithmetic, so the oracle replays the header
     * ground truth without decoding. */
   def synthesizeJpeg(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    requireIntegralId(df, idCol, "synthesizeJpeg")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
@@ -462,6 +478,7 @@ object Multimodal {
     * (hdrl: avih + strl(strh/strf); movi: one '00dc' JPEG per frame) is
     * emitted by hand, every frame through the JDK JPEG encoder. */
   def synthesizeVideo(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    requireIntegralId(df, idCol, "synthesizeVideo")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>

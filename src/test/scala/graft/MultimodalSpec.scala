@@ -17,6 +17,15 @@ class MultimodalSpec extends SparkSpec {
       .union(Seq(MediaRow(99L, "not a container".getBytes("UTF-8"), "mystery")).toDS())
   }
 
+  test("synthesis rejects non-integral id columns at call time") {
+    import spark.implicits._
+    val bad = Seq("m-1", "m-2").toDF("id")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.synthesizeMedia(bad, "id")
+    }
+    assert(ex.getMessage.contains("integral id column"), ex.getMessage)
+  }
+
   test("extractFeatures reads REAL container bytes, deterministic across partitionings") {
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     val f2 = Multimodal.extractFeatures(media.repartition(3)).collect().sortBy(_.media_id)
