@@ -46,8 +46,15 @@ object AssocRules {
     // every non-numeric basket id (string/UUID keys) and collapse ALL
     // such baskets into one giant null basket — wrong rules AND a pair
     // blowup (r12 review). groupBy/join key on any comparable type.
+    // A literal NULL bid is the same failure in miniature: groupBy and
+    // the pair self-join would keep the NULL group and merge every
+    // unkeyed row into one phantom basket — drop them up front (a NULL
+    // key is no basket, the Graph.symmetrize rule). NULL equi-join
+    // keys never match, so the pair path would ALSO silently diverge
+    // from the keyed counts without this filter.
     val items0 = baskets
       .select(col(basketCol).as("bid"), col(itemCol).as("item"))
+      .filter(col(basketCol).isNotNull)
       .distinct()
     val items = maxBasketSize match {
       case Some(cap) =>

@@ -71,10 +71,17 @@ object Cms {
     * (or no row at all when every slice is empty) instead of the
     * textbook 0. The distinction only shows for items absent from (or
     * vanishingly rare in) the sketched corpus — exactly the membership
-    * probe a 100 TB decontamination pass runs. */
+    * probe a 100 TB decontamination pass runs.
+    *
+    * NULL probes are dropped, mirroring `counters`: NULL is not an
+    * item, so it gets no estimate row — not a fabricated "never seen"
+    * 0 (its NULL hash would miss every counter row and coalesce to 0,
+    * a corner both engines would replay identically, invisible to the
+    * oracle gate). */
   def pointEstimates(sketch: DataFrame, items: DataFrame, itemCol: String): DataFrame =
     items.select(col(itemCol),
         Dedup.portableHash64(col(itemCol).cast("string")).as("_h"))
+      .filter(col("_h").isNotNull)
       .selectExpr(itemCol, stackSql("_h"))
       .join(broadcast(sketch), Seq("seed", "bucket"), "left")
       .groupBy(col(itemCol))

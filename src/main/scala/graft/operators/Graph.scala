@@ -46,8 +46,13 @@ object Graph {
     // (string/UUID keys), collapsing ALL such baskets into one giant
     // null basket — phantom co-occurrence edges AND the k² blowup the
     // cap exists to prevent. groupBy keys on any comparable type.
+    // A literal NULL bid is the same failure in miniature: groupBy
+    // KEEPS the NULL group, so all unkeyed rows would merge into one
+    // phantom basket — drop them (a NULL key is no basket, the
+    // symmetrize rule).
     val sets = baskets
       .select(col(basketCol).as("bid"), col(itemCol).as("item"))
+      .filter(col("bid").isNotNull)
       .groupBy(col("bid")).agg(collect_set(col("item")).as("items"))
     val capped = maxBasketSize match {
       case Some(cap) => sets.filter(size(col("items")) <= cap)

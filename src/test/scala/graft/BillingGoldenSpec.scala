@@ -109,6 +109,23 @@ class BillingGoldenSpec extends SparkSpec {
     assert(rules.filter(col("antecedent") === "x").head().getAs[Double]("support") == 0.5)
   }
 
+  test("NULL basket ids are dropped, not merged into a phantom basket") {
+    import spark.implicits._
+    // groupBy KEEPS a NULL group: without the up-front filter every
+    // unkeyed row would merge into one giant basket — phantom rules
+    // between items that never co-occurred (ADVICE r12)
+    val baskets = Seq(
+      (Some("b1"), "x"), (Some("b1"), "y"),
+      (None: Option[String], "p"), (None, "q"), (None, "x"))
+      .toDF("bid", "item")
+    val rules = AssocRules.rules(baskets, "bid", "item")
+    val pairs = rules.select("antecedent", "consequent").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("x", "y"), ("y", "x")), s"phantom NULL-basket pairs: $pairs")
+    // denominator counts only the real basket
+    assert(rules.filter(col("antecedent") === "x").head().getAs[Double]("support") == 1.0)
+  }
+
   test("maxBasketSize cap: drops the mega-basket, keyed count — no window on bid") {
     import spark.implicits._
     // adversarial skew fixture: one mega-basket (the pair-blowup input

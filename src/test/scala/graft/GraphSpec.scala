@@ -35,6 +35,18 @@ class GraphSpec extends SparkSpec {
     assert(e == Set(("a", "b"), ("c", "d")), s"cross-basket phantom edges: $e")
   }
 
+  test("coOccurrenceEdges drops NULL basket ids instead of merging them") {
+    // groupBy keeps the NULL group: unkeyed rows would form one phantom
+    // basket with edges between items that never co-occurred (ADVICE r12)
+    val baskets = Seq(
+      (Some("b1"), "a"), (Some("b1"), "b"),
+      (None: Option[String], "c"), (None, "d"), (None, "a"))
+      .toDF("bid", "item")
+    val e = Graph.coOccurrenceEdges(baskets, "bid", "item", minSupport = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(e == Set(("a", "b")), s"phantom NULL-basket edges: $e")
+  }
+
   test("labelPropagation rejects non-integral id columns at call time") {
     import org.apache.spark.sql.functions.col
     val edges = Seq(("x", "y")).toDF("src", "dst")

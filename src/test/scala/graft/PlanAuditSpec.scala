@@ -54,8 +54,11 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q_curate_e2e")
     assert(p.contains("PushedFilters: [In(lang, [de,en])"),
       s"lang keep no longer reaches the scan:\n$p")
-    assert("Exchange ".r.findAllIn(p).size == 1,
-      s"curation chain grew a second exchange:\n$p")
+    // count SHUFFLE exchanges specifically — "Exchange " would also
+    // match a benign future BroadcastExchange (ADVICE r12); the
+    // assertion's intent is "the budget window is the only shuffle"
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"curation chain grew a second shuffle:\n$p")
     assert("Window ".r.findAllIn(p).size == 1, p)
   }
 

@@ -67,6 +67,18 @@ class SketchCardSpec extends SparkSpec {
     assert(est.filter(col("cms_estimate") < 0L).count() == 0L)
   }
 
+  test("Cms: NULL probes are dropped — NULL is not an item, not a 'never seen' 0") {
+    // the NULL hash misses every counter row and would coalesce to a
+    // fabricated estimate-0 row; counters() already refuses NULL items,
+    // pointEstimates must mirror it (ADVICE r12 — a corner both engines
+    // replay identically, so only a fixture can pin it)
+    val sketch = Cms.counters((1L to 10L).toDF("k"), col("k"))
+    val probes = Seq(Some(1L), None, Some(2L)).toDF("k")
+    val est = Cms.pointEstimates(sketch, probes, "k").collect()
+    assert(est.length == 2, s"NULL probe produced a row: ${est.mkString(",")}")
+    assert(est.forall(r => !r.isNullAt(0)))
+  }
+
   test("Kmv: overlap keeps every tag pair — empty θ*-samples report zeros, not vanish") {
     // single-member sets: each sketch is one hash, so NO hash is below
     // θ* on either side of any pair — the inner-join formulation
