@@ -214,14 +214,43 @@ object Similarity {
     val fine = assigned.as[(Int, Array[Float])]
       .groupByKey(_._1)
       .flatMapGroups { (j, it) =>
-        val pts = it.map(_._2).toArray
         val kj = allocB(j)
+        // per-TASK memory bound (r12 verdict): the split across groups
+        // follows the coarse assignment, so a degenerate coarse
+        // quantizer (or a caller passing an unsampled frame) can land
+        // far more than 64·k_j points in ONE group — stride-subsample
+        // inside the iterator before materializing; localLloyd needs no
+        // more than the max-points-per-centroid share. counts(j) is
+        // already on the driver, so the stride is known up front and
+        // the kept set stays spread across the group, not a prefix.
+        val pts = strideSample(it.map(_._2), counts(j), 64 * kj)
         localLloyd(pts, kj).zipWithIndex.map { case (c, i) =>
           (offsets(j) + i, c)
         }.iterator
       }
       .collect()
     fine.sortBy(_._1).toSeq
+  }
+
+  /** Keep ≤ `cap` elements of an iterator of known length `n`, evenly
+    * strided (ceil(n/cap) step — deterministic in iteration order,
+    * pass-through when n ≤ cap), without ever materializing more than
+    * `cap` elements. The [[trainCentroidsHier]] per-group bound. */
+  private[graft] def strideSample(it: Iterator[Array[Float]], n: Long,
+                                  cap: Int): Array[Array[Float]] = {
+    require(cap >= 1, s"strideSample cap must be >= 1, got $cap")
+    if (n <= cap) it.toArray
+    else {
+      val step = (n + cap - 1) / cap
+      val buf = new scala.collection.mutable.ArrayBuffer[Array[Float]](cap)
+      var i = 0L
+      while (it.hasNext) {
+        val v = it.next()
+        if (i % step == 0 && buf.length < cap) buf += v
+        i += 1
+      }
+      buf.toArray
+    }
   }
 
   /** Largest-remainder proportional allocation of the k fine centroids
@@ -372,6 +401,23 @@ object Similarity {
                     vecCol: String, k: Int, nprobe: Int = 4,
                     centroids: Seq[(Int, Array[Float])] = IvfCentroids.cells): DataFrame =
     ivfSearch(corpus, queries, idCol, vecCol, k, nprobe, centroids)
+
+  /** [[ivfTopKFrozen]] through the TWO-LEVEL assigner — the frozen
+    * serving posture of [[ivfTopKAuto]]'s >FlatAssignCeiling branch:
+    * both corpus and query sides route [[assignCellsHierarchical]]
+    * (coarse ⌈√k⌉-group probe, then fine ranking only inside the probed
+    * groups), so per-row assignment is (1+coarseProbes)·√k cosines
+    * instead of k. With a deterministic quantizer ([[hashCentroids]])
+    * the whole serving path is oracle-replayable — q_ann_ivf_hier runs
+    * it at k = 4100 > FlatAssignCeiling, the dedup-side q_semdedup_hier
+    * recipe applied to ANN serving. Approximate in the same sense as
+    * the auto path: a neighbor whose fine cell lies outside the query's
+    * probed coarse groups is unreachable; nprobe and coarseProbes are
+    * the recall levers. */
+  def ivfTopKFrozenHier(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nprobe: Int = 4,
+                        centroids: Seq[(Int, Array[Float])]): DataFrame =
+    ivfSearch(corpus, queries, idCol, vecCol, k, nprobe, centroids, hier = true)
 
   /** SRP plane count for a corpus of `n` vectors: the smallest p with
     * expected bucket occupancy n/2^p at or under `targetBucketSize`.

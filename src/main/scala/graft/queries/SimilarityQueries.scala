@@ -193,8 +193,16 @@ object SimilarityQueries {
     * the returned grouping is the LAST round's assignment (computed
     * against round R−1 means) while the returned coarse centers are
     * the round-R means, float32-rounded. */
-  private def hierOracleSql(k: Int, dim: Int, rounds: Int,
-                            coarseProbes: Int, tag: String): String = {
+  /** Quantizer-rebuild CTE chain shared by the two hierarchical oracles
+    * (q_semdedup_hier, q_ann_ivf_hier): hashCentroids reconstruction
+    * from md5 + integer arithmetic (fcv/fc), [[Similarity.coarsen]]'s
+    * driver Lloyd as `rounds` unrolled MATERIALIZED CTE pairs
+    * (a1..aR / m1..mR), and the float32-rounded coarse centers (gc).
+    * Needs an upstream `e(vec_id, v)` CTE; the LAST round's assignment
+    * aR is the cell→group map (coarsen returns round-R means but the
+    * round-R assignment computed against round R−1 means — replayed
+    * faithfully). */
+  private def hierQuantizerCtes(k: Int, dim: Int, rounds: Int, tag: String): String = {
     val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val roundCtes = (1 to rounds).map { r =>
       s"""a$r AS MATERIALIZED (
@@ -214,8 +222,7 @@ object SimilarityQueries {
         |          FROM a$r a JOIN fcv ON fcv.c = a.c GROUP BY a.j, fcv.d)
         |    GROUP BY j) nm ON nm.j = mp.j)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |fcv AS MATERIALIZED (
+    s"""fcv AS MATERIALIZED (
       |  SELECT cd // $dim AS c, cd % $dim AS d,
       |         (CAST(CAST(concat('0x', substr(md5('$tag:' || CAST(cd // $dim AS VARCHAR) || ':' || CAST(cd % $dim AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS DOUBLE)
       |          - CAST('127.5' AS DOUBLE)) / CAST('128.0' AS DOUBLE) AS x
@@ -224,18 +231,35 @@ object SimilarityQueries {
       |m0 AS MATERIALIZED (SELECT j, (SELECT ctr FROM fc WHERE c = least($k - 1, (j * $k) // $g)) AS m
       |       FROM generate_series(0, ${g - 1}) AS t(j)),
       |$roundCtes,
-      |gc AS (SELECT j, list_transform(m, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS gm FROM m$rounds),
-      |pg AS (SELECT vec_id, j FROM (
+      |gc AS (SELECT j, list_transform(m, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS gm FROM m$rounds)""".stripMargin
+  }
+
+  /** Two-level (coarse→fine) assignment CTE pair on top of
+    * [[hierQuantizerCtes]] — [[Similarity.assignCellsHierarchical]]'s
+    * probe path: rank the coarse groups (top `coarseProbes`, group-id
+    * tie-break), then rank ONLY the probed groups' fine centroids (top
+    * `fineProbes`, cell tie-break). `srcFilter` restricts the assigned
+    * rows (the ANN query side); CTE names carry prefix `p` so corpus
+    * and query chains compose in one oracle. */
+  private def hierAssignCtes(p: String, srcFilter: String, coarseProbes: Int,
+                             fineProbes: Int, rounds: Int): String =
+    s"""${p}pg AS (SELECT vec_id, j FROM (
       |    SELECT e.vec_id, gc.j,
       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |        list_dot_product(e.v, gc.gm) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(gc.gm, gc.gm))) DESC, gc.j) AS rn
-      |    FROM e CROSS JOIN gc) WHERE rn <= $coarseProbes),
-      |asgn AS MATERIALIZED (SELECT vec_id, cell FROM (
+      |    FROM e CROSS JOIN gc$srcFilter) WHERE rn <= $coarseProbes),
+      |${p}asgn AS MATERIALIZED (SELECT vec_id, cell FROM (
       |    SELECT pg.vec_id, fc.c AS cell,
       |      row_number() OVER (PARTITION BY pg.vec_id ORDER BY
       |        list_dot_product(e.v, fc.ctr) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(fc.ctr, fc.ctr))) DESC, fc.c) AS rn
-      |    FROM pg JOIN a$rounds cg ON cg.j = pg.j JOIN fc ON fc.c = cg.c JOIN e ON e.vec_id = pg.vec_id)
-      |  WHERE rn = 1),
+      |    FROM ${p}pg pg JOIN a$rounds cg ON cg.j = pg.j JOIN fc ON fc.c = cg.c JOIN e ON e.vec_id = pg.vec_id)
+      |  WHERE rn <= $fineProbes)""".stripMargin
+
+  private def hierOracleSql(k: Int, dim: Int, rounds: Int,
+                            coarseProbes: Int, tag: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |${hierQuantizerCtes(k, dim, rounds, tag)},
+      |${hierAssignCtes("", "", coarseProbes, 1, rounds)},
       |edges AS (
       |  SELECT a.vec_id AS id1, b.vec_id AS id2
       |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -245,7 +269,35 @@ object SimilarityQueries {
       |SELECT vec_id, CAST(cell AS BIGINT) AS cell
       |FROM asgn
       |WHERE vec_id NOT IN (SELECT id2 FROM edges)""".stripMargin
-  }
+
+  /** DuckDB replay of the FROZEN hierarchical ANN SERVING path
+    * (q_ann_ivf_hier — [[Similarity.ivfTopKFrozenHier]]): the same
+    * quantizer-rebuild + two-level assignment as [[hierOracleSql]], but
+    * run on BOTH sides of the search — corpus rank-1 cells, query
+    * top-`nprobe` cells — then the cell-keyed candidate join, exact
+    * cosine, and the q_ann_ivf top-10 rank (cos DESC, neighbor
+    * tie-break). The assignment CTEs are the exactness-critical part
+    * and they are shared verbatim with the dedup-side oracle. */
+  private def hierAnnOracleSql(k: Int, dim: Int, rounds: Int,
+                               coarseProbes: Int, tag: String,
+                               nprobe: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |${hierQuantizerCtes(k, dim, rounds, tag)},
+      |${hierAssignCtes("c", "", coarseProbes, 1, rounds)},
+      |${hierAssignCtes("q", " WHERE e.vec_id % 50 = 0", coarseProbes, nprobe, rounds)},
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |  FROM qasgn q JOIN casgn c ON q.cell = c.cell
+      |  WHERE q.vec_id <> c.vec_id),
+      |scored AS (
+      |  SELECT query_id, neighbor_id, $CosineSql AS cos_sim
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+      |            JOIN e ce ON ce.vec_id = cand.neighbor_id)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -819,6 +871,27 @@ object SimilarityQueries {
         centroids = HierCentroids)
         .select(col("vec_id"), col("cell").cast("long").as("cell")),
       hierOracleSql(k = 4100, dim = 64, rounds = 8, coarseProbes = 2, tag = "hc")),
+
+    // The hierarchical ANN SERVING branch's driver gate (r12 verdict
+    // task 1): ivfTopKFrozenHier routes BOTH corpus and query sides
+    // through Similarity.assignCellsHierarchical on the same frozen
+    // k = 4100 > FlatAssignCeiling hashCentroids quantizer as
+    // q_semdedup_hier, then the cell-keyed join + exact-cosine top-10.
+    // nprobe = 64 keeps the candidate set non-vacuous on this corpus
+    // (4100 cells over 500-2000 vectors leaves most cells empty; a
+    // 4-probe row would gate almost nothing). The oracle retrains the
+    // coarse Lloyd from scratch and replays coarse→fine assignment on
+    // both sides — see hierAnnOracleSql.
+    "q_ann_ivf_hier" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopKFrozenHier(
+          emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 10, nprobe = 64,
+          centroids = HierCentroids)
+      },
+      hierAnnOracleSql(k = 4100, dim = 64, rounds = 8, coarseProbes = 2,
+        tag = "hc", nprobe = 64)),
 
     // Scalar int8 quantization with per-vector abs-max calibration (the
     // faiss/llama.cpp Q8 shape, the MEMORY lever beside PQ): 4 B float →

@@ -177,6 +177,58 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("SRP"))
   }
 
+  test("ivfTopKFrozenHier: twin recall through the frozen two-level serving path") {
+    // the q_ann_ivf_hier engine path with a spec-local frozen
+    // hashCentroids quantizer past the flat ceiling: identical vectors
+    // rank identical coarse groups and fine cells, so a query that IS a
+    // corpus vector must surface its twin at cosine 1.0
+    val cents = Similarity.hashCentroids(4100, 8, tag = "spec-hier")
+    val corpus = spark.range(0, 2000).selectExpr("id AS vec_id",
+      "transform(sequence(0, 7), d -> cast((pmod(xxhash64(id, d), 200) - 100) / 100.0 as float)) AS embedding")
+    val qs = corpus.filter(col("vec_id") % 400 === 3)
+      .selectExpr("vec_id + 100000 AS vec_id", "embedding")
+    val got = Similarity.ivfTopKFrozenHier(corpus, qs, "vec_id", "embedding",
+        k = 3, nprobe = 4, centroids = cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    qs.select("vec_id").collect().map(_.getLong(0)).foreach { q =>
+      assert(got.getOrElse(q, Array.empty).exists {
+          case (_, nb, cs) => nb == q - 100000 && cs >= 0.999999 },
+        s"query $q did not find its identical twin through the hier serving path")
+    }
+  }
+
+  test("strideSample bounds the per-group materialization and stays spread") {
+    // pass-through below the cap
+    val small = Similarity.strideSample(
+      (0 until 10).iterator.map(i => Array(i.toFloat)), 10L, 64)
+    assert(small.length == 10)
+    // a degenerate all-one-group assignment: 1M points, cap 128 — the
+    // kept set must respect the cap AND be strided across the whole
+    // group, not a prefix (localLloyd's spread seeding depends on it)
+    val big = Similarity.strideSample(
+      (0 until 1000000).iterator.map(i => Array(i.toFloat)), 1000000L, 128)
+    assert(big.length <= 128 && big.length >= 120, s"kept ${big.length}")
+    assert(big.head(0) == 0f && big.last(0) >= 900000f,
+      s"stride did not span the group: last=${big.last(0)}")
+  }
+
+  test("trainCentroidsHier survives a degenerate coarse assignment on an unsampled frame") {
+    // every vector sits in one tight cluster → the coarse quantizer
+    // routes (nearly) the whole frame into one group; with the frame
+    // 10× larger than 64·k the group must be subsampled, not
+    // materialized wholesale — the r12 verdict memory-bound case
+    val k = 8
+    val n = 64 * k * 10
+    val df = spark.range(0, n).selectExpr("id",
+      "transform(sequence(0, 7), d -> cast(1.0 + pmod(xxhash64(id, d), 100) / 10000.0 as float)) AS v")
+    val cents = Similarity.trainCentroidsHier(df, "v", k, seed = 7L)
+    graft.Caching.release()
+    assert(cents.size == k, s"expected $k centroids, got ${cents.size}")
+    assert(cents.map(_._1).sorted == (0 until k), "cell ids must be 0..k-1")
+    assert(cents.forall(_._2.length == 8))
+  }
+
   test("hierarchical assignment: exact at full coarse fan-out, ≥90% agreement at 2 probes") {
     val cents = graft.operators.IvfCentroids.cells // k=16 → g=4 coarse groups
     val flat = Similarity.assignCells(emb, "vec_id", "embedding",
