@@ -328,6 +328,93 @@ object StreamQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2"""),
 
+    // The watermark DROP rule itself, driver-gated (r12 verdict task 2):
+    // batch 1 streams the on-time slice (user_id % 7 ≠ 0) and fixes the
+    // watermark at max(on-time event ms) − 1 h; batch 2 streams the
+    // engineered late slice (user_id % 7 = 0, timestamps spread over the
+    // whole month) — rows whose hour-window END ≤ that watermark hit an
+    // already-closed window and MUST be dropped; the handful inside the
+    // last hours must still merge into their open windows. The streamed
+    // result is the sealed per-(hour, type) aggregation PLUS a
+    // '__dropped' ride-along row carrying the state store's own
+    // numRowsDroppedByWatermark. That metric counts rows AT the state
+    // store — i.e. post-shuffle merged partial aggregates, one per
+    // dropped (window, type) GROUP, not input events (measured: 1445
+    // late events → 1199 dropped groups at sf0.01) — and a window's
+    // rows share one end, so a group is dropped or kept whole. The
+    // oracle recomputes the rule from batch data: wm = (max_us // 1000
+    // − 3600000) · 1000 (the engine tracks event-time stats in WHOLE
+    // MS — the µs-floor matters), window_end = (ts_us // 3600e6 + 1) ·
+    // 3600e6, drop ⟺ end ≤ wm, sentinel = COUNT(DISTINCT dropped
+    // (window, type)). A missing watermark (nothing dropped), a wrong
+    // drop boundary (< for ≤), or ms/µs confusion each shift BOTH the
+    // kept counts and the sentinel row — hash-mismatch either way.
+    "q_stream_late" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val all: Array[Ev] = collectReplay(Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+          .as[Ev], "events replay slice")
+        val onTime = all.filter(_.user_id % 7 != 0)
+        val late = all.filter(_.user_id % 7 == 0)
+        val maxTsMs = all.iterator.map(_.ts.getTime).max
+        val sentinelA = Ev(-1L, new Timestamp(maxTsMs + (3600L + 3600L + 60L) * 1000L),
+          "sentinel", 0.0)
+        val sentinelB = Ev(-1L, new Timestamp(sentinelA.ts.getTime + 1000L),
+          "sentinel", 0.0)
+        val ms = MemoryStream[Ev]
+        val q = withReplayPartitions(s) {
+          StreamingOps.hourlyEventCounts(ms.toDF(), watermark = "1 hour")
+            .writeStream.format("memory").queryName("graft_stream_late")
+            .outputMode("append").start()
+        }
+        try {
+          ms.addData(onTime.toIndexedSeq: _*)
+          q.processAllAvailable() // watermark now = max(on-time) − 1 h
+          ms.addData(late.toIndexedSeq: _*)
+          q.processAllAvailable() // the drop batch
+          ms.addData(sentinelA)
+          q.processAllAvailable()
+          ms.addData(sentinelB)
+          q.processAllAvailable()
+        } finally q.stop()
+        // the engine's own account of the drop — summed across batches
+        // and state operators from the progress log (only the late
+        // batch can drop: batch 1 runs at watermark 0, sentinels are
+        // newest)
+        val droppedN = q.recentProgress.iterator
+          .flatMap(_.stateOperators.iterator)
+          .map(_.numRowsDroppedByWatermark).sum
+        s.table("graft_stream_late")
+          .filter(col("event_type") =!= "sentinel")
+          .select(date_format(col("bucket_start"), "yyyy-MM-dd HH").as("hour"),
+            col("event_type"), col("n_events"), col("total_value"))
+          .unionByName(s.createDataset(Seq(("__dropped", "all", droppedN, 0.0)))
+            .toDF("hour", "event_type", "n_events", "total_value"))
+      },
+      """WITH ev AS (SELECT user_id, ts, event_type, value, epoch_us(ts) AS ts_us
+        |            FROM events),
+        |wm AS (SELECT (max(ts_us) // 1000 - 3600000) * 1000 AS wm_us
+        |       FROM ev WHERE user_id % 7 <> 0),
+        |kept AS (
+        |  SELECT ts, event_type, value FROM ev WHERE user_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT ts, event_type, value FROM ev, wm
+        |  WHERE user_id % 7 = 0
+        |    AND (ts_us // 3600000000 + 1) * 3600000000 > wm.wm_us)
+        |SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM kept GROUP BY 1, 2
+        |UNION ALL
+        |SELECT '__dropped' AS hour, 'all' AS event_type,
+        |       CAST(count(DISTINCT (ts_us // 3600000000, event_type)) AS BIGINT) AS n_events,
+        |       CAST(0 AS DOUBLE) AS total_value
+        |FROM ev, wm
+        |WHERE user_id % 7 = 0
+        |  AND (ts_us // 3600000000 + 1) * 3600000000 <= wm.wm_us"""),
+
     // Watermarked stream-stream inner join (the impression→click
     // attribution shape): events joined to same-user events within the
     // following 30 minutes, both sides streamed. An INNER time-bounded

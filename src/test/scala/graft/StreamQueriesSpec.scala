@@ -74,6 +74,85 @@ class StreamQueriesSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("watermark drop rule: end<=wm boundary drops, and no watermark flips the gate") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.Ev
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600000L
+    val B = 500000L * H // a clean hour boundary
+    def ev(ms: Long) = Ev(1L, new Timestamp(ms), "t", 0.0)
+    // batch 1 fixes wm = (B+10h) − delay; batch 2 probes the rule:
+    //   B+30m    → window end B+1h   < wm (1h delay) → dropped
+    //   B+8h30m  → window end B+9h  == wm            → dropped (<= rule)
+    //   B+9h30m  → window end B+10h  > wm            → kept
+    def run(watermark: String): (Map[Long, Long], Long) = {
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.hourlyEventCounts(ms.toDF(), watermark)
+        .writeStream.format("memory").queryName("graft_spec_late")
+        .outputMode("append").start()
+      try {
+        ms.addData(ev(B + H / 2), ev(B + 10 * H)); q.processAllAvailable()
+        ms.addData(ev(B + H / 2), ev(B + 8 * H + H / 2), ev(B + 9 * H + H / 2))
+        q.processAllAvailable()
+        ms.addData(Ev(-1L, new Timestamp(B + 2000 * H), "sentinel", 0.0))
+        q.processAllAvailable()
+        ms.addData(Ev(-1L, new Timestamp(B + 2001 * H), "sentinel", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val dropped = q.recentProgress.iterator
+        .flatMap(_.stateOperators.iterator).map(_.numRowsDroppedByWatermark).sum
+      val counts = spark.table("graft_spec_late")
+        .filter(col("event_type") === "t")
+        .select(unix_millis(col("bucket_start")), col("n_events"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (counts, dropped)
+    }
+    val (withWm, droppedWm) = run("1 hour")
+    assert(withWm == Map(B -> 1L, (B + 9 * H) -> 1L, (B + 10 * H) -> 1L),
+      s"kept windows with watermark: $withWm")
+    assert(droppedWm == 2L, // two dropped GROUPS, incl. the end==wm boundary
+      s"expected 2 dropped groups (one at the end==wm boundary), got $droppedWm")
+    // an effectively-absent watermark (delay longer than the whole
+    // replay span, so wm stays below every window when the late batch
+    // arrives; the 2000-hour sentinels still seal) drops nothing — the
+    // flipped gate
+    val (noWm, droppedNo) = run("48 hours")
+    assert(noWm == Map(B -> 2L, (B + 8 * H) -> 1L, (B + 9 * H) -> 1L, (B + 10 * H) -> 1L),
+      s"kept windows without watermark: $noWm")
+    assert(droppedNo == 0L)
+  }
+
+  test("q_stream_late streamed rows equal the batch watermark-rule recomputation") {
+    val streamed = SparkEntry.queries("q_stream_late")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val dropped = streamed.filter(_._1 == "__dropped")
+    assert(dropped.length == 1 && dropped.head._3 > 0L,
+      s"late replay must actually drop groups: $dropped")
+    // batch recomputation of the kept set + dropped-group count
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    val wmUs = ev.filter(pmod(col("user_id"), lit(7)) =!= 0)
+      .agg(((max(col("ts_us")).divide(1000L).cast("long") - 3600000L) * 1000L).as("wm"))
+      .head().getLong(0)
+    val kept = ev.filter(pmod(col("user_id"), lit(7)) =!= 0).unionByName(
+      ev.filter(pmod(col("user_id"), lit(7)) === 0 &&
+        (col("ts_us").divide(3600000000L).cast("long") + 1L) * 3600000000L > wmUs))
+    val batch = kept.groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.functions.ColFns.moneySum(col("value"), 2).as("tv"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val droppedGroups = ev.filter(pmod(col("user_id"), lit(7)) === 0 &&
+        (col("ts_us").divide(3600000000L).cast("long") + 1L) * 3600000000L <= wmUs)
+      .select(col("ts_us").divide(3600000000L).cast("long").as("w"), col("event_type"))
+      .distinct().count()
+    assert(streamed.filterNot(_._1 == "__dropped").toSet == batch)
+    assert(dropped.head._3 == droppedGroups)
+  }
+
   test("collectReplay fences oversized replay slices loudly") {
     import spark.implicits._
     val small = spark.range(10).map(_.toInt)
