@@ -181,6 +181,61 @@ object TextPipeline {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** [[capTokenBudget]] for a SKEWED mixture — the dominant-source
+    * posture the plain per-group window cannot parallelize (its sort
+    * funnels the whole group through one task; the 90%-one-source
+    * ladder measures the plain path ~2× slower already at 150k docs and
+    * the gap is Θ(n_dominant·log) from there). Same contract, same
+    * OUTPUT — bit-identical `cum_tokens`, so the q_token_budget oracle
+    * gates this path unchanged — via a range-bucketed two-pass prefix
+    * sum:
+    *
+    *   1. bucket rows by the TOP bits of the portable order hash —
+    *      range buckets, so bucket b's rows all precede bucket b+1's in
+    *      the (h, id) group order (ids tie-break within a hash value,
+    *      which never crosses a bucket);
+    *   2. per-(group, bucket) token sums → one tiny window over ≤
+    *      `subKeys` rows per group computes each bucket's exclusive
+    *      prefix offset;
+    *   3. the running sum windows over (group, bucket) partitions —
+    *      the dominant group now sorts as `subKeys` independent tasks —
+    *      and adds the bucket offset to restore the GLOBAL group prefix.
+    *
+    * Cost: one extra keyed agg + a broadcast-sized offset join; the
+    * filter can no longer stop at the budget boundary per task (every
+    * bucket computes its local sums), which is the price of the
+    * parallel sort. Use when one group holds ≳ a task's worth of the
+    * corpus; the plain path stays optimal for balanced mixtures. */
+  def capTokenBudgetSalted(docs: DataFrame, idCol: String, groupCol: String,
+                           textCol: String, budget: Long, salt: String,
+                           subKeys: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(subKeys >= 1 && (subKeys & (subKeys - 1)) == 0 && subKeys <= 1024,
+      s"subKeys must be a power of two in [1, 1024], got $subKeys")
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(subKeys)
+    val base = docs.filter(col(idCol).isNotNull)
+      .withColumn("_h", Dedup.portableHash64(
+        concat(lit(salt + ":"), col(idCol).cast("string"))))
+      // PortableHash60 ∈ [0, 2^60): the top log2(subKeys) bits are a
+      // RANGE partition of the order key, not a shuffle of it
+      .withColumn("_sub", shiftright(col("_h"), shift))
+      .withColumn("n_tokens", size(TextFns.tokens(col(textCol))).cast("long"))
+    val offsets = base.groupBy(col(groupCol), col("_sub"))
+      .agg(sum(col("n_tokens")).as("_bsum"))
+      .withColumn("_off",
+        coalesce(sum(col("_bsum")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("_sub"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("_sub"), col("_off"))
+    val w = Window.partitionBy(col(groupCol), col("_sub"))
+      .orderBy(col("_h"), col(idCol))
+    base.join(broadcast(offsets), Seq(groupCol, "_sub"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("_off"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("_h", "_sub", "_off")
+  }
+
   /** Fixed-size sequence chunking — the pre-packing step of an LLM data
     * loader: split each document's token stream into consecutive
     * `chunkTokens`-token windows (last window keeps the remainder).

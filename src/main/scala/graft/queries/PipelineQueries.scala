@@ -258,6 +258,30 @@ object PipelineQueries {
         |  FROM n)
         |SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800"""),
 
+    // The SKEW-parallel budget path (r12 verdict task 4): the same
+    // mixture through capTokenBudgetSalted's range-bucketed two-pass
+    // prefix sum — the dominant source's window sort runs as `subKeys`
+    // independent tasks instead of one. The contract is bit-identical
+    // cum_tokens, so the oracle is EXACTLY q_token_budget's SQL: this
+    // row is the cross-engine proof that the parallel decomposition
+    // changes the plan, not the mixture.
+    "q_token_budget_salted" -> QueryDef(
+      (s, dir) => TextPipeline.capTokenBudgetSalted(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "source", "text", budget = 800L, salt = "graft-v1",
+          subKeys = 32)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens")),
+      s"""WITH $ToksCte,
+        |n AS (
+        |  SELECT d.doc_id, d.source, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |         CAST(concat('0x', substr(md5('graft-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM n)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800"""),
+
     // PPS systematic sampling: exactly 25 weighted draws per source,
     // inclusion probability proportional to token count — the weighted
     // mixture draw beside the rate (q_sample_stratified), count

@@ -59,7 +59,10 @@ object ScaleLadder {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, base, out, n)
+    // skew mode only reads documents — generating 60M lineitem rows for
+    // a documents-only rung (the 300× point) would be pure waste
+    if (args.lift(3).contains("skew")) generate(spark, base, out, n, Seq("documents"))
+    else generate(spark, base, out, n)
 
     spark.range(1000).selectExpr("sum(id)").collect()
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
@@ -79,11 +82,55 @@ object ScaleLadder {
     // would cost ~an hour)
     val mode = args.lift(3).getOrElse("all")
     val selected = mode match {
-      case "all"   => LadderQueries
-      case "tuned" => Seq.empty[String]
-      case list    => list.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      case "all"            => LadderQueries
+      case "tuned" | "skew" => Seq.empty[String]
+      case list             => list.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     }
     val wantTuned = mode == "all" || mode == "tuned"
+
+    // mode "skew": the budget-window family under a dominant source —
+    // 90% of docs (≈90% of token mass; docs are homogeneous) remapped
+    // onto ONE source value, at base and N×. Measures the plain
+    // per-group window (whole dominant group sorts in one task) against
+    // capTokenBudgetSalted's range-bucketed decomposition — the caveat
+    // SCALE.md round 12 (cont. 2) recorded as unmeasured.
+    if (mode == "skew") {
+      def skewed(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("source",
+          when(pmod(col("doc_id"), lit(10)) < 9, lit("dominant"))
+            .otherwise(col("source")))
+        .select(col("doc_id"), col("source"), col("text"))
+      def timeOp(label: String, dir: String,
+                 op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Double = {
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          try { op(skewed(dir)).count(); (System.nanoTime() - t0) / 1e9 }
+          finally graft.Caching.release()
+        }
+        run() // cold
+        math.min(run(), run())
+      }
+      val ops: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+        "budget_plain_skew" -> (d => graft.operators.TextPipeline
+          .capTokenBudget(d, "doc_id", "source", "text", 800L, "graft-v1")),
+        "budget_salted_skew" -> (d => graft.operators.TextPipeline
+          .capTokenBudgetSalted(d, "doc_id", "source", "text", 800L, "graft-v1", 32)))
+      val skewRows = ops.map { case (name, op) =>
+        val b = timeOp(name, base, op)
+        val s = timeOp(name, out, op)
+        val ratio = s / b
+        val expo = math.log(ratio) / math.log(n.toDouble)
+        println(s"""{"query":"$name","base_s":${num(b)},"scaled_s":${num(s)},"ratio":${num(ratio)},"exponent":${num(expo)}}""")
+        (name, b, s, ratio, expo)
+      }
+      println(s"| query | base steady (s) | ${n}x steady (s) | ratio | exponent |")
+      println("|---|---|---|---|---|")
+      skewRows.foreach { case (q, b, s, r, e) =>
+        println(s"| $q | ${num(b)} | ${num(s)} | ${num(r)} | ${num(e)} |")
+      }
+      spark.stop()
+      return
+    }
     val rows = selected.map { q =>
       val bCold = time(q, base)
       val bSteady = math.min(time(q, base), time(q, base))
@@ -142,17 +189,30 @@ object ScaleLadder {
     * factor or base regenerates instead of silently measuring the old
     * corpus (which would understate every exponent by log(oldN)/log(N)
     * with no error). */
-  def generate(spark: SparkSession, base: String, out: String, n: Int): Unit = {
+  def generate(spark: SparkSession, base: String, out: String, n: Int,
+               tables: Seq[String] =
+                 Seq("documents", "embeddings", "customer", "lineitem")): Unit = {
     val done = new java.io.File(s"$out/_LADDER_OK")
     // v2: customer added to the generated set — the version bump forces
     // regeneration of pre-customer ladder dirs (their marker would
     // otherwise skip generate() and the fuzzy queries would read the
-    // BASE-SIZED customer table, understating every fuzzy exponent)
-    val stamp = s"$base|$n|v2"
-    if (done.exists() &&
-        new String(java.nio.file.Files.readAllBytes(done.toPath)) == stamp) return
+    // BASE-SIZED customer table, understating every fuzzy exponent).
+    // A table subset carries the subset in the stamp, so a later run
+    // needing the full set regenerates instead of reading a partial dir
+    // (the default all-tables stamp is unchanged for existing dirs).
+    val fullStamp = s"$base|$n|v2"
+    val stamp = fullStamp + (
+      if (tables.sorted == Seq("customer", "documents", "embeddings", "lineitem")) ""
+      else "|" + tables.sorted.mkString(","))
+    if (done.exists()) {
+      val cur = new String(java.nio.file.Files.readAllBytes(done.toPath))
+      // an existing FULL dir satisfies any subset request — never
+      // downgrade its marker
+      if (cur == stamp || cur == fullStamp) return
+    }
     val off = 100000000L
 
+    if (tables.contains("documents")) {
     val docs = spark.read.parquet(s"$base/documents.parquet")
     (0 until n).map { r =>
       val tagged =
@@ -164,7 +224,9 @@ object ScaleLadder {
     }.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
 
+    if (tables.contains("embeddings")) {
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     (0 until n).map { r =>
       // deterministic ±1 per (replica, dim): a diagonal orthogonal
@@ -182,7 +244,9 @@ object ScaleLadder {
     }.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
 
+    if (tables.contains("customer")) {
     val cust = spark.read.parquet(s"$base/customer.parquet")
     (0 until n).map { r =>
       val named =
@@ -197,7 +261,9 @@ object ScaleLadder {
     }.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    }
 
+    if (tables.contains("lineitem")) {
     val li = spark.read.parquet(s"$base/lineitem.parquet")
     (0 until n).map { r =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(r * off))
@@ -205,6 +271,7 @@ object ScaleLadder {
     }.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
 
     done.getParentFile.mkdirs()
     java.nio.file.Files.write(done.toPath, stamp.getBytes)

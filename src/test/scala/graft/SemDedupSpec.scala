@@ -125,6 +125,66 @@ class SemDedupSpec extends SparkSpec {
     assert(srp.size > 0 && quant.size > 0)
   }
 
+  test("dispatch seam at operating scale: both tiers' recall vs exact ground truth (sf0.1)") {
+    // r12 verdict task 7: the seam pin above runs at unit scale where
+    // the dup sets are thin — this one runs the sf0.1 corpus (2000
+    // vectors) + 400 PLANTED NEAR-dups (0.93-blend with a deterministic
+    // hash perturbation, cosine ≈ 0.95–0.99 — the real near-dup regime,
+    // not exact copies), computes the EXACT τ=0.8 dup survivor set by
+    // brute force (2.9M pairs), and measures each tier's dropped-set
+    // recall against it. At τ=0.8 the random corpus contributes no
+    // pairs (its cosines top out ~0.5), so exact-dropped ≈ the planted
+    // set and the recall numbers are the τ↔candidate-generator mapping
+    // cost itself, measured.
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("""transform(embedding, (x, d) ->
+          cast(0.93 * x + 0.07 * ((pmod(xxhash64(vec_id, d), 200) - 100) / 100.0) as float))""")
+          .as("embedding"))
+    val corpus = base.unionByName(planted)
+    val tau = 0.8
+    // exact ground truth: an id is dropped iff some LOWER id has
+    // cosine >= tau with it (the min-id survivor rule on all pairs)
+    val a = corpus.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = corpus.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val exactDropped = a.join(b, col("id1") < col("id2"))
+      .filter(graft.operators.Similarity.cosine(col("v1"), col("v2")) >= tau)
+      .select(col("id2")).distinct().as[Long].collect().toSet
+    assert(exactDropped.size >= 350,
+      s"fixture too thin: only ${exactDropped.size} true dups at tau=$tau")
+    val all = corpus.select("vec_id").as[Long].collect().toSet
+    val srpKept = SemDedup.dedupSrp(corpus, "vec_id", "embedding", tau,
+        targetCellSize = 128, maxCellSize = None)
+      .select("vec_id").as[Long].collect().toSet
+    val quantKept = SemDedup.dedupAuto(corpus, "vec_id", "embedding", tau)
+      .select("vec_id").as[Long].collect().toSet
+    graft.Caching.release()
+    def recall(kept: Set[Long]): Double =
+      (exactDropped -- kept).size.toDouble / exactDropped.size
+    val (srpR, quantR) = (recall(srpKept), recall(quantKept))
+    info(s"seam recall vs exact at tau=$tau over ${exactDropped.size} true dups: " +
+      s"srp=$srpR quant=$quantR")
+    // measured floors for THIS corpus class (near-dup cosine ≈
+    // 0.95–0.99; first measured r13: srp = 1.000, quant = 0.915):
+    // SRP's 16-table OR-construction keeps essentially every 0.95+
+    // pair; the quantizer tier pays the SemDeDup within-cell-only
+    // trade — a near-dup pair split across a cell boundary is
+    // unreachable (rank-1 assignment), and ~8% of planted pairs land
+    // there at 19 cells. THAT asymmetry is the seam's measured recall
+    // cost: crossing the tier ceiling into SRP loses no recall at this
+    // τ — the dispatch direction is conservative. Floors = measured −
+    // margin, so a generator regression (fewer tables, broken banding,
+    // wrong probe rule) trips them while seed-level wobble does not.
+    assert(srpR >= 0.98, s"SRP tier recall $srpR at operating scale")
+    assert(quantR >= 0.85, s"quantizer tier recall $quantR at operating scale")
+    // neither tier may drop a non-dup (precision 1 by construction:
+    // both filter candidates by EXACT cosine >= tau)
+    assert((all -- srpKept).subsetOf(exactDropped), "SRP dropped a non-dup")
+    assert((all -- quantKept).subsetOf(exactDropped), "quantizer dropped a non-dup")
+  }
+
   test("dedupAuto: single-cell path below the target; trained path partitions like dedup") {
     // n ≤ target → one cell, no quantizer: behaves as all-pairs dedup
     val emb = df(

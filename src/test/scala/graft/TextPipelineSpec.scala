@@ -207,6 +207,33 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("capTokenBudgetSalted equals capTokenBudget row for row, windows split by sub-key") {
+    // a skewed mixture: one dominant source with 200 docs, two small
+    // ones — the input class the salted path exists for. The contract
+    // is BIT-IDENTICAL output (id set AND cum_tokens), because the
+    // sub-buckets are RANGE buckets of the order hash and the offset
+    // pass restores the global group prefix exactly.
+    val docs = ((1 to 200).map(i => (i.toLong, "dominant", s"w$i x$i y$i")) ++
+      Seq((900L, "s2", "a b c d"), (901L, "s2", "e f"), (950L, "s3", "p q r")))
+      .toDF("doc_id", "source", "text")
+    for (budget <- Seq(0L, 7L, 100L, 10000L); subKeys <- Seq(1, 4, 32)) {
+      val plain = TextPipeline.capTokenBudget(docs, "doc_id", "source", "text",
+          budget, "sp").select("doc_id", "source", "n_tokens", "cum_tokens")
+      val salted = TextPipeline.capTokenBudgetSalted(docs, "doc_id", "source",
+          "text", budget, "sp", subKeys)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"salted(subKeys=$subKeys) diverged from plain at budget=$budget")
+    }
+    // plan pin: the running-sum window must partition by (source, _sub)
+    // — the whole point is that the dominant group's sort is no longer
+    // one task — and the offset pass must be the only group-only window
+    val plan = TextPipeline.capTokenBudgetSalted(docs, "doc_id", "source",
+      "text", 100L, "sp", 32).queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(source#\\d+, _sub#\\d+".r.findFirstIn(plan).isDefined,
+      s"running sum no longer windows on (source, _sub):\n$plan")
+  }
+
   test("capTokenBudget budget 0 drops everything; huge budget keeps everything") {
     val d = Seq((1L, "s", "a b"), (2L, "s", "c")).toDF("doc_id", "source", "text")
     assert(TextPipeline.capTokenBudget(d, "doc_id", "source", "text", 0L, "s").count() == 0)
