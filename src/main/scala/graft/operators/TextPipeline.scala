@@ -227,13 +227,20 @@ object TextPipeline {
         coalesce(sum(col("_bsum")).over(
           Window.partitionBy(col(groupCol)).orderBy(col("_sub"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(groupCol), col("_sub"), col("_off"))
+      .select(col(groupCol).as("_g"), col("_sub").as("_s"), col("_off"))
     val w = Window.partitionBy(col(groupCol), col("_sub"))
       .orderBy(col("_h"), col(idCol))
-    base.join(broadcast(offsets), Seq(groupCol, "_sub"))
+    // <=> on the group key: the plain path's window (and the oracle's
+    // PARTITION BY) keep a NULL group as a real budget group, so the
+    // offset join must too — a null-UNSAFE using-column join would
+    // silently drop every NULL-group row, a divergence the driver
+    // tables (no NULL source) can never surface. EqualNullSafe is
+    // still a hash-join key, so the broadcast plan is unchanged.
+    base.join(broadcast(offsets),
+        col(groupCol) <=> col("_g") && col("_sub") === col("_s"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("_off"))
       .filter(col("cum_tokens") <= budget)
-      .drop("_h", "_sub", "_off")
+      .drop("_h", "_sub", "_g", "_s", "_off")
   }
 
   /** Fixed-size sequence chunking — the pre-packing step of an LLM data

@@ -213,8 +213,15 @@ class TextPipelineSpec extends SparkSpec {
     // is BIT-IDENTICAL output (id set AND cum_tokens), because the
     // sub-buckets are RANGE buckets of the order hash and the offset
     // pass restores the global group prefix exactly.
-    val docs = ((1 to 200).map(i => (i.toLong, "dominant", s"w$i x$i y$i")) ++
-      Seq((900L, "s2", "a b c d"), (901L, "s2", "e f"), (950L, "s3", "p q r")))
+    // the NULL-source rows pin group parity: the plain path's window
+    // (and DuckDB's PARTITION BY) keep NULL as a real budget group, so
+    // the salted offset join must be null-SAFE — a using-column join
+    // dropped these rows silently (r13 review; driver data can't catch
+    // it, documents.source is never NULL)
+    val docs = ((1 to 200).map(i => (Some(i.toLong), Some("dominant"), s"w$i x$i y$i")) ++
+      Seq((Some(900L), Some("s2"), "a b c d"), (Some(901L), Some("s2"), "e f"),
+        (Some(950L), Some("s3"), "p q r"),
+        (Some(960L), None, "n1 n2 n3"), (Some(961L), None, "n4")))
       .toDF("doc_id", "source", "text")
     for (budget <- Seq(0L, 7L, 100L, 10000L); subKeys <- Seq(1, 4, 32)) {
       val plain = TextPipeline.capTokenBudget(docs, "doc_id", "source", "text",
@@ -224,6 +231,12 @@ class TextPipelineSpec extends SparkSpec {
         .select("doc_id", "source", "n_tokens", "cum_tokens")
       assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
         s"salted(subKeys=$subKeys) diverged from plain at budget=$budget")
+      // parity must be non-vacuous on the NULL group: at any budget
+      // covering it, BOTH paths keep the NULL-source rows (if both
+      // dropped them, exceptAll-parity alone would pass silently)
+      if (budget >= 10000L)
+        assert(salted.filter(col("source").isNull).count() == 2,
+          s"NULL-group rows missing from salted output (subKeys=$subKeys)")
     }
     // plan pin: the running-sum window must partition by (source, _sub)
     // — the whole point is that the dominant group's sort is no longer
