@@ -52,9 +52,13 @@ object AssocRules {
     // key is no basket, the Graph.symmetrize rule). NULL equi-join
     // keys never match, so the pair path would ALSO silently diverge
     // from the keyed counts without this filter.
+    // filter on the RENAMED column: referencing col(basketCol) after
+    // the select only resolves through the analyzer's missing-attribute
+    // fallback, which breaks silently if anything (distinct, another
+    // projection) lands between — the Graph.coOccurrenceEdges form
     val items0 = baskets
       .select(col(basketCol).as("bid"), col(itemCol).as("item"))
-      .filter(col(basketCol).isNotNull)
+      .filter(col("bid").isNotNull)
       .distinct()
     val items = maxBasketSize match {
       case Some(cap) =>

@@ -201,11 +201,16 @@ object TextPipeline {
     *      the dominant group now sorts as `subKeys` independent tasks —
     *      and adds the bucket offset to restore the GLOBAL group prefix.
     *
-    * Cost: one extra keyed agg + a broadcast-sized offset join; the
-    * filter can no longer stop at the budget boundary per task (every
-    * bucket computes its local sums), which is the price of the
-    * parallel sort. Use when one group holds ≳ a task's worth of the
-    * corpus; the plain path stays optimal for balanced mixtures. */
+    * Cost: the machinery runs on a persistTracked NARROW projection
+    * (id, group, hash, sub, n_tokens ≈ 40 B/row — tokenize runs ONCE),
+    * plus one keyed agg, a broadcast offset join, and a uniform id
+    * equi-join re-attaching the full-width survivors at the end; every
+    * bucket computes its local sums (no early stop at the budget
+    * boundary), which is the price of the parallel sort. The caller
+    * that executes the result should release via [[graft.Caching]].
+    * Ids must be unique (the dedup-family contract). Use when one
+    * group holds ≳ a task's worth of the corpus; the plain path stays
+    * optimal for balanced mixtures. */
   def capTokenBudgetSalted(docs: DataFrame, idCol: String, groupCol: String,
                            textCol: String, budget: Long, salt: String,
                            subKeys: Int = 32): DataFrame = {
@@ -214,14 +219,23 @@ object TextPipeline {
     require(subKeys >= 1 && (subKeys & (subKeys - 1)) == 0 && subKeys <= 1024,
       s"subKeys must be a power of two in [1, 1024], got $subKeys")
     val shift = 60 - java.lang.Integer.numberOfTrailingZeros(subKeys)
-    val base = docs.filter(col(idCol).isNotNull)
-      .withColumn("_h", Dedup.portableHash64(
-        concat(lit(salt + ":"), col(idCol).cast("string"))))
-      // PortableHash60 ∈ [0, 2^60): the top log2(subKeys) bits are a
-      // RANGE partition of the order key, not a shuffle of it
-      .withColumn("_sub", shiftright(col("_h"), shift))
-      .withColumn("n_tokens", size(TextFns.tokens(col(textCol))).cast("long"))
-    val offsets = base.groupBy(col(groupCol), col("_sub"))
+    // ALL the prefix-sum machinery runs on a NARROW (id, group, hash,
+    // sub, n_tokens) projection, persistTracked so the corpus is
+    // scanned and tokenized exactly ONCE (the offsets agg and the
+    // window branch both consume it; un-cached, each recomputed the
+    // tokenize — the operator's dominant cost — from raw text). The
+    // full-width rows never ride the skewed machinery at all: the
+    // survivor set re-attaches by a uniform id equi-join at the end.
+    val narrow = graft.Caching.persistTracked(
+      docs.filter(col(idCol).isNotNull)
+        .select(col(idCol), col(groupCol),
+          Dedup.portableHash64(
+            concat(lit(salt + ":"), col(idCol).cast("string"))).as("_h"),
+          size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"))
+        // PortableHash60 ∈ [0, 2^60): the top log2(subKeys) bits are a
+        // RANGE partition of the order key, not a shuffle of it
+        .withColumn("_sub", shiftright(col("_h"), shift)))
+    val offsets = narrow.groupBy(col(groupCol), col("_sub"))
       .agg(sum(col("n_tokens")).as("_bsum"))
       .withColumn("_off",
         coalesce(sum(col("_bsum")).over(
@@ -236,11 +250,16 @@ object TextPipeline {
     // silently drop every NULL-group row, a divergence the driver
     // tables (no NULL source) can never surface. EqualNullSafe is
     // still a hash-join key, so the broadcast plan is unchanged.
-    base.join(broadcast(offsets),
+    val survivors = narrow.join(broadcast(offsets),
         col(groupCol) <=> col("_g") && col("_sub") === col("_s"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("_off"))
       .filter(col("cum_tokens") <= budget)
-      .drop("_h", "_sub", "_g", "_s", "_off")
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"))
+    // re-attach the full-width row by id (unique, like the dedup
+    // family — the plain path's cum assignment is already
+    // order-dependent between duplicate ids, so neither path defines
+    // them): a UNIFORM shuffle even when one group dominates
+    docs.join(survivors, Seq(idCol))
   }
 
   /** Fixed-size sequence chunking — the pre-packing step of an LLM data

@@ -55,9 +55,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [In(lang, [de,en])"),
       s"lang keep no longer reaches the scan:\n$p")
     // count SHUFFLE exchanges specifically — "Exchange " would also
-    // match a benign future BroadcastExchange (ADVICE r12); the
-    // assertion's intent is "the budget window is the only shuffle"
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+    // match a benign future BroadcastExchange (ADVICE r12) — but keep
+    // rangepartitioning in scope: a global sort is a real second
+    // shuffle of the full corpus (r13 review); the assertion's intent
+    // is "the budget window is the only shuffle"
+    assert("Exchange (hash|range)partitioning".r.findAllIn(p).size == 1,
       s"curation chain grew a second shuffle:\n$p")
     assert("Window ".r.findAllIn(p).size == 1, p)
   }

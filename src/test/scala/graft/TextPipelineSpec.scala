@@ -243,8 +243,12 @@ class TextPipelineSpec extends SparkSpec {
     // one task — and the offset pass must be the only group-only window
     val plan = TextPipeline.capTokenBudgetSalted(docs, "doc_id", "source",
       "text", 100L, "sp", 32).queryExecution.executedPlan.toString
-    assert("windowspecdefinition\\(source#\\d+, _sub#\\d+".r.findFirstIn(plan).isDefined,
-      s"running sum no longer windows on (source, _sub):\n$plan")
+    // match the order column too: the offsets window ALSO prints as
+    // windowspecdefinition(source, _sub ...) (partition source, ORDER BY
+    // _sub), so without `_h` the pin would pass even if the running sum
+    // regressed to a group-only partition (r13 review)
+    assert("windowspecdefinition\\(source#\\d+, _sub#\\d+L, _h#".r.findFirstIn(plan).isDefined,
+      s"running sum no longer windows on (source, _sub) ordered by _h:\n$plan")
   }
 
   test("capTokenBudget budget 0 drops everything; huge budget keeps everything") {
