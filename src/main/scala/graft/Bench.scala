@@ -128,11 +128,17 @@ object Bench {
     // hand). When the run was measurably loaded, give the top-3 steady
     // queries — the usual grading targets and the biggest absolute
     // movers — ONE more run each at the (possibly calmer) end of the
-    // suite and fold the min. Threshold 3.5: builder-quiet rounds
-    // record 2.3–3.0, the two contaminated records 4.2–5.4. Bounded
+    // suite and fold the min. Two gates, because the bench is its own
+    // load: mid-run loadavg reflects the suite's 32-thread bursts
+    // (measured SELF-band 4.9–5.8 at quartiles on a loadavg-0.5-start
+    // machine), so the quartile samples only attribute EXTERNAL load
+    // when they exceed self + margin. Ambient contamination shows up
+    // where the verdict's two contaminated records did: in the PRE-RUN
+    // sample (quiet starts 0.5–3.0, contaminated 4.2–5.4). Bounded
     // cost: 3 extra query runs, only on loaded records.
-    val LoadThreshold = 3.5
-    val loadHigh = math.max(loadStart, loadQ.max) >= LoadThreshold
+    val AmbientThreshold = 3.5 // pre-run, machine idle: external load
+    val MidRunThreshold = 9.0  // self-band ~6 + margin: external onset
+    val loadHigh = loadStart >= AmbientThreshold || loadQ.max >= MidRunThreshold
     val rerun: Map[String, Double] =
       if (!loadHigh) Map.empty
       else results0.filter(_._2.steady >= 0).sortBy(-_._2.steady).take(3)
