@@ -60,9 +60,19 @@ object ScaleLadder {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // skew mode only reads documents — generating 60M lineitem rows for
-    // a documents-only rung (the 300× point) would be pure waste
+    // a documents-only rung (the 300× point) would be pure waste. An
+    // explicit `tables=a,b` 5th arg lets a query-list run reuse (or
+    // build) a subset dir the same way — e.g. the documents-only
+    // families at 300×, where the full-set lineitem replica alone would
+    // be 180M rows; a query whose table wasn't generated fails loudly
+    // on the missing parquet path.
+    val tablesArg = args.lift(4).filter(_.startsWith("tables="))
+      .map(_.stripPrefix("tables=").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     if (args.lift(3).contains("skew")) generate(spark, base, out, n, Seq("documents"))
-    else generate(spark, base, out, n)
+    else tablesArg match {
+      case Some(ts) => generate(spark, base, out, n, ts)
+      case None     => generate(spark, base, out, n)
+    }
 
     spark.range(1000).selectExpr("sum(id)").collect()
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a

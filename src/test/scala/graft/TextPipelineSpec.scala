@@ -249,6 +249,10 @@ class TextPipelineSpec extends SparkSpec {
     // regressed to a group-only partition (r13 review)
     assert("windowspecdefinition\\(source#\\d+, _sub#\\d+L, _h#".r.findFirstIn(plan).isDefined,
       s"running sum no longer windows on (source, _sub) ordered by _h:\n$plan")
+    // the salted path persistTracks its narrow projection per call —
+    // release what the 13 invocations above accumulated (the
+    // session-lifetime discipline: every persist needs a release owner)
+    graft.Caching.release()
   }
 
   test("capTokenBudget budget 0 drops everything; huge budget keeps everything") {
