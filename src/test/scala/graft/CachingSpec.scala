@@ -43,6 +43,16 @@ class CachingSpec extends SparkSpec {
     assert(leaked.isEmpty, s"cache entries outlived release(): RDDs $leaked")
   }
 
+  test("capTokenBudgetSalted registers its narrow-projection persist") {
+    val leaked = leakedRddIds {
+      SparkEntry.queries("q_token_budget_salted")(spark, sf001).count()
+      assert(Caching.pendingCount > 0, "narrow projection persist not registered")
+      Caching.release()
+      assert(Caching.pendingCount == 0)
+    }
+    assert(leaked.isEmpty, s"cache entries outlived release(): RDDs $leaked")
+  }
+
   test("release is idempotent and tracked frames really were cached during execution") {
     val docs = Tables.documents(spark, sf001)
     val sigs = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text")
