@@ -212,7 +212,18 @@ object SemDedup {
   }
 
   /** Above this k, even the two-level assigner's (1+probes)·√k cosines
-    * per row stop being cheap — [[dedupAuto]] routes to [[dedupSrp]]. */
+    * per row stop being cheap — [[dedupAuto]] routes to [[dedupSrp]].
+    *
+    * This is the bound on the tier's inherent n·√k law: with
+    * `cellsFor` keeping k ∝ n, assignment totals ~3√k distance evals
+    * per vector = locally n^1.5 (MEASURED: exp 1.33 between 2M and 4M
+    * vectors, 2.52× wall vs the law's 2.83× — SCALE.md r13 cont. 2).
+    * The ceiling caps it at √65536 = 256 (≤ ~768 evals/vector,
+    * shuffle-free and embarrassingly parallel), and the SRP tier past
+    * it is n·const hyperplane dots — the dispatch exists exactly to
+    * stop the n^1.5 compounding, and the measured seam recall (SRP
+    * 1.000 at τ = 0.8) says crossing costs nothing at operating
+    * thresholds. */
   val HierAssignCeiling = 65536
 
   /** The SRP tier of [[dedupAuto]]: dup edges from the data-independent
