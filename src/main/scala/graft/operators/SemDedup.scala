@@ -86,6 +86,97 @@ object SemDedup {
       .select(col("id1"), col("id2"), col("cell"), col("cos_sim"))
   }
 
+  /** (id, cell, rank): each id's top-`probes` nearest cells under the
+    * flat quantizer — the multiprobe assignment behind [[dedupProbed]].
+    * Same broadcast cross-join + exchange-free heap as [[assign]]
+    * (k = probes instead of 1); ranking the ≤ probes survivor rows
+    * costs ONE exchange of the pruned narrow (id, cell, csim) stream —
+    * never the n·k cross join. Rank order ≡ the heap's (csim desc,
+    * cell asc), so rank = 1 IS [[assign]]'s cell. */
+  private[graft] def assignProbed(emb: DataFrame, idCol: String, vecCol: String,
+                                  centroids: Seq[(Int, Array[Float])],
+                                  probes: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val cdf = broadcast(centroids.toDF("cell", "center"))
+    val scored = emb.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .crossJoin(cdf)
+      .withColumn("csim", Similarity.cosine(col("_v"), col("center")))
+    val top = TopK.perGroupNative(scored, Seq("_id"), "csim", Seq("cell"),
+        probes, localGroups = true)
+      .select(col("_id"), col("cell"), col("csim"))
+    rankProbed(top, idCol)
+  }
+
+  /** Rank a pruned (_id, cell, csim) probe stream per id — (csim desc,
+    * cell asc), the heap's own order — and emit (idCol, cell, rank). */
+  private def rankProbed(top: DataFrame, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("csim").desc, col("cell").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("_id").as(idCol), col("cell"), col("rank"))
+  }
+
+  /** Boundary-pair candidate edges over a multiprobe assignment: a pair
+    * is a candidate when the two ids PROBE a common cell (cells(a) ∩
+    * cells(b) ≠ ∅ over each id's top-`probes` cells) — the multiprobe-
+    * LSH OR-rule applied to the SemDeDup quantizer. With probes = 2
+    * this recovers exactly the loss the r12 seam measurement localized:
+    * near-dup pairs split across a cell boundary (rank-1 cells differ,
+    * but each id's 2nd-ranked cell is its twin's — measured +8.5%
+    * recall at operating scale, SemDedupSpec). Pair work is bounded by
+    * Σ|probed-cell|² ≈ probes² × the within-cell bound — the same cap
+    * discipline, with `maxCellSize` applied per probed cell. A pair
+    * sharing both probed cells is generated twice; the min-id survivor
+    * rule consumes a distinct loser set, so duplicates cost only the
+    * second cosine. */
+  private def edgesProbed(emb: DataFrame, probed: DataFrame, idCol: String,
+                          vecCol: String, threshold: Double): DataFrame = {
+    val vecs = emb.select(col(idCol), col(vecCol))
+    val withVec = probed.select(col(idCol), col("cell")).join(vecs, Seq(idCol))
+    val left = withVec.select(col("cell"), col(idCol).as("id1"), col(vecCol).as("v1"))
+    val right = withVec.select(col("cell"), col(idCol).as("id2"), col(vecCol).as("v2"))
+    left.join(right, Seq("cell")).filter(col("id1") < col("id2"))
+      .withColumn("cos_sim", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id1"), col("id2"), col("cell"), col("cos_sim"))
+  }
+
+  /** Survivor rule over a RANKED multiprobe assignment: candidates from
+    * [[edgesProbed]] (any shared probed cell), output = rank-1 (id,
+    * cell) rows minus distinct higher-ids — so the emitted assignment
+    * is identical to the single-probe tiers' and only the candidate
+    * generator widens. */
+  private def dedupRanked(emb: DataFrame, rankedAssign: DataFrame,
+                          idCol: String, vecCol: String, threshold: Double,
+                          maxCellSize: Option[Int]): DataFrame = {
+    val ranked = graft.Caching.persistTracked(rankedAssign)
+    val losers = edgesProbed(emb,
+        cap(ranked.select(col(idCol), col("cell")), idCol, maxCellSize),
+        idCol, vecCol, threshold)
+      .select(col("id2").as(idCol)).distinct()
+    ranked.filter(col("rank") === 1).select(col(idCol), col("cell"))
+      .join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedup]] with second-probe boundary recovery: each id probes its
+    * top-`probes` cells and a pair is compared when ANY probed cell is
+    * shared. Closes the within-cell-only recall gap (a near-dup pair
+    * whose members rank-1 into different cells — the one measured
+    * quality gap of the quantizer tiers, 0.915 → ≥0.98 at operating
+    * scale) for ≤ probes² × the within-cell pair bound. Output contract
+    * unchanged: (id, rank-1 cell). The default quantizer-tier entry of
+    * [[dedupAuto]]; [[dedup]] remains the literal single-probe SemDeDup
+    * recipe (Abbas et al.). */
+  def dedupProbed(emb: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double,
+                  centroids: Seq[(Int, Array[Float])] = IvfCentroids.cells,
+                  maxCellSize: Option[Int] = None,
+                  probes: Int = 2): DataFrame =
+    dedupRanked(emb, assignProbed(emb, idCol, vecCol, centroids, probes),
+      idCol, vecCol, threshold, maxCellSize)
+
   /** Dup edges: (id1, id2, cell, cos_sim) with id1 < id2, cosine ≥
     * threshold, both ids assigned to `cell`. */
   def dupEdges(emb: DataFrame, idCol: String, vecCol: String,
@@ -193,7 +284,10 @@ object SemDedup {
       dedupAssigned(emb, emb.select(col(idCol), lit(0).as("cell")),
         idCol, vecCol, threshold, maxCellSize)
     else if (k <= FlatAssignCeiling)
-      dedup(emb, idCol, vecCol, threshold,
+      // probes = 2: the boundary-pair candidate rule is the tier
+      // default (r13 seam measurement: within-cell-only recall 0.915 at
+      // operating scale, the one measured quality gap — recovered here)
+      dedupProbed(emb, idCol, vecCol, threshold,
         Similarity.trainCentroids(emb, vecCol, k, seed), maxCellSize)
     else {
       // past the flat ceiling: (a) train on a bounded sample (the faiss
@@ -263,7 +357,10 @@ object SemDedup {
     * of [[dedupAuto]] as a directly callable operator: same survivor
     * rule, but assignment goes through
     * [[Similarity.assignCellsHierarchical]] ((1+coarseProbes)·√k
-    * cosines per row instead of k). Callable with ANY centroid set;
+    * cosines per row instead of k). `fineProbes = 2` (the default, as
+    * in [[dedupProbed]]) generates candidates across each id's top-2
+    * fine cells — the boundary-pair recovery rule; `fineProbes = 1` is
+    * the literal within-cell recipe. Callable with ANY centroid set;
     * with the deterministic [[Similarity.hashCentroids]] quantizer the
     * whole operator — coarsen's driver Lloyd included — is
     * oracle-replayable, which is how q_semdedup_hier hash-gates this
@@ -272,10 +369,21 @@ object SemDedup {
   def dedupHier(emb: DataFrame, idCol: String, vecCol: String,
                 threshold: Double, centroids: Seq[(Int, Array[Float])],
                 maxCellSize: Option[Int] = None,
-                coarseProbes: Int = 2): DataFrame =
-    dedupAssigned(emb,
-      Similarity.assignCellsHierarchical(emb, idCol, vecCol,
-          idCol, "_hv", probes = 1, centroids, coarseProbes)
-        .select(col(idCol), col("cell")),
-      idCol, vecCol, threshold, maxCellSize)
+                coarseProbes: Int = 2,
+                fineProbes: Int = 2): DataFrame =
+    if (fineProbes <= 1)
+      dedupAssigned(emb,
+        Similarity.assignCellsHierarchical(emb, idCol, vecCol,
+            idCol, "_hv", probes = 1, centroids, coarseProbes)
+          .select(col(idCol), col("cell")),
+        idCol, vecCol, threshold, maxCellSize)
+    else
+      dedupRanked(emb,
+        rankProbed(
+          Similarity.assignCellsHierarchical(emb, idCol, vecCol,
+              "_id", "_hv", probes = fineProbes, centroids, coarseProbes,
+              keepScore = true)
+            .select(col("_id"), col("cell"), col("csim")),
+          idCol),
+        idCol, vecCol, threshold, maxCellSize)
 }

@@ -594,7 +594,8 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       outId: String, outVec: String, probes: Int,
       centroids: Seq[(Int, Array[Float])],
-      coarseProbes: Int = 2): DataFrame = {
+      coarseProbes: Int = 2,
+      keepScore: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(coarseProbes >= 1, s"coarseProbes must be >= 1, got $coarseProbes")
@@ -608,11 +609,15 @@ object Similarity {
       .select(col(outId), col(outVec), col("grp"))
     val fdf = broadcast(centroids.map { case (c, arr) => (cellToGroup(c), c, arr) }
       .toDF("grp", "cell", "center"))
-    TopK.perGroupNative(
+    val top = TopK.perGroupNative(
         probedCoarse.join(fdf, Seq("grp"))
           .withColumn("csim", cosine(col(outVec), col("center"))),
         Seq(outId), "csim", Seq("cell"), probes, localGroups = true)
-      .select(col(outId), col(outVec), col("cell"))
+    // keepScore: callers that need to RANK the probed cells afterwards
+    // (SemDedup's boundary-pair candidate stream) get the heap's own
+    // order column; the default output contract stays byte-identical
+    if (keepScore) top.select(col(outId), col(outVec), col("cell"), col("csim"))
+    else top.select(col(outId), col(outVec), col("cell"))
   }
 
   private def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,

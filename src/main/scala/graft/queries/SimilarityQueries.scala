@@ -242,24 +242,34 @@ object SimilarityQueries {
     * rows (the ANN query side); CTE names carry prefix `p` so corpus
     * and query chains compose in one oracle. */
   private def hierAssignCtes(p: String, srcFilter: String, coarseProbes: Int,
-                             fineProbes: Int, rounds: Int): String =
+                             fineProbes: Int, rounds: Int,
+                             keepRank: Boolean = false): String = {
+    val rankCol = if (keepRank) ", CAST(rn AS BIGINT) AS rank" else ""
     s"""${p}pg AS (SELECT vec_id, j FROM (
       |    SELECT e.vec_id, gc.j,
       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |        list_dot_product(e.v, gc.gm) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(gc.gm, gc.gm))) DESC, gc.j) AS rn
       |    FROM e CROSS JOIN gc$srcFilter) WHERE rn <= $coarseProbes),
-      |${p}asgn AS MATERIALIZED (SELECT vec_id, cell FROM (
+      |${p}asgn AS MATERIALIZED (SELECT vec_id, cell$rankCol FROM (
       |    SELECT pg.vec_id, fc.c AS cell,
       |      row_number() OVER (PARTITION BY pg.vec_id ORDER BY
       |        list_dot_product(e.v, fc.ctr) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(fc.ctr, fc.ctr))) DESC, fc.c) AS rn
       |    FROM ${p}pg pg JOIN a$rounds cg ON cg.j = pg.j JOIN fc ON fc.c = cg.c JOIN e ON e.vec_id = pg.vec_id)
       |  WHERE rn <= $fineProbes)""".stripMargin
+  }
 
+  /** The two-probe boundary-pair rule ([[SemDedup.dedupHier]] default,
+    * r13 verdict task 1): each id probes its top-`fineProbes` fine
+    * cells; a pair is a candidate when ANY probed cell is shared; the
+    * survivor output is the rank-1 assignment minus distinct higher-ids
+    * of qualifying pairs. The duplicate pair a shared-both-cells twin
+    * generates is absorbed by NOT IN. */
   private def hierOracleSql(k: Int, dim: Int, rounds: Int,
-                            coarseProbes: Int, tag: String): String =
+                            coarseProbes: Int, tag: String,
+                            fineProbes: Int = 2): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |${hierQuantizerCtes(k, dim, rounds, tag)},
-      |${hierAssignCtes("", "", coarseProbes, 1, rounds)},
+      |${hierAssignCtes("", "", coarseProbes, fineProbes, rounds, keepRank = true)},
       |edges AS (
       |  SELECT a.vec_id AS id1, b.vec_id AS id2
       |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -268,7 +278,7 @@ object SimilarityQueries {
       |  WHERE list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) >= 0.4)
       |SELECT vec_id, CAST(cell AS BIGINT) AS cell
       |FROM asgn
-      |WHERE vec_id NOT IN (SELECT id2 FROM edges)""".stripMargin
+      |WHERE rank = 1 AND vec_id NOT IN (SELECT id2 FROM edges)""".stripMargin
 
   /** DuckDB replay of the FROZEN hierarchical ANN SERVING path
     * (q_ann_ivf_hier — [[Similarity.ivfTopKFrozenHier]]): the same
@@ -857,14 +867,50 @@ object SimilarityQueries {
         |FROM asgn
         |WHERE vec_id NOT IN (SELECT id2 FROM edges)"""),
 
+    // SemDedup.dedupProbed — the FLAT quantizer tier's boundary-pair
+    // rule (r13 verdict task 1), hash-gated on the frozen IvfCentroids
+    // operating point: each id probes its top-2 cells (crank <= 2,
+    // same cosine rank as q_semdedup's assignment), a pair is a
+    // candidate when ANY probed cell is shared, survivors = rank-1
+    // assignment minus distinct higher-ids. This is the candidate rule
+    // dedupAuto's flat tier now runs; q_semdedup keeps gating the
+    // literal single-probe SemDeDup recipe beside it.
+    "q_semdedup_probe2" -> QueryDef(
+      (s, dir) => graft.operators.SemDedup.dedupProbed(
+        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4)
+        .select(col("vec_id"), col("cell").cast("long").as("cell")),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (${graft.operators.IvfCentroids.duckdbValues}),
+        |asgn AS (
+        |  SELECT vec_id, cell, crank FROM (
+        |    SELECT e.vec_id, cents.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.v, cents.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.c, cents.c))) DESC,
+        |             cents.cell) AS crank
+        |    FROM e CROSS JOIN cents)
+        |  WHERE crank <= 2),
+        |edges AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN e qe ON qe.vec_id = a.vec_id
+        |  JOIN e ce ON ce.vec_id = b.vec_id
+        |  WHERE list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) >= 0.4)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell
+        |FROM asgn
+        |WHERE crank = 1 AND vec_id NOT IN (SELECT id2 FROM edges)"""),
+
     // The >FlatAssignCeiling tier of semantic dedup, hash-gated end to
     // end (r11 verdict task 2): the engine path is SemDedup.dedupHier →
     // Similarity.assignCellsHierarchical (coarsen's driver Lloyd + the
     // two-level coarse→fine probe) on the DETERMINISTIC hashCentroids
     // quantizer at k = 4100 > 4096 — the first cell count past the flat
-    // assigner's ceiling. The oracle retrains the coarse Lloyd from
-    // scratch (8 unrolled rounds) and replays the full assignment +
-    // survivor rule; see hierOracleSql for the exactness argument.
+    // assigner's ceiling. Since r14 the gated semantics is the tier's
+    // NEW default: fineProbes = 2 boundary-pair candidates (any shared
+    // probed cell), survivor output = rank-1 assignment — the r13
+    // verdict-task-1 recall recovery, driver-gated here. The oracle
+    // retrains the coarse Lloyd from scratch (8 unrolled rounds) and
+    // replays assignment + the two-probe candidate rule + survivor
+    // rule; see hierOracleSql for the exactness argument.
     "q_semdedup_hier" -> QueryDef(
       (s, dir) => graft.operators.SemDedup.dedupHier(
         Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4,
