@@ -494,12 +494,22 @@ object Dedup {
     *
     * Scale shape: candidate generation joins PREFIX×PREFIX on the
     * shingle — posting lists of the rarest shingles, the ones that
-    * cannot square; the verification join fans each candidate pair by
-    * |d1| and re-keys on (id2, shingle). Costs scale with candidates,
-    * not with all co-shingled pairs (12× fewer on the synthetic corpus
-    * at τ=1/2). The distinct (id, shingle) frame feeds df counts,
-    * sizes, the prefix window and both verification joins — persisted
-    * through [[graft.Caching.persistTracked]].
+    * cannot square. Costs scale with candidates, not with all
+    * co-shingled pairs (12× fewer on the synthetic corpus at τ=1/2).
+    * Verification is IN PLACE (r14): each doc's sorted shingle array
+    * attaches once per distinct candidate pair and
+    * [[graft.functions.SortedIntersectCount]] counts the overlap in a
+    * codegen'd merge — no per-pair fan, no aggregation exchange (the
+    * old fan/groupBy was the measured 300×-rung disk wall). The
+    * distinct (id, shingle) frame feeds df counts, the prefix window
+    * and the per-doc arrays — persisted through
+    * [[graft.Caching.persistTracked]].
+    *
+    * `suffixFilter`: the lossless PPJoin+ suffix filter
+    * ([[graft.functions.SuffixFilter]]) — OFF by default, with the r14
+    * measurement in its scaladoc: on long-doc corpora it prunes too few
+    * candidates to pay for its sample payload; enable for short-record
+    * high-τ workloads.
     *
     * `maxShingleDf`: OPTIONAL safety valve for boilerplate-heavy corpora.
     * The prefix principle bounds candidates by the RAREST shingles, but a
@@ -515,7 +525,52 @@ object Dedup {
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          shingleN: Int = 3, tauNum: Int = 1,
                          tauDen: Int = 2,
-                         maxShingleDf: Option[Int] = None): DataFrame = {
+                         maxShingleDf: Option[Int] = None,
+                         suffixFilter: Boolean = false): DataFrame = {
+    val (candRows, sh, _) = prefixCandidateRows(docs, idCol, textCol,
+      shingleN, tauNum, tauDen, maxShingleDf, suffixFilter)
+    val tauSum = lit((tauDen + tauNum).toLong)
+    val cand = candRows.select(col("id1"), col("id2")).distinct()
+    // VERIFY IN PLACE (r14): each doc's sorted shingle array attaches
+    // once per candidate pair and a codegen'd merge pass counts the
+    // intersection — replacing the join/groupBy formulation that fanned
+    // every pair by |d1| skinny rows and re-aggregated them. Measured
+    // at the 100× ladder rung (500k docs): the fan was 12.4 GB shuffle
+    // + 14 GB disk spill + 35 GB memory spill — the exact frame whose
+    // spill killed the 300× run on this box (SCALE.md r13); the pair
+    // stream with arrays is ~2 orders smaller in rows and needs no
+    // aggregation exchange. docToks is persisted: both sides of the
+    // pair attach read it.
+    val docToks = graft.Caching.persistTracked(
+      sh.groupBy(col("id")).agg(
+        sort_array(collect_list(col("shingle"))).as("_toks")))
+    cand
+      .join(docToks.select(col("id").as("id1"), col("_toks").as("_t1")), Seq("id1"))
+      .join(docToks.select(col("id").as("id2"), col("_toks").as("_t2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        graft.functions.SortedIntersectCount(col("_t1"), col("_t2")).as("common"),
+        size(col("_t1")).cast("long").as("sz1"),
+        size(col("_t2")).cast("long").as("sz2"))
+      .filter(col("common") * tauSum >=
+        lit(tauNum.toLong) * (col("sz1") + col("sz2")))
+      .select(col("id1"), col("id2"), col("common"), col("sz1"), col("sz2"),
+        (col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
+          .as("jaccard"))
+  }
+
+  /** The PPJoin candidate stage of [[prefixJaccardPairs]], exposed
+    * pre-distinct for the scale harness (tools/SuffixLadder): the
+    * returned first frame is the (id1, id2) match-row stream AFTER the
+    * length/positional(/suffix) filters but BEFORE the distinct. Also
+    * returns the working (id, shingle) frame and per-doc sizes. (The
+    * r14 harness run on this stream re-attributed the 300× disk wall:
+    * the candidate stream was 1.8 GB of shuffle, the old verification
+    * fan 12+ GB — hence the verify-in-place rewrite in
+    * [[prefixJaccardPairs]] and the suffix filter's off-by-default.) */
+  private[graft] def prefixCandidateRows(docs: DataFrame, idCol: String, textCol: String,
+                                         shingleN: Int, tauNum: Int, tauDen: Int,
+                                         maxShingleDf: Option[Int],
+                                         suffixFilter: Boolean): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be a rational in (0, 1], got $tauNum/$tauDen")
@@ -557,48 +612,70 @@ object Dedup {
     // `/`+floor is value-identical below 2^52 but invites a port to
     // oracle SQL as `/`, the division trap CLAUDE.md forbids)
     val ceilTauSz = expr(s"(${tauNum}L * _w_sz + ${tauDen - 1}L) div ${tauDen}L")
+    // the windowed positional frame feeds the prefix filter AND (with
+    // the suffix filter on) the per-doc sample extraction — persisted
+    // in that case so the df-join + per-doc sort runs once, not twice
+    val pos0 = sh.join(dfreq, Seq("shingle"))
+      .withColumn("_rn", row_number().over(byDoc.orderBy(col("_df"), col("shingle"))))
+      .withColumn("_w_sz", count(lit(1)).over(byDoc))
+      .select(col("id"), col("shingle"), col("_df"), col("_rn"), col("_w_sz"))
+    val pos = if (suffixFilter) graft.Caching.persistTracked(pos0) else pos0
+    val prefixBase = pos
+      .filter(col("_rn") <= col("_w_sz") - ceilTauSz + 1)
+      .select(col("id"), col("shingle"), col("_w_sz"), col("_rn"))
     // persisted: BOTH sides of the candidate self-join read this frame —
     // uncached, the window + df-join sub-plan executes twice
     val prefix = graft.Caching.persistTracked(
-      sh.join(dfreq, Seq("shingle"))
-        .withColumn("_rn", row_number().over(byDoc.orderBy(col("_df"), col("shingle"))))
-        .withColumn("_w_sz", count(lit(1)).over(byDoc))
-        .filter(col("_rn") <= col("_w_sz") - ceilTauSz + 1)
-        .select(col("id"), col("shingle"), col("_w_sz"), col("_rn")))
-    // Two lossless PPJoin filters DURING the shingle join, before the
+      if (!suffixFilter) prefixBase
+      else {
+        // Q token-order samples per doc ((df, shingle) pairs interleaved,
+        // position order) — the fixed-width payload the suffix filter
+        // rank-queries per candidate row. Selection: positions where
+        // ⌊rn·Q/sz⌋ crosses an integer ⟺ rn = ⌈q·sz/Q⌉ for some q
+        // (SuffixFilter.samplePos recomputes these positions exactly).
+        val qq = graft.functions.SuffixFilter.Q
+        val samples = pos
+          .filter(expr(s"(_rn * $qq) div _w_sz > ((_rn - 1) * $qq) div _w_sz"))
+          .groupBy(col("id"))
+          .agg(flatten(transform(
+            array_sort(collect_list(struct(col("_rn"), col("_df").as("d"), col("shingle").as("s")))),
+            x => array(x.getField("d"), x.getField("s")))).as("_smp"))
+        prefixBase.join(samples, Seq("id"))
+      })
+    // Three lossless PPJoin filters DURING the shingle join, before the
     // distinct shuffle and the per-pair verification fan pay for the
-    // survivors (both integer cross-multiplications, both provably
-    // drop only pairs that cannot reach τ):
+    // survivors (integer arithmetic throughout, each provably drops
+    // only pairs/rows that cannot reach τ):
     //  - length filter: common ≤ min(sz1, sz2), so τ·max > min kills;
     //  - positional filter: positions follow the SAME canonical
     //    (df, shingle) order in every doc, so for a pair's earliest
     //    shared shingle at prefix positions (i, j) nothing before it is
     //    shared in either doc and common ≤ min(sz1−i, sz2−j) + 1; a
     //    true pair's earliest match always survives, so keeping pairs
-    //    with ANY surviving match loses nothing.
+    //    with ANY surviving match loses nothing;
+    //  - suffix filter ([[graft.functions.SuffixFilter]], Xiao et al.
+    //    WWW'08 §3.3): Hamming-bounds the suffix overlap from the
+    //    sampled token order — the same earliest-match justification.
     val tauSum = lit((tauDen + tauNum).toLong)
-    val cand = prefix.select(col("id").as("id1"), col("_w_sz").as("_sz1"),
-        col("_rn").as("_rn1"), col("shingle"))
-      .join(prefix.select(col("id").as("id2"), col("_w_sz").as("_sz2"),
-        col("_rn").as("_rn2"), col("shingle")), Seq("shingle"))
+    val joinCols1: Seq[Column] = Seq(col("id").as("id1"), col("_w_sz").as("_sz1"),
+      col("_rn").as("_rn1"), col("shingle")) ++
+      (if (suffixFilter) Seq(col("_smp").as("_smp1")) else Nil)
+    val joinCols2: Seq[Column] = Seq(col("id").as("id2"), col("_w_sz").as("_sz2"),
+      col("_rn").as("_rn2"), col("shingle")) ++
+      (if (suffixFilter) Seq(col("_smp").as("_smp2")) else Nil)
+    val joined = prefix.select(joinCols1: _*)
+      .join(prefix.select(joinCols2: _*), Seq("shingle"))
       .filter(col("id1") < col("id2"))
       .filter(lit(tauNum.toLong) * greatest(col("_sz1"), col("_sz2")) <=
         lit(tauDen.toLong) * least(col("_sz1"), col("_sz2")))
       .filter((least(col("_sz1") - col("_rn1"), col("_sz2") - col("_rn2")) + 1) * tauSum >=
         lit(tauNum.toLong) * (col("_sz1") + col("_sz2")))
-      .select(col("id1"), col("id2")).distinct()
-    val common = cand
-      .join(sh.select(col("id").as("id1"), col("shingle")), Seq("id1"))
-      .join(sh.select(col("id").as("id2"), col("shingle")), Seq("id2", "shingle"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), Seq("id1"))
-      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), Seq("id2"))
-      .filter(col("common") * tauSum >=
-        lit(tauNum.toLong) * (col("sz1") + col("sz2")))
-      .select(col("id1"), col("id2"), col("common"), col("sz1"), col("sz2"),
-        (col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
-          .as("jaccard"))
+    val candRows = if (!suffixFilter) joined
+      else joined.filter(graft.functions.SuffixFilterKeep(
+        col("_smp1"), col("_rn1").cast("long"), col("_sz1"),
+        col("_smp2"), col("_rn2").cast("long"), col("_sz2"),
+        tauNum, tauDen))
+    (candRows, sh, sizes)
   }
 
   /** Incremental near-dup check: score each NEW document against the
@@ -842,6 +919,75 @@ object Dedup {
       .select(col("nid").as(idCol),
         coalesce(col("_new"), col("label")).as("cluster_id"))
   }
+
+  /** Decremental maintenance of a standing min-id cluster assignment —
+    * the DELETION path the ingest family lacked (r13 verdict task 5):
+    * takedowns and license revocations remove docs from a curated
+    * corpus, and removing a doc can SPLIT a connected component (the
+    * removed doc was the only bridge), which no label-local fix-up can
+    * express — the touched components must be re-clustered from their
+    * surviving edges. Everything else must keep its label WITHOUT being
+    * re-clustered.
+    *
+    * Scope rule: a component is touched iff it loses a member. The
+    * recompute runs [[connectedComponentsStar]] over ONLY the touched
+    * components' surviving nodes and edges — cost scales with the
+    * touched components (plus one keyed scan of `labels` and `edges`
+    * to carve them out; the removed-id and touched-label frames are
+    * small and broadcast), never a corpus-wide CC.
+    *
+    * Correctness contract: output ≡ from-scratch CC on (nodes ∖
+    * removed, edges with neither endpoint removed) — q_remove_docs'
+    * oracle replays the FULL recursive closure on the surviving edge
+    * set, so the hash match is the scoped ≡ global equivalence proof.
+    * Note min-id labels can CHANGE without a split: removing a
+    * component's minimum id relabels its survivors (the oracle replays
+    * that too).
+    *
+    * The signature/gram/sketch INDEX side of a deletion is a plain
+    * anti-join — [[removeFromIndex]]; this operator owns the one part
+    * that is not.
+    *
+    * @param labels  standing assignment (idCol, cluster_id) — a prior
+    *                CC output over the corpus
+    * @param edges   the standing dup-edge list (id1, id2) the
+    *                assignment was built from (endpoints of an edge
+    *                share a cluster in `labels`)
+    * @param removed one row per removed doc id (ids absent from
+    *                `labels` are ignored)
+    */
+  def removeDocs(labels: DataFrame, edges: DataFrame, removed: DataFrame,
+                 idCol: String): DataFrame = {
+    val lab = graft.Caching.persistTracked(
+      labels.select(col(idCol).as("nid"), col("cluster_id").as("label")))
+    val rem = removed.select(col(idCol).as("nid")).distinct()
+    // every cluster that loses a member; small (∝ the removal batch) —
+    // broadcast through the semi/anti joins below
+    val touchedLabels = graft.Caching.persistTracked(
+      lab.join(rem, Seq("nid"), "left_semi").select(col("label")).distinct())
+    val survivors = lab.join(touchedLabels.hint("broadcast"), Seq("label"), "left_semi")
+      .join(rem.hint("broadcast"), Seq("nid"), "left_anti")
+    // surviving edges of touched components: both endpoints alive, and
+    // the component touched (edge endpoints share a component, so id1's
+    // label decides membership)
+    val eSurv = edges
+      .join(rem.select(col("nid").as("id1")).hint("broadcast"), Seq("id1"), "left_anti")
+      .join(rem.select(col("nid").as("id2")).hint("broadcast"), Seq("id2"), "left_anti")
+      .join(lab.select(col("nid").as("id1"), col("label")), Seq("id1"))
+      .join(touchedLabels.hint("broadcast"), Seq("label"), "left_semi")
+      .select(col("id1"), col("id2"))
+    val recomputed = connectedComponentsStar(eSurv, survivors.select(col("nid")), "nid")
+    lab.join(touchedLabels.hint("broadcast"), Seq("label"), "left_anti")
+      .select(col("nid").as(idCol), col("label").as("cluster_id"))
+      .unionByName(recomputed.select(col("nid").as(idCol), col("cluster_id")))
+  }
+
+  /** The trivial half of a corpus deletion: drop a removed doc's rows
+    * from any standing per-doc index frame (MinHash signatures, gram
+    * postings, embeddings, SimHash codes — anything keyed by `idCol`).
+    * One anti-join; the non-trivial half is [[removeDocs]]. */
+  def removeFromIndex(index: DataFrame, removed: DataFrame, idCol: String): DataFrame =
+    index.join(removed.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
 
   /** Exact substring-containment pairs — the news-wire/boilerplate case
     * Jaccard under-scores (a 50-token article inside a 5000-token page

@@ -418,6 +418,51 @@ object DedupQueries {
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id"""),
 
+    // Standing-index DELETION (r13 verdict task 5): take down the
+    // doc_id % 17 = 3 slice of the corpus and maintain the q_lsh_clusters
+    // assignment DECREMENTALLY — Dedup.removeDocs re-clusters only the
+    // components that lost a member (a removed bridge splits its
+    // component; a removed minimum relabels it) and leaves every
+    // untouched component unread. The oracle recomputes the FULL
+    // recursive closure over the surviving edge set from scratch, so
+    // the hash match is the scoped ≡ global recompute equivalence
+    // proof, on the engine's own standing labels.
+    "q_remove_docs" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.lshCandidates(
+            Dedup.minhashSignatures(docs, "doc_id", "text", portable = true),
+            "doc_id", bands = 16, rowsPerBand = 4)
+          .filter(col("est_jaccard") >= 0.5)
+          .select(col("id1"), col("id2"))
+        // the standing state a real pipeline stores: labels + dup edges.
+        // Persisted — removeDocs reads labels thrice and edges once, and
+        // recomputing the LSH pipeline per read would double-charge the
+        // deletion with ingest cost.
+        val standingPairs = graft.Caching.persistTracked(pairs)
+        val labels = graft.Caching.persistTracked(
+          Dedup.connectedComponents(standingPairs, docs.select(col("doc_id")), "doc_id"))
+        Dedup.removeDocs(labels, standingPairs,
+          docs.filter(col("doc_id") % 17 === 3).select(col("doc_id")), "doc_id")
+      },
+      s"""WITH RECURSIVE $ShingleCtes,
+        |sigs AS (SELECT id, $SigList AS sig FROM hm GROUP BY id),
+        |pairs AS (
+        |  SELECT a.id AS id1, b.id AS id2
+        |  FROM sigs a JOIN sigs b ON a.id < b.id
+        |  WHERE $AnyBandEqual
+        |    AND CAST(list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END
+        |                       for i in generate_series(1, 64)]) AS DOUBLE) / 64 >= 0.5),
+        |surv AS (SELECT id1, id2 FROM pairs WHERE id1 % 17 <> 3 AND id2 % 17 <> 3),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM surv
+        |          UNION ALL SELECT id2, id1 FROM surv),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents WHERE doc_id % 17 <> 3
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id"""),
+
     // 64-bit SimHash per document (portable hash family; the oracle
     // recomputes the per-bit vote sums and packs the sign bits).
     "q_simhash" -> QueryDef(

@@ -220,6 +220,22 @@ object ScaleLadder {
       // downgrade its marker
       if (cur == stamp || cur == fullStamp) return
     }
+    // Regenerating over a MISMATCHED prior dir (different factor/base/
+    // subset): delete the parquet dirs of tables NOT in this subset, so
+    // a later run whose query list touches one of them fails loudly on
+    // the missing path instead of silently reading the OLD scale — the
+    // exact failure class the stamp exists to prevent (ADVICE r13).
+    val allTables = Seq("documents", "embeddings", "customer", "lineitem")
+    allTables.filterNot(tables.contains).foreach { t =>
+      val dir = new java.io.File(s"$out/$t.parquet")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir)
+      }
+    }
     val off = 100000000L
 
     if (tables.contains("documents")) {

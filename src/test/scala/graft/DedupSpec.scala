@@ -497,6 +497,49 @@ class DedupSpec extends SparkSpec {
     assert(inc == scratch)
   }
 
+  test("removeDocs: bridge removal splits, minimum removal relabels, untouched components keep labels") {
+    import spark.implicits._
+    // component A: 1–2–3 chained through bridge 2; component B: 10–11;
+    // component C: singleton 20. labels = min-id assignment.
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val labels = Dedup.connectedComponents(edges, nodes, "doc_id")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asMap(labels) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // remove the bridge: component A splits into {1} and {3}
+    val afterBridge = asMap(Dedup.removeDocs(labels, edges, Seq(2L).toDF("doc_id"), "doc_id"))
+    assert(afterBridge == Map(1L -> 1L, 3L -> 3L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // remove the minimum of A: survivors 2,3 stay connected, relabel to 2
+    val afterMin = asMap(Dedup.removeDocs(labels, edges, Seq(1L).toDF("doc_id"), "doc_id"))
+    assert(afterMin == Map(2L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // remove a whole component + a singleton; B untouched throughout
+    val afterAll = asMap(Dedup.removeDocs(labels, edges,
+      Seq(1L, 2L, 3L, 20L).toDF("doc_id"), "doc_id"))
+    assert(afterAll == Map(10L -> 10L, 11L -> 10L))
+    // equivalence on the corpus pipeline: scoped recompute ≡ from-scratch
+    // CC over the surviving graph (the q_remove_docs oracle's claim,
+    // pinned here in-suite on the real LSH edge set)
+    val docs = Tables.documents(spark, sf001)
+    val pairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(docs, "doc_id", "text", portable = true),
+        "doc_id", bands = 16, rowsPerBand = 4)
+      .filter(col("est_jaccard") >= 0.5).select(col("id1"), col("id2"))
+    val standingPairs = graft.Caching.persistTracked(pairs)
+    val standing = graft.Caching.persistTracked(
+      Dedup.connectedComponents(standingPairs, docs.select(col("doc_id")), "doc_id"))
+    val removed = docs.filter(col("doc_id") % 17 === 3).select(col("doc_id"))
+    val scoped = asMap(Dedup.removeDocs(standing, standingPairs, removed, "doc_id"))
+    val scratch = asMap(Dedup.connectedComponents(
+      standingPairs
+        .join(removed.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_anti")
+        .join(removed.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_anti"),
+      docs.select(col("doc_id")).join(removed, Seq("doc_id"), "left_anti"), "doc_id"))
+    graft.Caching.release()
+    assert(scoped == scratch)
+    assert(scoped.nonEmpty && !scoped.keySet.exists(_ % 17 == 3))
+  }
+
   test("prefixJaccardPairs ≡ exact all-pairs Jaccard at the same threshold") {
     import spark.implicits._
     // near-dup pair (1,2), a shared-boilerplate-but-below-threshold pair
