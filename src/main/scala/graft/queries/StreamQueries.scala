@@ -462,6 +462,71 @@ object StreamQueries {
         | AND epoch_us(r.ts) >= epoch_us(l.ts)
         | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000"""),
 
+    // Watermarked stream-stream LEFT OUTER join — the watermark-EXPIRY
+    // emission rule, the last distinct watermark behavior without a
+    // driver gate (r13 verdict task 3): an unmatched left row emits
+    // exactly once, with NULL right columns, and only when the
+    // watermark passes its match window. Right side = the event_id%3=0
+    // subset, so unmatched left rows genuinely exist; the two-sentinel
+    // seal (on BOTH streams — the join watermark is the min) pushes
+    // expiry past every real window, and the final seal rides a DATA
+    // batch (the processAllAvailable/timer-batch race, q_stream_late).
+    // The streamed row set — matches AND null-right rows — must equal
+    // the batch LEFT JOIN with the same window. NULL right ids are
+    // projected to −1 on both sides: a nullable BIGINT turns float64
+    // in the driver's pandas on BOTH engines, but −1 keeps the dtype
+    // int64 and the NULL-ness information (real ids are ≥ 0).
+    "q_stream_outer" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows: Array[(Long, Timestamp, Long)] = collectReplay(
+          Tables.events(s, dir)
+            .filter(pmod(col("user_id"), lit(4)) === 0)
+            .select(col("user_id"), col("ts"), col("event_id")),
+          "stream-stream outer join replay slice")
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        val rightRows = rows.filter(_._3 % 3 == 0)
+        val maxTsMs = rows.iterator.map(_._2.getTime).max
+        // expiry needs watermark > l_ts + within; watermark trails the
+        // max event time by `lateness` (= within = 30 min) — 3 h of
+        // headroom covers both with margin
+        val sentA = (-1L, new Timestamp(maxTsMs + 3L * 3600L * 1000L), -1L)
+        val sentB = (-1L, new Timestamp(sentA._2.getTime + 1000L), -1L)
+        val msL = MemoryStream[(Long, Timestamp, Long)]
+        val msR = MemoryStream[(Long, Timestamp, Long)]
+        val left = msL.toDF().toDF("user_id", "l_ts", "l_event_id")
+        val right = msR.toDF().toDF("user_id", "r_ts", "r_event_id")
+        val q = withReplayPartitions(s) {
+          StreamingOps.joinWithinWatermark(left, right, "user_id",
+              "l_ts", "r_ts", within = "30 minutes", joinType = "left_outer")
+            .select(col("user_id"), col("l_event_id"), col("r_event_id"))
+            .writeStream.format("memory").queryName("graft_stream_outer")
+            .outputMode("append").start()
+        }
+        try {
+          msL.addData(rows.toIndexedSeq: _*)
+          msR.addData(rightRows.toIndexedSeq: _*)
+          q.processAllAvailable() // all matches emit; no expiry yet
+          msL.addData(sentA); msR.addData(sentA)
+          q.processAllAvailable() // watermark jumps past every window
+          msL.addData(sentB); msR.addData(sentB)
+          q.processAllAvailable() // the seal rides a DATA batch
+        } finally q.stop()
+        s.table("graft_stream_outer")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("l_event_id"),
+            coalesce(col("r_event_id"), lit(-1L)).as("r_event_id"))
+      },
+      """WITH half AS (SELECT user_id, ts, event_id FROM events WHERE user_id % 4 = 0),
+        |clk AS (SELECT * FROM half WHERE event_id % 3 = 0)
+        |SELECT l.user_id, l.event_id AS l_event_id,
+        |       CAST(coalesce(r.event_id, -1) AS BIGINT) AS r_event_id
+        |FROM half l LEFT JOIN clk r
+        |  ON l.user_id = r.user_id
+        | AND epoch_us(r.ts) >= epoch_us(l.ts)
+        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000"""),
+
     // Streaming exact dedup (dropDuplicatesWithinWatermark): the KEPT
     // row per key is arrival-order-dependent, but the kept KEY SET is
     // exactly the distinct key set — so the query projects the keys

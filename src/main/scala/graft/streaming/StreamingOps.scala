@@ -99,11 +99,22 @@ object StreamingOps {
     * Non-key column names must be disjoint between the two sides
     * (standard Spark join-ambiguity rule; callers prefix their
     * columns). The right key is renamed internally for the equi-clause
-    * and dropped from the output. */
+    * and dropped from the output.
+    *
+    * `joinType = "left_outer"`: the attribution pipeline's OTHER half —
+    * left rows that found no right row within the window emit ONCE,
+    * with NULL right columns, and only when the watermark passes the
+    * row's match window (state expiry — emitting earlier could be
+    * wrong, a match may still arrive; never emitting leaks the
+    * unattributed impressions a funnel analysis needs). The emission
+    * rides the watermark, so a replay must push it past every left
+    * row's window before reading the sink (q_stream_outer's two-
+    * sentinel seal, the q_stream_sessionize discipline). */
   def joinWithinWatermark(left: DataFrame, right: DataFrame, key: String,
                           leftTs: String, rightTs: String,
                           within: String = "1 hour",
-                          lateness: Option[String] = None): DataFrame = {
+                          lateness: Option[String] = None,
+                          joinType: String = "inner"): DataFrame = {
     // lateness (allowed out-of-orderness) and the attribution window are
     // independent knobs: a 7-day window with minutes of lateness should
     // not buffer 7 days of state on both sides. Defaults to `within`.
@@ -111,7 +122,8 @@ object StreamingOps {
     val l = left.withWatermark(leftTs, wm)
     val r = right.withColumnRenamed(key, s"${key}_r").withWatermark(rightTs, wm)
     l.join(r, expr(
-      s"$key = ${key}_r AND $rightTs >= $leftTs AND $rightTs <= $leftTs + interval '$within'"))
+      s"$key = ${key}_r AND $rightTs >= $leftTs AND $rightTs <= $leftTs + interval '$within'"),
+      joinType)
       .drop(s"${key}_r")
   }
 

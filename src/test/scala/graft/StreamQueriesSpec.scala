@@ -57,6 +57,66 @@ class StreamQueriesSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("q_stream_outer rows equal the batch LEFT JOIN with the match window") {
+    val streamed = SparkEntry.queries("q_stream_outer")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sf001)
+      .filter(pmod(col("user_id"), lit(4)) === 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    // batch left-join reference, built with an explicit keyed left join
+    val l = ev.toDF("uid", "l_us", "l_event_id")
+    val r = ev.filter(col("event_id") % 3 === 0).toDF("uid", "r_us", "r_event_id")
+    val ref = l.join(r,
+        l("uid") === r("uid") && col("r_us") >= col("l_us") &&
+          col("r_us") <= col("l_us") + 1800000000L, "left_outer")
+      .select(l("uid"), col("l_event_id"),
+        coalesce(col("r_event_id"), lit(-1L)).as("r_event_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(streamed == ref)
+    assert(streamed.exists(_._3 == -1L), "no unmatched-left rows — fixture vacuous")
+    assert(streamed.exists(_._3 >= 0L), "no matched rows — fixture vacuous")
+  }
+
+  test("left-outer NULL rows emit ONLY at watermark expiry, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import java.sql.Timestamp
+    val t0 = 1700000000000L
+    // L1 matched by R1 (same user, +5 min); L2 unmatched forever
+    val msL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp, Long)]
+    val msR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp, Long)]
+    val q = graft.streaming.StreamingOps.joinWithinWatermark(
+        msL.toDF().toDF("user_id", "l_ts", "l_event_id"),
+        msR.toDF().toDF("user_id", "r_ts", "r_event_id"),
+        "user_id", "l_ts", "r_ts", within = "30 minutes", joinType = "left_outer")
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"))
+      .writeStream.format("memory").queryName("outer_expiry_pin")
+      .outputMode("append").start()
+    try {
+      msL.addData((1L, new Timestamp(t0), 10L), (2L, new Timestamp(t0), 20L))
+      msR.addData((1L, new Timestamp(t0 + 300000L), 11L))
+      q.processAllAvailable()
+      val early = spark.table("outer_expiry_pin").collect()
+      // BEFORE expiry: the match is out, the unmatched row is NOT — a
+      // right row may still arrive; emitting early would be wrong
+      assert(early.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
+      assert(early.forall(!_.isNullAt(2)))
+      // sentinel pair pushes the watermark past L2's window; the second
+      // one makes the seal ride a DATA batch
+      val sA = (-1L, new Timestamp(t0 + 6L * 3600L * 1000L), -1L)
+      val sB = (-1L, new Timestamp(sA._2.getTime + 1000L), -1L)
+      msL.addData(sA); msR.addData(sA); q.processAllAvailable()
+      msL.addData(sB); msR.addData(sB); q.processAllAvailable()
+      val rows = spark.table("outer_expiry_pin")
+        .filter(col("user_id") >= 0).collect()
+      val nullRows = rows.filter(_.isNullAt(2)).map(r => (r.getLong(0), r.getLong(1)))
+      assert(nullRows.toSeq == Seq((2L, 20L)),
+        s"expiry emission wrong: ${nullRows.toSeq}")
+      // matched left row must NOT also get a null row
+      assert(rows.count(r => r.getLong(1) == 10L) == 1)
+    } finally q.stop()
+  }
+
   test("q_stream_cdc snapshot equals global latest-per-key minus deletes") {
     val streamed = SparkEntry.queries("q_stream_cdc")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
