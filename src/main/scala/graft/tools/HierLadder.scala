@@ -79,6 +79,47 @@ object HierLadder {
       return
     }
 
+    // "dispatch" mode (r13 verdict task 6): rungs past the 65536-cell
+    // ceiling — EXECUTES the dedupAuto → dedupSrp handoff on a real
+    // >8.4M-vector corpus instead of asserting it from a lazy plan
+    // (SemDedupSpec's unit pin): shape proof (NULL cell tier + srp_code
+    // in the analyzed plan), one cold e2e wall to place against the SRP
+    // tier's linear trend, and the planted-recall run. One e2e + one
+    // recall pass per point — min-of-2 steady is deliberately skipped
+    // at this corpus size (the dispatch claim is routing + recall +
+    // order-of-magnitude wall, not a ±5% steady number).
+    if (args.lift(3).contains("dispatch")) {
+      points.foreach { n =>
+        val dir = s"$workRoot/graft_hier${n}x"
+        generateEmbeddings(spark, base, dir, n)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val cnt = emb.count()
+        val k = SemDedup.cellsFor(cnt)
+        require(k > SemDedup.HierAssignCeiling,
+          s"point ${n}x (n=$cnt, k=$k) does not cross the ${SemDedup.HierAssignCeiling}-cell ceiling")
+        val routed = SemDedup.dedupAuto(emb, "vec_id", "embedding", threshold = 0.4)
+        val srpShape = routed.schema("cell").dataType ==
+          org.apache.spark.sql.types.IntegerType &&
+          routed.queryExecution.analyzed.toString.contains("srp_code")
+        val t0 = System.nanoTime()
+        val keptN = routed.count()
+        val tE2e = (System.nanoTime() - t0) / 1e9
+        graft.Caching.release()
+        val planted = emb.filter(col("vec_id") % 200 === 0)
+          .select((col("vec_id") + lit(1000000000000L)).as("vec_id"), col("embedding"))
+        val nPlanted = planted.count()
+        val keptPlanted = SemDedup.dedupAuto(emb.unionByName(planted),
+            "vec_id", "embedding", threshold = 0.4)
+          .filter(col("vec_id") >= 1000000000000L).count()
+        graft.Caching.release()
+        val recall = (nPlanted - keptPlanted).toDouble / math.max(1L, nPlanted).toDouble
+        println(s"""{"point":"${n}x","n_vec":$cnt,"k_wanted":$k,"srp_tier_engaged":$srpShape,"e2e_s":${num(tE2e)},"kept":$keptN,"planted":$nPlanted,"planted_kept":$keptPlanted,"planted_recall":${num(recall)}}""")
+      }
+      spark.stop()
+      return
+    }
+
     val rows = points.map { n =>
       val dir = s"$workRoot/graft_hier${n}x"
       generateEmbeddings(spark, base, dir, n)
@@ -164,12 +205,15 @@ object HierLadder {
     // r12 review: two bounds, both LOUD. (a) the sign-hash product
     // (r·1000003 + i)·2654435761 overflows Long at r = 3475 (ANSI
     // arithmetic would throw mid-generation; ScaleLadder's driver-side
-    // copy would silently wrap and diverge). (b) replica id offsets
-    // reach r·10⁸ + 2000, and the planted-dup probe in main() offsets
-    // by 10¹² — n beyond 9999 would collide replica ids with planted
-    // ids and corrupt the recall metric.
-    require(n >= 1 && n <= 3474,
-      s"replication factor must be in [1, 3474] (sign-hash Long bound), got $n")
+    // copy would silently wrap and diverge) — replicas PAST that bound
+    // (r14: the >65536-cell dispatch rung needs 4200×) switch to an
+    // xxhash64 sign, equally deterministic, so r ≤ 3474 replicas stay
+    // bit-identical to every prior ladder dir and ScaleLadder. (b)
+    // replica id offsets reach r·10⁸ + 2000, and the planted-dup probe
+    // in main() offsets by 10¹² — n beyond 9999 would collide replica
+    // ids with planted ids and corrupt the recall metric.
+    require(n >= 1 && n <= 9999,
+      s"replication factor must be in [1, 9999] (planted-id offset bound), got $n")
     val done = new java.io.File(s"$out/_EMB_OK")
     val stamp = s"$base|$n"
     if (done.exists() &&
@@ -178,7 +222,8 @@ object HierLadder {
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val reps = spark.range(0, n.toLong).select(col("id").cast("int").as("_r"))
     // sign(r, i) = +1 if bit 16 of (r·1000003 + i)·2654435761 is 0 —
-    // ScaleLadder's exact function; products stay < 2^63 for r ≤ 3474 (the require above)
+    // ScaleLadder's exact function; products stay < 2^63 for r ≤ 3474,
+    // and bigger replicas take the xxhash64 branch (ANSI-safe)
     emb.crossJoin(reps)
       .select(
         (col("vec_id") + col("_r").cast("long") * lit(off)).as("vec_id"),
@@ -187,7 +232,9 @@ object HierLadder {
             sequence(lit(0), lit(63)), // driver embeddings are 64-dim (TESTDATA.md)
             (x, i) => {
               val h = (col("_r").cast("long") * lit(1000003L) + i.cast("long")) * lit(2654435761L)
-              when(shiftrightunsigned(h, 16).bitwiseAND(lit(1L)) === 0L, x)
+              val legacySign = shiftrightunsigned(h, 16).bitwiseAND(lit(1L)) === 0L
+              val hashSign = xxhash64(col("_r"), i).bitwiseAND(lit(1L)) === 0L
+              when(when(col("_r") <= 3474, legacySign).otherwise(hashSign), x)
                 .otherwise(-x)
             })).as("embedding"))
       .repartition(32)
