@@ -57,9 +57,12 @@ class PlanAuditSpec extends SparkSpec {
     // count SHUFFLE exchanges specifically — "Exchange " would also
     // match a benign future BroadcastExchange (ADVICE r12) — but keep
     // rangepartitioning in scope: a global sort is a real second
-    // shuffle of the full corpus (r13 review); the assertion's intent
-    // is "the budget window is the only shuffle"
-    assert("Exchange (hash|range)partitioning".r.findAllIn(p).size == 1,
+    // shuffle of the full corpus (r13 review), and SinglePartition in
+    // scope too: a global agg / partitionBy-less window funnels the
+    // corpus through one task (ADVICE r13); the assertion's intent is
+    // "the budget window is the only shuffle"
+    assert("Exchange (hash|range)partitioning|Exchange SinglePartition".r
+             .findAllIn(p).size == 1,
       s"curation chain grew a second shuffle:\n$p")
     assert("Window ".r.findAllIn(p).size == 1, p)
   }
