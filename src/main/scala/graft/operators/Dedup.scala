@@ -75,8 +75,8 @@ object Dedup {
     *
     * bands × rowsPerBand must equal the signature length; the implied
     * match threshold is roughly (1/bands)^(1/rowsPerBand) — 16×4 ≈ 0.5.
-    * Candidate generation carries ONLY ids (the `embeddingNearDups`
-    * pattern): the banded frame is (id, band, band_hash), pairs come
+    * Candidate generation carries ONLY ids: the banded frame is
+    * (id, band, band_hash), pairs come
     * from one groupBy + PairsGenerator over each bucket's id list, and
     * the 64-long signature payloads re-attach via keyed joins over the
     * DEDUPED candidate set — a band self-join would ship every
@@ -239,45 +239,47 @@ object Dedup {
     * an all-pairs product; exact scoring touches only candidates.
     *
     * `maxBucketSize` (opt-in, like `lshCandidates`) drops over-full
-    * (table, bucket) groups before the id-list is collected — a hot
+    * (table, bucket) groups before the member list is collected — a hot
     * bucket (mass-duplicate embeddings, or all-zero vectors landing in
     * one code) would otherwise build one giant array on a single task
     * and square into d² candidate pairs. Members of a dropped bucket
-    * still pair through the other `tables − 1` independent codes. */
+    * still pair through the other `tables − 1` independent codes.
+    *
+    * Scale shape (r14, the prefix-Jaccard lesson applied here):
+    * verification runs IN PLACE. Each bucket collects its member
+    * (id, vec) structs in ONE groupBy — a self-join would plant the
+    * SRP-coding subtree twice with no exchange reuse — and
+    * [[graft.functions.NearPairsGenerator]] scores/filters the bucket's
+    * pairs inside the aggregation task, so the raw candidate stream
+    * (~tables·n·occupancy/2 pairs, overwhelmingly sub-threshold junk —
+    * ~8.5 BILLION rows ≈ 150 GB at the 8.4M-vector dispatch rung, which
+    * out-scratched this box through the old global dropDuplicates +
+    * two vector re-attach joins) never reaches an exchange. What
+    * shuffles instead is the bucket-member stream: tables·n rows of
+    * (id, vec) payload — linear in the corpus with a constant the
+    * vector width sets, not the bucket occupancy. The τ-surviving
+    * pairs (real near-dups only) dedup at the end: a pair colliding in
+    * several tables scores identically in each (deterministic cosine),
+    * so dropDuplicates keeps an exact row. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
                         planes: Int = 4, tables: Int = 16,
                         maxBucketSize: Option[Int] = None): DataFrame = {
-    import graft.functions.PairsGenerator.pairs
-    // base feeds the SRP coding pass AND both vector re-attach joins —
-    // persist so a COMPUTED embedding input (a projection, a decode) is
-    // evaluated once, not 3×; released by the caller via Caching.release()
-    val base = graft.Caching.persistTracked(
-      emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
-    // Candidate generation carries ONLY ids (no embedding payloads in
-    // the shuffle — measured 15× end-to-end), and pairs come from ONE
-    // groupBy + PairsGenerator over each bucket's id list instead of a
-    // self-join — a self-join would plant the SRP-coding subtree
-    // (tables×planes dot products per row) twice in the plan with no
-    // exchange reuse. Vectors re-attach via keyed joins over the
-    // deduped candidate set.
-    val coded = base
-      .select(col("id"), posexplode(
+    // single consumer of the input now (one coding pass that carries the
+    // vector along) — a COMPUTED embedding input evaluates once with no
+    // persist needed
+    val coded = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col("id"), col("vec"), posexplode(
         Similarity.srpBuckets(col("vec"), dim, planes, tables)).as(Seq("table", "bucket")))
-    // cap applies BEFORE collect_list so the giant id array of a hot
+    // cap applies BEFORE collect_list so the giant member array of a hot
     // bucket never materializes on any task
     val kept = capBuckets(coded, Seq("table", "bucket"), maxBucketSize)
-    val candidates = kept
+    kept
       .groupBy(col("table"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
-      .select(pairs(col("ids")).as(Seq("id1", "id2")))
+      .agg(collect_list(struct(col("id"), col("vec"))).as("_members"))
+      .select(graft.functions.NearPairsGenerator.nearPairs(col("_members"), threshold)
+        .as(Seq("id1", "id2", "cos_sim")))
       .dropDuplicates("id1", "id2")
-    candidates
-      .join(base.select(col("id").as("id1"), col("vec").as("v1")), Seq("id1"))
-      .join(base.select(col("id").as("id2"), col("vec").as("v2")), Seq("id2"))
-      .withColumn("cos_sim", Similarity.cosine(col("v1"), col("v2")))
-      .filter(col("cos_sim") >= threshold)
-      .select(col("id1"), col("id2"), col("cos_sim"))
   }
 
   /** Sorted-neighborhood candidate generation (the Hernández–Stolfo

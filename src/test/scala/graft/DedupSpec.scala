@@ -517,6 +517,11 @@ class DedupSpec extends SparkSpec {
     val afterAll = asMap(Dedup.removeDocs(labels, edges,
       Seq(1L, 2L, 3L, 20L).toDF("doc_id"), "doc_id"))
     assert(afterAll == Map(10L -> 10L, 11L -> 10L))
+    // removed ids absent from `labels` are ignored (the documented
+    // contract): nothing is touched, every label survives unchanged
+    val afterUnknown = asMap(Dedup.removeDocs(labels, edges,
+      Seq(999L).toDF("doc_id"), "doc_id"))
+    assert(afterUnknown == asMap(labels))
     // equivalence on the corpus pipeline: scoped recompute ≡ from-scratch
     // CC over the surviving graph (the q_remove_docs oracle's claim,
     // pinned here in-suite on the real LSH edge set)
