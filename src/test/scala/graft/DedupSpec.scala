@@ -97,6 +97,50 @@ class DedupSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("signature length")), s"got: $ex")
   }
 
+  test("near_pairs kernel ≡ pair-explode + CosineSimilarity, bit-exact (float and double)") {
+    import spark.implicits._
+    import graft.functions.{NearPairsGenerator, PairsGenerator}
+    // one bucket-member array covering the kernel's corners: duplicate
+    // id (keeps one), a pair straddling the threshold, a sub-threshold
+    // junk pair, and ragged lengths (min(|a|,|b|) fold — the
+    // CosineSimilarity contract)
+    val rng = new scala.util.Random(7)
+    val vecsF: Seq[(Long, Array[Float])] =
+      (1L to 12L).map(i => i -> Array.fill(8)(rng.nextFloat() * 2f - 1f)) ++
+        Seq(13L -> Array.fill(5)(0.5f),               // ragged
+            3L  -> Array.fill(8)(9f))                 // duplicate id, different vec
+    val tau = 0.2
+    def viaKernel(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.groupBy(lit(1)).agg(collect_list(struct(col("id"), col("vec"))).as("m"))
+        .select(NearPairsGenerator.nearPairs(col("m"), tau).as(Seq("id1", "id2", "cos")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def viaExplode(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] = {
+      val ids = df.groupBy(lit(1)).agg(collect_list(col("id")).as("ids"))
+        .select(PairsGenerator.pairs(col("ids")).as(Seq("id1", "id2")))
+      ids.join(df.select(col("id").as("id1"), col("vec").as("v1")), Seq("id1"))
+        .join(df.select(col("id").as("id2"), col("vec").as("v2")), Seq("id2"))
+        .select(col("id1"), col("id2"),
+          graft.functions.CosineSimilarity(col("v1"), col("v2")).as("cos"))
+        .filter(col("cos") >= tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    // the duplicate id's surviving vector is arbitrary in BOTH
+    // formulations (collect_list order vs join row choice) — pin parity
+    // on the DEDUPED input, and separately that the kernel emits id 3
+    // exactly once per partner
+    val dfF = vecsF.toDF("id", "vec").dropDuplicates("id")
+    assert(viaKernel(dfF) == viaExplode(dfF) && viaKernel(dfF).nonEmpty)
+    val dfD = dfF.select(col("id"), col("vec").cast("array<double>").as("vec"))
+    assert(viaKernel(dfD) == viaExplode(dfD))
+    val withDup = vecsF.toDF("id", "vec")
+    val dupEmits = withDup.groupBy(lit(1))
+      .agg(collect_list(struct(col("id"), col("vec"))).as("m"))
+      .select(NearPairsGenerator.nearPairs(col("m"), -1.0).as(Seq("id1", "id2", "cos")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dupEmits.distinct.length == dupEmits.length)
+    assert(dupEmits.count { case (a, b) => a == 3L || b == 3L } == 12)
+  }
+
   test("embeddingNearDups maxBucketSize bounds a degenerate hot bucket") {
     import spark.implicits._
     val crowdVec = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.1f)
