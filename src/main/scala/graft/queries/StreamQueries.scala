@@ -527,6 +527,68 @@ object StreamQueries {
         | AND epoch_us(r.ts) >= epoch_us(l.ts)
         | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000"""),
 
+    // Watermarked stream-stream FULL OUTER join — BOTH sides' expiry
+    // emissions in one gate: unmatched left rows AND unmatched right
+    // rows each emit exactly once with the other side NULL, only when
+    // the watermark passes their window (the reconciliation shape:
+    // orders vs payments, impressions vs clicks where both halves'
+    // orphans matter). Left = event_id%2=0, right = event_id%3=0 of
+    // the same user slice, so both orphan kinds genuinely exist. The
+    // output key coalesces across sides (a right orphan's user_id only
+    // exists on the right); both ids project NULL→−1 (pandas dtype).
+    // Same two-sentinel seal on both streams as q_stream_outer.
+    "q_stream_full_outer" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows: Array[(Long, Timestamp, Long)] = collectReplay(
+          Tables.events(s, dir)
+            .filter(pmod(col("user_id"), lit(4)) === 0)
+            .select(col("user_id"), col("ts"), col("event_id")),
+          "stream-stream full outer join replay slice")
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        val leftRows = rows.filter(_._3 % 2 == 0)
+        val rightRows = rows.filter(_._3 % 3 == 0)
+        val maxTsMs = rows.iterator.map(_._2.getTime).max
+        val sentA = (-1L, new Timestamp(maxTsMs + 3L * 3600L * 1000L), -1L)
+        val sentB = (-1L, new Timestamp(sentA._2.getTime + 1000L), -1L)
+        val msL = MemoryStream[(Long, Timestamp, Long)]
+        val msR = MemoryStream[(Long, Timestamp, Long)]
+        val left = msL.toDF().toDF("user_id", "l_ts", "l_event_id")
+        val right = msR.toDF().toDF("user_id", "r_ts", "r_event_id")
+        val q = withReplayPartitions(s) {
+          StreamingOps.joinWithinWatermark(left, right, "user_id",
+              "l_ts", "r_ts", within = "30 minutes", joinType = "full_outer")
+            .select(col("user_id"), col("l_event_id"), col("r_event_id"))
+            .writeStream.format("memory").queryName("graft_stream_full_outer")
+            .outputMode("append").start()
+        }
+        try {
+          msL.addData(leftRows.toIndexedSeq: _*)
+          msR.addData(rightRows.toIndexedSeq: _*)
+          q.processAllAvailable() // all matches emit; no expiry yet
+          msL.addData(sentA); msR.addData(sentA)
+          q.processAllAvailable() // watermark jumps past every window
+          msL.addData(sentB); msR.addData(sentB)
+          q.processAllAvailable() // the seal rides a DATA batch
+        } finally q.stop()
+        s.table("graft_stream_full_outer")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            coalesce(col("l_event_id"), lit(-1L)).as("l_event_id"),
+            coalesce(col("r_event_id"), lit(-1L)).as("r_event_id"))
+      },
+      """WITH half AS (SELECT user_id, ts, event_id FROM events WHERE user_id % 4 = 0),
+        |l AS (SELECT * FROM half WHERE event_id % 2 = 0),
+        |r AS (SELECT * FROM half WHERE event_id % 3 = 0)
+        |SELECT coalesce(l.user_id, r.user_id) AS user_id,
+        |       CAST(coalesce(l.event_id, -1) AS BIGINT) AS l_event_id,
+        |       CAST(coalesce(r.event_id, -1) AS BIGINT) AS r_event_id
+        |FROM l FULL JOIN r
+        |  ON l.user_id = r.user_id
+        | AND epoch_us(r.ts) >= epoch_us(l.ts)
+        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000"""),
+
     // Streaming exact dedup (dropDuplicatesWithinWatermark): the KEPT
     // row per key is arrival-order-dependent, but the kept KEY SET is
     // exactly the distinct key set — so the query projects the keys

@@ -23,6 +23,69 @@ object TextQueries {
   private val Bm25OneMinusB = 1.0 - Bm25B
   private def dsql(d: Double) = s"CAST('${d.toString}' AS DOUBLE)"
 
+  // BM25 per-doc scoring, shared by q_bm25 (top-20 list) and
+  // q_hybrid_rrf (the keyword arm of the fusion): exact-integer
+  // tf/df/dl/N, rational idf (ln() is not bit-portable — CLAUDE.md),
+  // fixed-order per-doc term combination (never a float sum over
+  // partition order). Returns (doc_id, bm25, n_terms), unordered.
+  private def bm25DocScores(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    val terms = Seq("dup", "join", "vector")
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+    val dl = toks.select(col("doc_id"), size(col("_toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = toks.select(col("doc_id"), explode(col("_toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val score = idf * (col("tf").cast("double") * lit(Bm25K1p1)) /
+      (col("tf").cast("double") +
+        lit(Bm25K1) * (lit(Bm25OneMinusB) +
+          lit(Bm25B) * (col("dl").cast("double") / avgdl)))
+    val scored = tf.join(dl, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("token"), score.as("s"))
+    def termScore(t: String) =
+      coalesce(max(when(col("token") === t, col("s"))), lit(0.0))
+    scored.groupBy(col("doc_id"))
+      .agg((termScore("dup") + termScore("join") + termScore("vector")).as("bm25"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  // The matching oracle CTE chain, ending in bm25doc(doc_id, bm25,
+  // n_terms) — shared by q_bm25 and q_hybrid_rrf so the two gates
+  // replay ONE definition of the ranking function.
+  private val Bm25CtesSql =
+    s"""toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS t
+      |  FROM documents
+      |), dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+      |  WHERE token IN ('dup', 'join', 'vector')
+      |  GROUP BY 1, 2),
+      |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token,
+      |         ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |         * (CAST(tf AS DOUBLE) * ${dsql(Bm25K1p1)})
+      |         / (CAST(tf AS DOUBLE) + ${dsql(Bm25K1)} * (${dsql(Bm25OneMinusB)} + ${dsql(Bm25B)} * (CAST(dl.dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS s
+      |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token) CROSS JOIN stats),
+      |bm25doc AS (
+      |  SELECT doc_id,
+      |         coalesce(max(CASE WHEN token = 'dup' THEN s END), 0.0)
+      |           + coalesce(max(CASE WHEN token = 'join' THEN s END), 0.0)
+      |           + coalesce(max(CASE WHEN token = 'vector' THEN s END), 0.0) AS bm25,
+      |         CAST(count(*) AS BIGINT) AS n_terms
+      |  FROM scored GROUP BY doc_id)"""
+
   private def langCase(sEn: String, sDe: String, sEs: String, sFr: String) =
     s"""CASE WHEN $sEn >= $sDe AND $sEn >= $sEs AND $sEn >= $sFr THEN 'en'
        |     WHEN $sDe >= $sEs AND $sDe >= $sFr THEN 'de'
@@ -448,60 +511,68 @@ object TextQueries {
     // sum() whose partition order could differ between engines (x+0.0
     // is exact, so absent terms coalesce to 0 safely).
     "q_bm25" -> QueryDef(
-      (s, dir) => {
-        val terms = Seq("dup", "join", "vector")
-        val docs = Tables.documents(s, dir)
-        val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
-        val dl = toks.select(col("doc_id"), size(col("_toks")).cast("long").as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-        val tf = toks.select(col("doc_id"), explode(col("_toks")).as("token"))
-          .filter(col("token").isin(terms: _*))
-          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
-        val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))
-        val score = idf * (col("tf").cast("double") * lit(Bm25K1p1)) /
-          (col("tf").cast("double") +
-            lit(Bm25K1) * (lit(Bm25OneMinusB) +
-              lit(Bm25B) * (col("dl").cast("double") / avgdl)))
-        val scored = tf.join(dl, Seq("doc_id"))
-          .join(broadcast(dfreq), Seq("token"))
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"), col("token"), score.as("s"))
-        def termScore(t: String) =
-          coalesce(max(when(col("token") === t, col("s"))), lit(0.0))
-        scored.groupBy(col("doc_id"))
-          .agg((termScore("dup") + termScore("join") + termScore("vector")).as("bm25"),
-            count(lit(1)).as("n_terms"))
-          .orderBy(col("bm25").desc, col("doc_id").asc)
-          .limit(20)
-      },
-      s"""WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS t
-        |  FROM documents
-        |), dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
-        |tf AS (
-        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
-        |  WHERE token IN ('dup', 'join', 'vector')
-        |  GROUP BY 1, 2),
-        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT tf.doc_id, tf.token,
-        |         ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-        |         * (CAST(tf AS DOUBLE) * ${dsql(Bm25K1p1)})
-        |         / (CAST(tf AS DOUBLE) + ${dsql(Bm25K1)} * (${dsql(Bm25OneMinusB)} + ${dsql(Bm25B)} * (CAST(dl.dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS s
-        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token) CROSS JOIN stats)
-        |SELECT doc_id,
-        |       coalesce(max(CASE WHEN token = 'dup' THEN s END), 0.0)
-        |         + coalesce(max(CASE WHEN token = 'join' THEN s END), 0.0)
-        |         + coalesce(max(CASE WHEN token = 'vector' THEN s END), 0.0) AS bm25,
-        |       CAST(count(*) AS BIGINT) AS n_terms
-        |FROM scored GROUP BY doc_id
+      (s, dir) => bm25DocScores(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20),
+      s"""WITH $Bm25CtesSql
+        |SELECT doc_id, bm25, n_terms FROM bm25doc
         |ORDER BY bm25 DESC, doc_id
         |LIMIT 20"""),
+
+    // Hybrid retrieval: Reciprocal-Rank Fusion (Cormack et al., SIGIR
+    // 2009) of the BM25 top-20 with the dense cosine top-20 for one
+    // query (query text = the BM25 terms; query vector = doc 0's
+    // embedding, candidates = every other doc) — the standard RAG
+    // serving composition, as one oracle-gated query. Both arms rank
+    // with row_number over a (score DESC, doc_id) total order; the
+    // fused score 1/(60+rank) + 1/(60+rank) is IEEE division of exact
+    // ints in FIXED arm order, so it hash-verifies. Missed-by-one-arm
+    // ranks surface as −1 (BIGINT, never NULL — pandas dtype). Scale:
+    // each arm is a distributed top-k (bounded-heap / broadcast-query
+    // cosine); the fusion itself touches ≤ 40 rows per query.
+    "q_hybrid_rrf" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val bmTop = bm25DocScores(s, dir)
+          .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+        // ≤ 20 rows: the global window runs on the already-reduced head
+        val kw = bmTop.select(col("doc_id"),
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc))
+            .cast("long").as("r"))
+        val emb = Tables.embeddings(s, dir)
+        val dense = graft.operators.Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+          .select(col("neighbor_id").as("doc_id"), col("rank").as("r"))
+        graft.operators.Retrieval.rrfFuse(Seq(kw, dense), Seq("doc_id"), "r", k = 60)
+          .select(col("doc_id"), col("rank_0").as("kw_rank"),
+            col("rank_1").as("vec_rank"), col("rrf_score"))
+      },
+      s"""WITH $Bm25CtesSql,
+        |kw AS (
+        |  SELECT doc_id, kw_rank FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS kw_rank
+        |    FROM bm25doc)
+        |  WHERE kw_rank <= 20),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |dscored AS (
+        |  SELECT vec_id AS doc_id,
+        |         list_dot_product(qv, cv) /
+        |           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos_sim
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id <> 0)
+        |  CROSS JOIN qv),
+        |vec AS (
+        |  SELECT doc_id, vec_rank FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS vec_rank
+        |    FROM dscored)
+        |  WHERE vec_rank <= 20)
+        |SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+        |       CAST(coalesce(kw_rank, -1) AS BIGINT) AS kw_rank,
+        |       CAST(coalesce(vec_rank, -1) AS BIGINT) AS vec_rank,
+        |       (CASE WHEN kw_rank IS NULL THEN CAST(0 AS DOUBLE)
+        |             ELSE CAST(1.0 AS DOUBLE) / CAST(60 + kw_rank AS DOUBLE) END)
+        |       + (CASE WHEN vec_rank IS NULL THEN CAST(0 AS DOUBLE)
+        |              ELSE CAST(1.0 AS DOUBLE) / CAST(60 + vec_rank AS DOUBLE) END) AS rrf_score
+        |FROM kw FULL JOIN vec ON kw.doc_id = vec.doc_id"""),
 
     // Deterministic train/valid/test split: portable-hash bucketing
     // (never rand() — see operators/Splits scaladoc). Reproducible

@@ -109,7 +109,11 @@ object StreamingOps {
     * unattributed impressions a funnel analysis needs). The emission
     * rides the watermark, so a replay must push it past every left
     * row's window before reading the sink (q_stream_outer's two-
-    * sentinel seal, the q_stream_sessionize discipline). */
+    * sentinel seal, the q_stream_sessionize discipline).
+    *
+    * `joinType = "full_outer"`: BOTH unmatched sides emit on expiry —
+    * the output key is coalesced from whichever side is present (for
+    * inner/left joins the coalesce is the left key unchanged). */
   def joinWithinWatermark(left: DataFrame, right: DataFrame, key: String,
                           leftTs: String, rightTs: String,
                           within: String = "1 hour",
@@ -124,6 +128,10 @@ object StreamingOps {
     l.join(r, expr(
       s"$key = ${key}_r AND $rightTs >= $leftTs AND $rightTs <= $leftTs + interval '$within'"),
       joinType)
+      // right-expiry rows (full/right outer) carry the key ONLY in the
+      // renamed right column; for inner/left joins this coalesce is
+      // exactly the left key
+      .withColumn(key, coalesce(col(key), col(s"${key}_r")))
       .drop(s"${key}_r")
   }
 

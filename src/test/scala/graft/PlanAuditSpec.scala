@@ -67,6 +67,25 @@ class PlanAuditSpec extends SparkSpec {
     assert("Window ".r.findAllIn(p).size == 1, p)
   }
 
+  test("rrfFuse: per-query keyed fusion, no singleton funnel, no cartesian") {
+    import org.apache.spark.sql.functions._
+    // the scale shape: millions of (query, doc) keyed top-k rows per
+    // arm — fusion must stay a keyed join (one hash exchange per arm),
+    // never a global funnel or a nested-loop
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id").as("query_id"), col("event_id").as("doc_id"))
+    val a = ev.withColumn("r", lit(1L))
+    val b = ev.withColumn("r", lit(2L))
+    val p = graft.operators.Retrieval
+      .rrfFuse(Seq(a, b), Seq("query_id", "doc_id"), "r")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(query_id".r.findAllIn(p).size == 2,
+      s"fusion join no longer keyed by (query, doc):\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"global funnel:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"fusion fell off the keyed join:\n$p")
+  }
+
   test("q_contrastive_negs: corpus count broadcasts; the draw is one keyed join") {
     val p = planOf("q_contrastive_negs")
     assert(p.contains("BroadcastExchange"), s"corpus count must broadcast:\n$p")

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** Pins [[Retrieval.rrfFuse]] against the textbook RRF definition
+  * (Cormack et al., SIGIR 2009): rrf(d) = Σ_lists 1/(k + rank_list(d))
+  * over the lists that retrieved d — including the corners the driver
+  * tables can't produce (an id missing from every list but one, three
+  * lists, k ≠ 60, per-query keyed fusion).
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(rows: (Long, Long)*) = rows.toDF("doc_id", "r")
+
+  test("two-list fusion matches the hand-computed RRF scores; missing ranks are -1") {
+    // list A: docs 1,2,3 at ranks 1,2,3; list B: docs 3,4 at ranks 1,2
+    val fused = Retrieval.rrfFuse(
+      Seq(ranks(1L -> 1L, 2L -> 2L, 3L -> 3L), ranks(3L -> 1L, 4L -> 2L)),
+      Seq("doc_id"), "r", k = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(fused === Array(
+      (1L, 1L, -1L, 1.0 / 61),
+      (2L, 2L, -1L, 1.0 / 62),
+      (3L, 3L, 1L, 1.0 / 63 + 1.0 / 61),
+      (4L, -1L, 2L, 1.0 / 62)))
+  }
+
+  test("doc in both lists outranks a doc at the same best rank in one list") {
+    val fused = Retrieval.rrfFuse(
+      Seq(ranks(1L -> 1L, 2L -> 2L), ranks(2L -> 1L)),
+      Seq("doc_id"), "r")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    // doc 2 (ranks 2 and 1) beats doc 1 (rank 1, one list): the
+    // consensus property that makes RRF a fusion, not a max
+    assert(fused(2L) > fused(1L))
+  }
+
+  test("three lists fold in argument order; k parameter respected") {
+    val fused = Retrieval.rrfFuse(
+      Seq(ranks(7L -> 1L), ranks(7L -> 2L), ranks(7L -> 3L)),
+      Seq("doc_id"), "r", k = 10)
+      .collect()
+    assert(fused.length == 1)
+    val row = fused.head
+    assert(row.getLong(0) == 7L)
+    assert((1 to 3).map(i => row.getLong(i)) == Seq(1L, 2L, 3L))
+    // exact IEEE replay of the fixed-order fold
+    assert(row.getDouble(4) == (1.0 / 11 + 1.0 / 12) + 1.0 / 13)
+  }
+
+  test("per-query keyed fusion never mixes queries") {
+    val a = Seq((1L, 10L, 1L), (2L, 10L, 1L)).toDF("query_id", "doc_id", "r")
+    val b = Seq((1L, 11L, 1L)).toDF("query_id", "doc_id", "r")
+    val fused = Retrieval.rrfFuse(Seq(a, b), Seq("query_id", "doc_id"), "r")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(fused((1L, 10L)) == (1L, -1L))
+    assert(fused((1L, 11L)) == (-1L, 1L))
+    assert(fused((2L, 10L)) == (1L, -1L))
+    assert(fused.size == 3)
+  }
+
+  test("empty ranking list and k < 1 are rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq.empty, Seq("doc_id"), "r")
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(ranks(1L -> 1L)), Seq("doc_id"), "r", k = 0)
+    }
+  }
+
+  test("q_hybrid_rrf: both arms contribute and ranks are consistent with membership") {
+    val out = SparkEntry.queries("q_hybrid_rrf")(spark, sf001)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    // exactly 20 docs per arm (sf0.001 has >= 40 docs, >= 3 term hits)
+    assert(rows.count(_._2 >= 1) == 20)
+    assert(rows.count(_._3 >= 1) == 20)
+    rows.foreach { case (_, kw, vec, s) =>
+      assert(kw >= -1 && vec >= -1 && (kw >= 1 || vec >= 1))
+      val expected = (if (kw >= 1) 1.0 / (60 + kw) else 0.0) +
+        (if (vec >= 1) 1.0 / (60 + vec) else 0.0)
+      assert(s == expected)
+    }
+  }
+}

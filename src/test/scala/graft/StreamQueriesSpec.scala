@@ -117,6 +117,49 @@ class StreamQueriesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer: BOTH sides' orphans emit only at expiry, keys coalesced") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import java.sql.Timestamp
+    val t0 = 1700000000000L
+    // L1(u1) matched by R1(u1, +5 min); L2(u2) a left orphan;
+    // R2(u3) a right orphan — u3 has NO left row at all
+    val msL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp, Long)]
+    val msR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp, Long)]
+    val q = graft.streaming.StreamingOps.joinWithinWatermark(
+        msL.toDF().toDF("user_id", "l_ts", "l_event_id"),
+        msR.toDF().toDF("user_id", "r_ts", "r_event_id"),
+        "user_id", "l_ts", "r_ts", within = "30 minutes", joinType = "full_outer")
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"))
+      .writeStream.format("memory").queryName("full_outer_expiry_pin")
+      .outputMode("append").start()
+    try {
+      msL.addData((1L, new Timestamp(t0), 10L), (2L, new Timestamp(t0), 20L))
+      msR.addData((1L, new Timestamp(t0 + 300000L), 11L),
+        (3L, new Timestamp(t0 + 300000L), 31L))
+      q.processAllAvailable()
+      val early = spark.table("full_outer_expiry_pin").collect()
+      // BEFORE expiry: only the match — neither orphan may emit early
+      assert(early.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        == Set((1L, 10L, 11L)))
+      val sA = (-1L, new Timestamp(t0 + 6L * 3600L * 1000L), -1L)
+      val sB = (-1L, new Timestamp(sA._2.getTime + 1000L), -1L)
+      msL.addData(sA); msR.addData(sA); q.processAllAvailable()
+      msL.addData(sB); msR.addData(sB); q.processAllAvailable()
+      val rows = spark.table("full_outer_expiry_pin")
+        .filter(col("user_id") >= 0).collect()
+      // left orphan: NULL right id; right orphan: NULL left id with the
+      // key coalesced from the RIGHT side (the helper's coalesce pin)
+      val leftOrphans = rows.filter(_.isNullAt(2)).map(r => (r.getLong(0), r.getLong(1)))
+      val rightOrphans = rows.filter(_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(2)))
+      assert(leftOrphans.toSeq == Seq((2L, 20L)), s"left orphans: ${leftOrphans.toSeq}")
+      assert(rightOrphans.toSeq == Seq((3L, 31L)), s"right orphans: ${rightOrphans.toSeq}")
+      // the match emits exactly once — no duplicate null-extended row
+      assert(rows.count(r => !r.isNullAt(1) && r.getLong(1) == 10L) == 1)
+      assert(rows.length == 3)
+    } finally q.stop()
+  }
+
   test("q_stream_cdc snapshot equals global latest-per-key minus deletes") {
     val streamed = SparkEntry.queries("q_stream_cdc")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
