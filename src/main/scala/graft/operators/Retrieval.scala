@@ -37,6 +37,16 @@ object Retrieval {
     require(k >= 1, s"rrfFuse: smoothing constant k must be >= 1 (got $k)")
     val named = rankings.zipWithIndex.map { case (r, i) =>
       r.select(keyCols.map(col) :+ col(rankCol).cast("long").as(s"rank_$i"): _*)
+        // a rank < 1 (or NULL) would silently skew 1/(k+rank) — the
+        // raise_error-filter pattern: free when the contract holds,
+        // loud when it doesn't (NULL comparison falls to the error arm)
+        .filter(when(col(s"rank_$i") >= 1L, lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"rrfFuse: ranks must be >= 1 (list $i got "),
+            // a NULL rank would null the whole concat and raise a
+            // message-less error — coalesce keeps the diagnosis
+            coalesce(col(s"rank_$i").cast("string"), lit("NULL")),
+            lit(")"))).cast("boolean")))
     }
     // using-column joins coalesce the keys; full outer keeps ids any
     // one list retrieved

@@ -177,6 +177,92 @@ object SemDedup {
     dedupRanked(emb, assignProbed(emb, idCol, vecCol, centroids, probes),
       idCol, vecCol, threshold, maxCellSize)
 
+  /** (id, cell, rank): the stored probed index of a standing corpus —
+    * the public artifact an ingest pipeline persists ONCE (beside the
+    * embeddings) and reuses for every arriving batch, so ingest never
+    * re-assigns the standing corpus. Rank 1 is [[assign]]'s cell;
+    * rank ≤ probes are the boundary-recovery probes ([[dedupProbed]]).
+    * Refresh on centroid retrain; delete rows via
+    * [[Dedup.removeFromIndex]]. */
+  def probedIndex(emb: DataFrame, idCol: String, vecCol: String,
+                  centroids: Seq[(Int, Array[Float])] = IvfCentroids.cells,
+                  probes: Int = 2): DataFrame =
+    assignProbed(emb, idCol, vecCol, centroids, probes)
+
+  /** Batch-vs-standing near-dup edges over shared probed cells: the
+    * SemDeDup analogue of [[Dedup.lshCandidatesAgainst]]. Both sides'
+    * vectors attach per (cell, id) row BEFORE the cell join (the
+    * [[edgesOf]] exchange argument), sub-threshold pairs die inside
+    * the cosine filter, and only τ-survivors pass the final pair
+    * dedup (a pair can share up to probes² cells). */
+  private def edgesAgainst(standingEmb: DataFrame, standingCells: DataFrame,
+                           batchEmb: DataFrame, batchCells: DataFrame,
+                           idCol: String, vecCol: String,
+                           threshold: Double): DataFrame = {
+    val sv = standingCells.join(standingEmb.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col("cell"), col(idCol).as("corpus_id"), col(vecCol).as("_v1"))
+    val bv = batchCells.join(batchEmb.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col("cell"), col(idCol).as("new_id"), col(vecCol).as("_v2"))
+    sv.join(bv, Seq("cell"))
+      .filter(col("corpus_id") =!= col("new_id"))
+      .withColumn("cos_sim", Similarity.cosine(col("_v1"), col("_v2")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("corpus_id"), col("new_id"), col("cos_sim"))
+      .dropDuplicates("corpus_id", "new_id")
+  }
+
+  /** Batch-vs-standing semantic near-dup pairs — (corpus_id, new_id,
+    * cos_sim), candidates wherever the batch id's probed cells (top-
+    * `probes` under the SAME frozen quantizer) intersect the standing
+    * probed index. `standingCells` is [[probedIndex]] output (or any
+    * (id, cell) frame; extra columns ignored). Ids must be disjoint
+    * across sides (the [[Dedup.incrementalComponents]] contract). */
+  def dupEdgesAgainst(standingEmb: DataFrame, standingCells: DataFrame,
+                      batchEmb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double,
+                      centroids: Seq[(Int, Array[Float])] = IvfCentroids.cells,
+                      maxCellSize: Option[Int] = None,
+                      probes: Int = 2): DataFrame = {
+    val bCells = cap(assignProbed(batchEmb, idCol, vecCol, centroids, probes)
+      .select(col(idCol), col("cell")), idCol, maxCellSize)
+    edgesAgainst(standingEmb,
+      cap(standingCells.select(col(idCol), col("cell")), idCol, maxCellSize),
+      batchEmb, bCells, idCol, vecCol, threshold)
+  }
+
+  /** Ingest-path semantic dedup: the batch rows that survive against a
+    * CURATED standing corpus — the entry point the LSH/spans families
+    * have ([[Dedup.lshCandidatesAgainst]] / [[Dedup
+    * .duplicateSpansAgainst]]) and the semantic tier lacked. A batch id
+    * is dropped when it has a ≥-threshold edge to ANY standing id
+    * (standing always wins — the corpus is already curated, ingest must
+    * never evict it; id order is irrelevant across sides) or to a
+    * SMALLER batch id (the min-id rule within the batch, [[dedupProbed]]
+    * semantics). Output = surviving batch (id, rank-1 cell). The batch
+    * is probed ONCE (Caching-tracked) and serves both edge streams; the
+    * standing side costs one keyed scan of its stored [[probedIndex]] —
+    * never a corpus re-assignment, so per-batch cost scales with the
+    * batch and the touched cells, not the corpus. */
+  def dedupIngest(standingEmb: DataFrame, standingCells: DataFrame,
+                  batchEmb: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double,
+                  centroids: Seq[(Int, Array[Float])] = IvfCentroids.cells,
+                  maxCellSize: Option[Int] = None,
+                  probes: Int = 2): DataFrame = {
+    val probedB = graft.Caching.persistTracked(
+      assignProbed(batchEmb, idCol, vecCol, centroids, probes))
+    val bCells = cap(probedB.select(col(idCol), col("cell")), idCol, maxCellSize)
+    val internalLosers = edgesProbed(batchEmb, bCells, idCol, vecCol, threshold)
+      .select(col("id2").as(idCol)).distinct()
+    val corpusHits = edgesAgainst(standingEmb,
+        cap(standingCells.select(col(idCol), col("cell")), idCol, maxCellSize),
+        batchEmb, bCells, idCol, vecCol, threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    probedB.filter(col("rank") === 1).select(col(idCol), col("cell"))
+      .join(internalLosers, Seq(idCol), "left_anti")
+      .join(corpusHits, Seq(idCol), "left_anti")
+  }
+
   /** Dup edges: (id1, id2, cell, cos_sim) with id1 < id2, cosine ≥
     * threshold, both ids assigned to `cell`. */
   def dupEdges(emb: DataFrame, idCol: String, vecCol: String,

@@ -899,6 +899,56 @@ object SimilarityQueries {
         |FROM asgn
         |WHERE crank = 1 AND vec_id NOT IN (SELECT id2 FROM edges)"""),
 
+    // SemDedup.dedupIngest — the semantic tier's batch-vs-standing
+    // entry point (the lshCandidatesAgainst shape): standing corpus =
+    // vec_id%10<8 with its STORED probedIndex, batch = vec_id%10>=8
+    // probed in-path under the same frozen quantizer. A batch id is
+    // dropped on a >=0.4 edge to ANY standing id (standing always wins,
+    // id order irrelevant across sides) or to a SMALLER batch id
+    // (min-id within the batch). The oracle replays the probed
+    // assignment once for all ids, splits the sides, and re-derives
+    // both edge streams — the whole ingest rule is hash-verified.
+    "q_semdedup_ingest" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val standing = emb.filter(col("vec_id") % 10 < 8)
+        val batch = emb.filter(col("vec_id") % 10 >= 8)
+        graft.operators.SemDedup.dedupIngest(
+            standing,
+            graft.operators.SemDedup.probedIndex(standing, "vec_id", "embedding"),
+            batch, "vec_id", "embedding", threshold = 0.4)
+          .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      },
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (${graft.operators.IvfCentroids.duckdbValues}),
+        |asgn AS (
+        |  SELECT vec_id, cell, crank FROM (
+        |    SELECT e.vec_id, cents.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.v, cents.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.c, cents.c))) DESC,
+        |             cents.cell) AS crank
+        |    FROM e CROSS JOIN cents)
+        |  WHERE crank <= 2),
+        |edges_int AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN e qe ON qe.vec_id = a.vec_id
+        |  JOIN e ce ON ce.vec_id = b.vec_id
+        |  WHERE a.vec_id % 10 >= 8 AND b.vec_id % 10 >= 8
+        |    AND list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) >= 0.4),
+        |edges_corpus AS (
+        |  SELECT a.vec_id AS corpus_id, b.vec_id AS new_id
+        |  FROM asgn a JOIN asgn b ON a.cell = b.cell
+        |  JOIN e qe ON qe.vec_id = a.vec_id
+        |  JOIN e ce ON ce.vec_id = b.vec_id
+        |  WHERE a.vec_id % 10 < 8 AND b.vec_id % 10 >= 8
+        |    AND list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) >= 0.4)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell
+        |FROM asgn
+        |WHERE crank = 1 AND vec_id % 10 >= 8
+        |  AND vec_id NOT IN (SELECT id2 FROM edges_int)
+        |  AND vec_id NOT IN (SELECT new_id FROM edges_corpus)"""),
+
     // The >FlatAssignCeiling tier of semantic dedup, hash-gated end to
     // end (r11 verdict task 2): the engine path is SemDedup.dedupHier →
     // Similarity.assignCellsHierarchical (coarsen's driver Lloyd + the

@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SemDedup, Similarity}
+
+/** Measures the semantic tier's INGEST claim ([[SemDedup.dedupIngest]]
+  * scaladoc): per-batch cost scales with the batch and its touched
+  * cells — never a standing-corpus re-assignment — beside the
+  * counterfactual a pipeline without the ingest path pays for the same
+  * arrival (full corpus∪batch re-dedup via [[SemDedup.dedupProbed]]).
+  *
+  * Protocol per point (corpus = N× sf0.1 embeddings via the ladder's
+  * replica-disjoint sign-flip construction; quantizer sized by
+  * [[SemDedup.cellsFor]] on the deterministic
+  * [[Similarity.hashCentroids]] frame, so every point holds cell
+  * occupancy ≈ target — the sizing rule the whole family's linearity
+  * rests on):
+  *   - the standing [[SemDedup.probedIndex]] is built ONCE and WRITTEN
+  *     to parquet (the stored posture of a real pipeline — ingest
+  *     reads it, never recomputes it);
+  *   - batch: replica-0's 2k vectors re-idded to a disjoint range —
+  *     FIXED across points (the corpus grows N×, the arrival doesn't),
+  *     and every member an exact dup of a standing row, so the
+  *     expected survivor count is 0 (a correctness probe the timing
+  *     rides on: a kept row means the standing side was not consulted);
+  *   - (a) dedupIngest against the stored index, min-of-2 steady;
+  *   - (b) counterfactual: dedupProbed over corpus ∪ batch, min-of-2.
+  *
+  * The claim holds if (a)'s cross-point exponent stays far below (b)'s
+  * ≈ 1. (a) keeps one k-linear term — the batch's own n_batch·k
+  * assignment cosines — so ~flat is not expected; "≪ the re-dedup
+  * exponent" is (the [[RemoveLadder]] reading).
+  *
+  * Usage: runMain graft.tools.IngestLadder [baseDir] [workRoot] [points]
+  *   points: comma-separated replication factors, default "30,100,200"
+  *   (200× → 400k vectors, k = 3125 — the flat tier's last comfortable
+  *   rung; past [[SemDedup.FlatAssignCeiling]] the hier/SRP tiers own
+  *   the corpus and HierLadder owns the measurement).
+  */
+object IngestLadder {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workRoot = args.lift(1).getOrElse("/tmp")
+    val points = args.lift(2).getOrElse("30,100,200")
+      .split(",").toSeq.map(_.trim.toInt)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def timed(body: => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val r = try body finally graft.Caching.release()
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val rows = points.map { n =>
+      val dir = s"$workRoot/graft_ingest${n}x"
+      HierLadder.generateEmbeddings(spark, base, dir, n)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val nVec = emb.count()
+      val k = SemDedup.cellsFor(nVec)
+      require(k <= SemDedup.FlatAssignCeiling,
+        s"point ${n}x (n=$nVec, k=$k) belongs to the hier tier — HierLadder's rung")
+      val centroids = Similarity.hashCentroids(k, 64)
+
+      // standing probed index, built once per (base, n, k) and stored
+      val stamp = s"$base|$n|$k"
+      val okFile = new java.io.File(s"$dir/_INGEST_OK")
+      if (!(okFile.exists() &&
+            new String(java.nio.file.Files.readAllBytes(okFile.toPath)) == stamp)) {
+        SemDedup.probedIndex(emb, "vec_id", "embedding", centroids)
+          .write.mode("overwrite").parquet(s"$dir/probed_index.parquet")
+        graft.Caching.release()
+        java.nio.file.Files.write(okFile.toPath, stamp.getBytes)
+      }
+      val storedIdx = spark.read.parquet(s"$dir/probed_index.parquet")
+
+      // fixed arrival: replica-0's vectors under disjoint ids — exact
+      // dups of standing rows (expected survivors: 0)
+      val batch = spark.read.parquet(s"$base/embeddings.parquet")
+        .select((col("vec_id") + lit(5000000000000L)).as("vec_id"), col("embedding"))
+      val nBatch = batch.count()
+
+      def ingestRun(): (Long, Double) = timed {
+        SemDedup.dedupIngest(emb, storedIdx, batch, "vec_id", "embedding",
+          threshold = 0.4, centroids).count()
+      }
+      def fullRun(): (Long, Double) = timed {
+        SemDedup.dedupProbed(emb.unionByName(batch), "vec_id", "embedding",
+          threshold = 0.4, centroids).count()
+      }
+      val (keptN, _) = ingestRun() // cold; also the correctness probe
+      require(keptN == 0L,
+        s"ingest kept $keptN of a batch of exact standing dups at ${n}x — " +
+          "the standing side was not consulted")
+      val tIngest = math.min(ingestRun()._2, ingestRun()._2)
+      val (fullKept, _) = fullRun()
+      val tFull = math.min(fullRun()._2, fullRun()._2)
+      println(s"""{"point":"${n}x","n_standing":$nVec,"k":$k,"n_batch":$nBatch,"t_ingest_s":${num(tIngest)},"t_full_rededup_s":${num(tFull)},"full_kept":$fullKept}""")
+      (n, tIngest, tFull)
+    }
+    rows.sliding(2).foreach {
+      case Seq((n1, i1, f1), (n2, i2, f2)) =>
+        val f = n2.toDouble / n1
+        def expo(a: Double, b: Double): String = num(math.log(b / a) / math.log(f))
+        println(s"${n1}x -> ${n2}x (factor ${num(f)}): ingest exponent " +
+          s"${expo(i1, i2)}, full-rededup exponent ${expo(f1, f2)}")
+      case _ => ()
+    }
+    spark.stop()
+  }
+}

@@ -71,6 +71,18 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("a rank below 1 (or NULL) fails loudly, never skews the fused score") {
+    val e = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(ranks(1L -> 0L)), Seq("doc_id"), "r").collect()
+    }
+    assert(e.getMessage.contains("ranks must be >= 1"), e.getMessage)
+    val withNull = spark.sql("SELECT CAST(1 AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS r")
+    val e2 = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(withNull), Seq("doc_id"), "r").collect()
+    }
+    assert(e2.getMessage.contains("ranks must be >= 1"), e2.getMessage)
+  }
+
   test("q_hybrid_rrf: both arms contribute and ranks are consistent with membership") {
     val out = SparkEntry.queries("q_hybrid_rrf")(spark, sf001)
     val rows = out.collect().map(r =>

@@ -371,6 +371,44 @@ class SemDedupSpec extends SparkSpec {
       s"tier dropped a non-dup: ${(dropped -- exactDropped).take(5)}")
   }
 
+  test("dedupIngest: standing wins regardless of id order; min-id within batch; boundary via probe-2") {
+    val threeCells: Seq[(Int, Array[Float])] = Seq(
+      (0, Array(1f, 0f, 0f, 0f)),
+      (1, Array(0f, 1f, 0f, 0f)),
+      (2, Array(0f, 0f, 1f, 0f)))
+    val standing = df(
+      10L -> Array(1f, 0.05f, 0f, 0f),      // cell 0
+      11L -> Array(0.05f, 1f, 0f, 0f),      // cell 1
+      12L -> Array(0.74f, 0.67f, 0f, 0f))   // boundary: probes {0, 1}
+    val batch = df(
+      5L -> Array(0.999f, 0.04f, 0f, 0f),   // dup of standing 10 — id SMALLER
+      20L -> Array(0f, 0f, 1f, 0.02f),      // cell 2, min of a batch pair
+      21L -> Array(0f, 0f, 1f, 0.03f),      // dup of 20 — higher id drops
+      30L -> Array(0f, 0.1f, 0f, 1f),       // unique: cell 1, far from 11
+      40L -> Array(0.67f, 0.74f, 0f, 0f))   // boundary twin of standing 12
+    val idx = SemDedup.probedIndex(standing, "id", "vec", threeCells)
+    val kept = SemDedup.dedupIngest(standing, idx, batch, "id", "vec",
+        threshold = 0.9, threeCells)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 5 dropped by standing 10 (standing wins though 5 < 10); 21 by
+    // batch 20; 40 by standing 12 — catchable ONLY through the shared
+    // 2nd probe (rank-1 cells differ: 40→1, 12→0)
+    assert(kept == Map(20L -> 2, 30L -> 1), s"got $kept")
+    // the edge stream itself: exactly the two cross-side dup pairs
+    val edges = SemDedup.dupEdgesAgainst(standing, idx, batch, "id", "vec",
+        threshold = 0.9, threeCells)
+      .select("corpus_id", "new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((10L, 5L), (12L, 40L)), s"got $edges")
+    // probes = 1: the boundary pair is invisible (rank-1 cells differ)
+    // — the within-cell-only recall gap the probed index exists to close
+    val idx1 = SemDedup.probedIndex(standing, "id", "vec", threeCells, probes = 1)
+    val kept1 = SemDedup.dedupIngest(standing, idx1, batch, "id", "vec",
+        threshold = 0.9, threeCells, probes = 1)
+      .select("id").as[Long].collect().toSet
+    assert(kept1 == Set(20L, 30L, 40L), s"got $kept1")
+  }
+
   test("maxCellSize caps candidate generation deterministically") {
     val emb = df(
       1L -> Array(1f, 0f, 0f, 0f),
