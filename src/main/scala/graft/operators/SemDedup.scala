@@ -199,7 +199,16 @@ object SemDedup {
                            batchEmb: DataFrame, batchCells: DataFrame,
                            idCol: String, vecCol: String,
                            threshold: Double): DataFrame = {
-    val sv = standingCells.join(standingEmb.select(col(idCol), col(vecCol)), Seq(idCol))
+    // touched-cell carve-out (lossless: a pair needs a shared cell, so
+    // standing rows outside the batch's probed cells can never pair):
+    // the standing side's vector attach and exchange carry only the
+    // TOUCHED cells' members — for a localized arrival (a crawl shard,
+    // one source's drop) that is a few cells' occupancy, not the
+    // corpus; the broadcast is the batch's distinct cell set (≤ probes
+    // × |batch|, usually far smaller)
+    val touched = batchCells.select(col("cell")).distinct()
+    val sCells = standingCells.join(touched.hint("broadcast"), Seq("cell"), "left_semi")
+    val sv = sCells.join(standingEmb.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col("cell"), col(idCol).as("corpus_id"), col(vecCol).as("_v1"))
     val bv = batchCells.join(batchEmb.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col("cell"), col(idCol).as("new_id"), col(vecCol).as("_v2"))
@@ -240,9 +249,13 @@ object SemDedup {
     * SMALLER batch id (the min-id rule within the batch, [[dedupProbed]]
     * semantics). Output = surviving batch (id, rank-1 cell). The batch
     * is probed ONCE (Caching-tracked) and serves both edge streams; the
-    * standing side costs one keyed scan of its stored [[probedIndex]] —
-    * never a corpus re-assignment, so per-batch cost scales with the
-    * batch and the touched cells, not the corpus. */
+    * standing side is semi-joined to the batch's probed cells before
+    * its vector attach — never a corpus re-assignment, so per-batch
+    * cost scales with the batch plus the standing MEMBERS OF ITS
+    * TOUCHED CELLS (measured: tools/IngestLadder — a cell-localized
+    * arrival holds near-flat across corpus scale; a corpus-spread
+    * arrival touches every cell and pays those members' attach, still
+    * well under the full re-dedup counterfactual). */
   def dedupIngest(standingEmb: DataFrame, standingCells: DataFrame,
                   batchEmb: DataFrame, idCol: String, vecCol: String,
                   threshold: Double,

@@ -20,24 +20,33 @@ import graft.operators.{SemDedup, Similarity}
   *   - the standing [[SemDedup.probedIndex]] is built ONCE and WRITTEN
   *     to parquet (the stored posture of a real pipeline — ingest
   *     reads it, never recomputes it);
-  *   - batch: replica-0's 2k vectors re-idded to a disjoint range —
-  *     FIXED across points (the corpus grows N×, the arrival doesn't),
-  *     and every member an exact dup of a standing row, so the
+  *   - batch, two shapes, both exact dups of standing rows so the
   *     expected survivor count is 0 (a correctness probe the timing
-  *     rides on: a kept row means the standing side was not consulted);
+  *     rides on — a kept row means the standing side was not
+  *     consulted): DEFAULT = replica-0's 2k vectors re-idded (a
+  *     corpus-SPREAD arrival — touches every cell, the worst case for
+  *     the touched-cell carve-out); mode `local` = the standing
+  *     members of the 16 smallest-id cells re-idded (a cell-LOCALIZED
+  *     arrival, ~16 × occupancy ≈ 2k members at every point since the
+  *     sizing rule fixes occupancy — the common case: one source's
+  *     drop, one crawl shard);
   *   - (a) dedupIngest against the stored index, min-of-2 steady;
   *   - (b) counterfactual: dedupProbed over corpus ∪ batch, min-of-2.
   *
   * The claim holds if (a)'s cross-point exponent stays far below (b)'s
-  * ≈ 1. (a) keeps one k-linear term — the batch's own n_batch·k
-  * assignment cosines — so ~flat is not expected; "≪ the re-dedup
-  * exponent" is (the [[RemoveLadder]] reading).
+  * ≈ 1, and the `local` mode's stays near 0 — ingest cost ∝ touched
+  * members, and a localized batch's touched set does not grow with the
+  * corpus. The spread mode keeps corpus-linear terms by construction
+  * (every cell's members attach) plus the batch's n_batch·k assignment
+  * cosines; "≪ the re-dedup exponent" is its bar (the [[RemoveLadder]]
+  * reading).
   *
-  * Usage: runMain graft.tools.IngestLadder [baseDir] [workRoot] [points]
+  * Usage: runMain graft.tools.IngestLadder [baseDir] [workRoot] [points] [mode]
   *   points: comma-separated replication factors, default "30,100,200"
   *   (200× → 400k vectors, k = 3125 — the flat tier's last comfortable
   *   rung; past [[SemDedup.FlatAssignCeiling]] the hier/SRP tiers own
   *   the corpus and HierLadder owns the measurement).
+  *   mode: `local` for the cell-localized batch (default: spread).
   */
 object IngestLadder {
   def main(args: Array[String]): Unit = {
@@ -45,6 +54,7 @@ object IngestLadder {
     val workRoot = args.lift(1).getOrElse("/tmp")
     val points = args.lift(2).getOrElse("30,100,200")
       .split(",").toSeq.map(_.trim.toInt)
+    val localMode = args.lift(3).contains("local")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -83,10 +93,19 @@ object IngestLadder {
       }
       val storedIdx = spark.read.parquet(s"$dir/probed_index.parquet")
 
-      // fixed arrival: replica-0's vectors under disjoint ids — exact
-      // dups of standing rows (expected survivors: 0)
-      val batch = spark.read.parquet(s"$base/embeddings.parquet")
-        .select((col("vec_id") + lit(5000000000000L)).as("vec_id"), col("embedding"))
+      // fixed arrival under disjoint ids — exact dups of standing rows
+      // (expected survivors: 0). Spread: replica-0's vectors (touch
+      // every cell). Local: the members of the 16 smallest-id cells
+      // (~16 × occupancy members — constant across points).
+      val batch =
+        if (localMode)
+          storedIdx.filter(col("rank") === 1 && col("cell") < 16)
+            .select(col("vec_id"))
+            .join(emb, Seq("vec_id"))
+            .select((col("vec_id") + lit(5000000000000L)).as("vec_id"), col("embedding"))
+        else
+          spark.read.parquet(s"$base/embeddings.parquet")
+            .select((col("vec_id") + lit(5000000000000L)).as("vec_id"), col("embedding"))
       val nBatch = batch.count()
 
       def ingestRun(): (Long, Double) = timed {
@@ -104,7 +123,8 @@ object IngestLadder {
       val tIngest = math.min(ingestRun()._2, ingestRun()._2)
       val (fullKept, _) = fullRun()
       val tFull = math.min(fullRun()._2, fullRun()._2)
-      println(s"""{"point":"${n}x","n_standing":$nVec,"k":$k,"n_batch":$nBatch,"t_ingest_s":${num(tIngest)},"t_full_rededup_s":${num(tFull)},"full_kept":$fullKept}""")
+      val mode = if (localMode) "local" else "spread"
+      println(s"""{"point":"${n}x","mode":"$mode","n_standing":$nVec,"k":$k,"n_batch":$nBatch,"t_ingest_s":${num(tIngest)},"t_full_rededup_s":${num(tFull)},"full_kept":$fullKept}""")
       (n, tIngest, tFull)
     }
     rows.sliding(2).foreach {
