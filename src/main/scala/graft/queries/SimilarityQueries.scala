@@ -684,6 +684,62 @@ object SimilarityQueries {
         |  FROM scored)
         |WHERE rank <= 10"""),
 
+    // ANN ensemble fusion: the IVF(nprobe=4) and SRP-LSH(8 tables)
+    // top-10 lists fused per query by reciprocal rank (Retrieval
+    // .rrfFuse keyed by (query_id, neighbor_id)) — the production
+    // recall-rescue pattern when two index families miss DIFFERENT
+    // neighbors (IVF loses cross-cell, LSH loses low-collision): the
+    // union is re-ranked by consensus without score calibration. Both
+    // arms' full chains replay on both engines; the fused score is the
+    // fixed-order 1/(60+r) fold (IEEE-exact), missed-arm ranks are −1.
+    // This also driver-gates rrfFuse's per-QUERY keyed path (q_hybrid
+    // _rrf gates the single-query shape).
+    "q_ann_fuse" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val ivf = Similarity.ivfTopKFrozen(
+            emb, qs, "vec_id", "embedding", k = 10, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("r"))
+        val lsh = Similarity.lshTopK(
+            emb, qs, "vec_id", "embedding", dim = 64, k = 10, planes = 4)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("r"))
+        graft.operators.Retrieval.rrfFuse(
+            Seq(ivf, lsh), Seq("query_id", "neighbor_id"), "r", k = 60)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank_0").as("ivf_rank"), col("rank_1").as("lsh_rank"),
+            col("rrf_score"))
+      },
+      s"""WITH ${ivfTopkCtes(4, "v_")},
+        |l_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |l_codes AS (SELECT vec_id, ${srpCodesSql(64, 4, 8)} AS codes FROM l_e),
+        |l_b AS (SELECT vec_id, i AS tbl, codes[i] AS bucket
+        |        FROM l_codes CROSS JOIN generate_series(1, 8) AS g(i)),
+        |l_cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM l_b q JOIN l_b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+        |l_scored AS (
+        |  SELECT query_id, neighbor_id, $CosineSql AS cos_sim
+        |  FROM l_cand cand JOIN l_e qe ON qe.vec_id = cand.query_id
+        |            JOIN l_e ce ON ce.vec_id = cand.neighbor_id),
+        |l_topk AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT query_id, neighbor_id,
+        |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        |    FROM l_scored)
+        |  WHERE rank <= 10)
+        |SELECT coalesce(i.query_id, l.query_id) AS query_id,
+        |       coalesce(i.neighbor_id, l.neighbor_id) AS neighbor_id,
+        |       CAST(coalesce(i.rank, -1) AS BIGINT) AS ivf_rank,
+        |       CAST(coalesce(l.rank, -1) AS BIGINT) AS lsh_rank,
+        |       (CASE WHEN i.rank IS NULL THEN CAST(0 AS DOUBLE)
+        |             ELSE CAST(1.0 AS DOUBLE) / CAST(60 + i.rank AS DOUBLE) END)
+        |       + (CASE WHEN l.rank IS NULL THEN CAST(0 AS DOUBLE)
+        |              ELSE CAST(1.0 AS DOUBLE) / CAST(60 + l.rank AS DOUBLE) END) AS rrf_score
+        |FROM v_topk i FULL JOIN l_topk l
+        |  ON i.query_id = l.query_id AND i.neighbor_id = l.neighbor_id"""),
+
     // More-tables config: same SRP-LSH, 16 tables instead of 8 — the
     // middle of the quality-vs-cost curve (recall 0.87 measured, floor
     // 0.85 pinned in SimilaritySpec; 2× corpus replication, same keyed
