@@ -189,6 +189,20 @@ object SemDedup {
                   probes: Int = 2): DataFrame =
     assignProbed(emb, idCol, vecCol, centroids, probes)
 
+  /** [[probedIndex]] through the two-level assigner — the standing
+    * artifact for >[[FlatAssignCeiling]] quantizers, where the flat
+    * argmax's n·k cosines stop being the cheap part ((1+coarseProbes)·
+    * √k per row instead). Same output contract (id, cell, rank), so
+    * the ingest machinery downstream is tier-blind. */
+  def probedIndexHier(emb: DataFrame, idCol: String, vecCol: String,
+                      centroids: Seq[(Int, Array[Float])],
+                      probes: Int = 2, coarseProbes: Int = 2): DataFrame =
+    rankProbed(
+      Similarity.assignCellsHierarchical(emb, idCol, vecCol, "_id", "_hv",
+          probes, centroids, coarseProbes, keepScore = true)
+        .select(col("_id"), col("cell"), col("csim")),
+      idCol)
+
   /** Batch-vs-standing near-dup edges over shared probed cells: the
     * SemDeDup analogue of [[Dedup.lshCandidatesAgainst]]. Both sides'
     * vectors attach per (cell, id) row BEFORE the cell join (the
@@ -261,9 +275,37 @@ object SemDedup {
                   threshold: Double,
                   centroids: Seq[(Int, Array[Float])] = IvfCentroids.cells,
                   maxCellSize: Option[Int] = None,
-                  probes: Int = 2): DataFrame = {
-    val probedB = graft.Caching.persistTracked(
-      assignProbed(batchEmb, idCol, vecCol, centroids, probes))
+                  probes: Int = 2): DataFrame =
+    dedupIngestRanked(standingEmb, standingCells, batchEmb,
+      assignProbed(batchEmb, idCol, vecCol, centroids, probes),
+      idCol, vecCol, threshold, maxCellSize)
+
+  /** [[dedupIngest]] with the batch assigned through the two-level
+    * assigner — the ingest entry for >[[FlatAssignCeiling]] standing
+    * indexes (built with [[probedIndexHier]] under the SAME frozen
+    * quantizer). Everything after assignment is tier-blind: the cell
+    * join, both edge streams, and the survivor rule are identical, so
+    * at full coarse fan-out this is bitwise [[dedupIngest]]
+    * (spec-pinned). */
+  def dedupIngestHier(standingEmb: DataFrame, standingCells: DataFrame,
+                      batchEmb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double,
+                      centroids: Seq[(Int, Array[Float])],
+                      maxCellSize: Option[Int] = None,
+                      probes: Int = 2, coarseProbes: Int = 2): DataFrame =
+    dedupIngestRanked(standingEmb, standingCells, batchEmb,
+      probedIndexHier(batchEmb, idCol, vecCol, centroids, probes, coarseProbes),
+      idCol, vecCol, threshold, maxCellSize)
+
+  /** Shared ingest body over an already-probed batch (id, cell, rank):
+    * batch probed ONCE (Caching-tracked), both edge streams off the
+    * same frame, survivor = rank-1 minus internal losers minus corpus
+    * hits. */
+  private def dedupIngestRanked(standingEmb: DataFrame, standingCells: DataFrame,
+                                batchEmb: DataFrame, probedBatch: DataFrame,
+                                idCol: String, vecCol: String, threshold: Double,
+                                maxCellSize: Option[Int]): DataFrame = {
+    val probedB = graft.Caching.persistTracked(probedBatch)
     val bCells = cap(probedB.select(col(idCol), col("cell")), idCol, maxCellSize)
     val internalLosers = edgesProbed(batchEmb, bCells, idCol, vecCol, threshold)
       .select(col("id2").as(idCol)).distinct()

@@ -280,6 +280,38 @@ object SimilarityQueries {
       |FROM asgn
       |WHERE rank = 1 AND vec_id NOT IN (SELECT id2 FROM edges)""".stripMargin
 
+  /** The hierarchical INGEST rule ([[SemDedup.dedupIngestHier]]): the
+    * same quantizer-rebuild + two-level probed assignment as
+    * [[hierOracleSql]] over ALL ids (assignment is per-row against the
+    * centroids alone, so assigning the sides separately ≡ restricting
+    * one full assignment), then the ingest survivor rule on the batch
+    * side: drop on an edge to ANY standing id or a SMALLER batch id. */
+  private def hierIngestOracleSql(k: Int, dim: Int, rounds: Int,
+                                  coarseProbes: Int, tag: String,
+                                  fineProbes: Int = 2): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |${hierQuantizerCtes(k, dim, rounds, tag)},
+      |${hierAssignCtes("", "", coarseProbes, fineProbes, rounds, keepRank = true)},
+      |edges_int AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2
+      |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  JOIN e qe ON qe.vec_id = a.vec_id
+      |  JOIN e ce ON ce.vec_id = b.vec_id
+      |  WHERE a.vec_id % 10 >= 8 AND b.vec_id % 10 >= 8
+      |    AND list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) >= 0.4),
+      |edges_corpus AS (
+      |  SELECT a.vec_id AS corpus_id, b.vec_id AS new_id
+      |  FROM asgn a JOIN asgn b ON a.cell = b.cell
+      |  JOIN e qe ON qe.vec_id = a.vec_id
+      |  JOIN e ce ON ce.vec_id = b.vec_id
+      |  WHERE a.vec_id % 10 < 8 AND b.vec_id % 10 >= 8
+      |    AND list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) >= 0.4)
+      |SELECT vec_id, CAST(cell AS BIGINT) AS cell
+      |FROM asgn
+      |WHERE rank = 1 AND vec_id % 10 >= 8
+      |  AND vec_id NOT IN (SELECT id2 FROM edges_int)
+      |  AND vec_id NOT IN (SELECT new_id FROM edges_corpus)""".stripMargin
+
   /** DuckDB replay of the FROZEN hierarchical ANN SERVING path
     * (q_ann_ivf_hier — [[Similarity.ivfTopKFrozenHier]]): the same
     * quantizer-rebuild + two-level assignment as [[hierOracleSql]], but
@@ -1023,6 +1055,33 @@ object SimilarityQueries {
         centroids = HierCentroids)
         .select(col("vec_id"), col("cell").cast("long").as("cell")),
       hierOracleSql(k = 4100, dim = 64, rounds = 8, coarseProbes = 2, tag = "hc")),
+
+    // The hierarchical tier's INGEST gate: SemDedup.dedupIngestHier on
+    // the same frozen k = 4100 > FlatAssignCeiling quantizer as
+    // q_semdedup_hier — standing (vec_id%10<8) carries its STORED
+    // probedIndexHier, the batch (%10>=8) assigns through the
+    // two-level path in-flight. Past the flat ceiling this is the only
+    // affordable batch assigner ((1+coarseProbes)·√k cosines/row vs
+    // n_batch·k), and everything after assignment is tier-blind — the
+    // q_semdedup_ingest rule verbatim. The oracle rebuilds the
+    // quantizer (driver Lloyd, unrolled MATERIALIZED CTEs) and replays
+    // the probed assignment once over all ids (per-row vs centroids
+    // alone, so split assignment ≡ restricted full assignment), then
+    // both edge streams and the standing-wins survivor rule.
+    "q_semdedup_ingest_hier" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val standing = emb.filter(col("vec_id") % 10 < 8)
+        val batch = emb.filter(col("vec_id") % 10 >= 8)
+        graft.operators.SemDedup.dedupIngestHier(
+            standing,
+            graft.operators.SemDedup.probedIndexHier(
+              standing, "vec_id", "embedding", HierCentroids),
+            batch, "vec_id", "embedding", threshold = 0.4, HierCentroids)
+          .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      },
+      hierIngestOracleSql(k = 4100, dim = 64, rounds = 8, coarseProbes = 2,
+        tag = "hc")),
 
     // The hierarchical ANN SERVING branch's driver gate (r12 verdict
     // task 1): ivfTopKFrozenHier routes BOTH corpus and query sides

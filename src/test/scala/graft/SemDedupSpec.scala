@@ -409,6 +409,28 @@ class SemDedupSpec extends SparkSpec {
     assert(kept1 == Set(20L, 30L, 40L), s"got $kept1")
   }
 
+  test("dedupIngestHier at full coarse fan-out equals flat dedupIngest; probedIndexHier ≡ probedIndex") {
+    val emb = Tables.embeddings(spark, sf001)
+    val standing = emb.filter(col("vec_id") % 10 < 8)
+    val batch = emb.filter(col("vec_id") % 10 >= 8)
+    val cents = graft.operators.Similarity.hashCentroids(16, 64)
+    val g = math.ceil(math.sqrt(16.0)).toInt
+    // probing every coarse group reproduces the flat probed assignment
+    // exactly, so the stored artifact and the whole ingest survivor set
+    // must match bitwise — everything after assignment is tier-blind
+    val idxFlat = SemDedup.probedIndex(standing, "vec_id", "embedding", cents)
+    val idxHier = SemDedup.probedIndexHier(standing, "vec_id", "embedding",
+      cents, coarseProbes = g)
+    assert(idxHier.exceptAll(idxFlat).isEmpty && idxFlat.exceptAll(idxHier).isEmpty)
+    val flat = SemDedup.dedupIngest(standing, idxFlat, batch,
+      "vec_id", "embedding", threshold = 0.4, cents)
+    val hier = SemDedup.dedupIngestHier(standing, idxHier, batch,
+      "vec_id", "embedding", threshold = 0.4, cents, coarseProbes = g)
+    assert(hier.exceptAll(flat).isEmpty && flat.exceptAll(hier).isEmpty)
+    assert(flat.count() > 0)
+    graft.Caching.release()
+  }
+
   test("maxCellSize caps candidate generation deterministically") {
     val emb = df(
       1L -> Array(1f, 0f, 0f, 0f),
