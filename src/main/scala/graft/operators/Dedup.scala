@@ -282,6 +282,62 @@ object Dedup {
       .dropDuplicates("id1", "id2")
   }
 
+  /** The stored SRP code index of a standing corpus — (id, table,
+    * bucket): tables·n NARROW rows, no vector payload (vectors
+    * re-attach from the corpus frame at ingest time). The plane count
+    * is FROZEN at build time ([[Similarity.srpPlanesFor]] at the
+    * build-time corpus size — rebuild on a corpus resize, the standing
+    * -artifact contract of [[SemDedup.probedIndex]]); delete rows via
+    * [[removeFromIndex]]. This is the >[[SemDedup.HierAssignCeiling]]
+    * tier's standing artifact — the tier a billion-vector corpus
+    * actually lives in. */
+  def srpIndex(emb: DataFrame, idCol: String, vecCol: String,
+               dim: Int, planes: Int, tables: Int = 16): DataFrame =
+    emb.select(col(idCol), col(vecCol).as("_v"))
+      .select(col(idCol), posexplode(
+        Similarity.srpBuckets(col("_v"), dim, planes, tables)).as(Seq("table", "bucket")))
+
+  /** Batch-vs-standing embedding near-dup pairs over a stored
+    * [[srpIndex]] — the SRP tier's `*Against` entry, completing the
+    * ingest family across all three quantizer tiers
+    * ([[SemDedup.dedupIngest]] flat, [[SemDedup.dedupIngestHier]]
+    * hier, this beyond the 65536-cell ceiling). The batch codes
+    * in-flight with the SAME frozen (planes, tables); the standing
+    * side is semi-joined to the batch's touched (table, bucket) set
+    * BEFORE its vector attach (the touched-cell carve-out — a
+    * localized arrival touches ~tables·|batch| buckets, never the
+    * corpus), candidate pairs are born inside the bucket join task and
+    * die in the fused cosine filter before any exchange (the
+    * [[embeddingNearDups]] discipline — here the join shape is safe
+    * because per-bucket pair work is standing-occupancy × batch
+    * members, batch-bounded), and only τ-survivors reach the final
+    * pair dedup. `maxBucketSize` caps BOTH sides' bucket membership
+    * (hot-bucket guard, [[lshCandidatesAgainst]] contract). */
+  def embeddingNearDupsAgainst(standingEmb: DataFrame, standingCodes: DataFrame,
+                               batchEmb: DataFrame, idCol: String, vecCol: String,
+                               dim: Int, threshold: Double, planes: Int,
+                               tables: Int = 16,
+                               maxBucketSize: Option[Int] = None): DataFrame = {
+    val bCoded = capBuckets(
+      batchEmb.select(col(idCol).as("new_id"), col(vecCol).as("_v2"))
+        .select(col("new_id"), col("_v2"), posexplode(
+          Similarity.srpBuckets(col("_v2"), dim, planes, tables)).as(Seq("table", "bucket"))),
+      Seq("table", "bucket"), maxBucketSize)
+    val touched = bCoded.select(col("table"), col("bucket")).distinct()
+    val sCodes = capBuckets(
+      standingCodes.join(touched.hint("broadcast"), Seq("table", "bucket"), "left_semi"),
+      Seq("table", "bucket"), maxBucketSize)
+    val sv = sCodes.select(col("table"), col("bucket"), col(idCol).as("corpus_id"))
+      .join(standingEmb.select(col(idCol).as("corpus_id"), col(vecCol).as("_v1")),
+        Seq("corpus_id"))
+    sv.join(bCoded, Seq("table", "bucket"))
+      .filter(col("corpus_id") =!= col("new_id"))
+      .withColumn("cos_sim", Similarity.cosine(col("_v1"), col("_v2")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("corpus_id"), col("new_id"), col("cos_sim"))
+      .dropDuplicates("corpus_id", "new_id")
+  }
+
   /** Sorted-neighborhood candidate generation (the Hernández–Stolfo
     * merge/purge pattern): order every record by a blocking key, pair
     * each record with its next `windowSize − 1` successors in that

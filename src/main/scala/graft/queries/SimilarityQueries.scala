@@ -633,6 +633,44 @@ object SimilarityQueries {
         |            JOIN e ce ON ce.vec_id = cand.id2)
         |WHERE cos_sim >= 0.4"""),
 
+    // The SRP tier's INGEST gate (Dedup.embeddingNearDupsAgainst):
+    // standing corpus (vec_id%10<8) carries its STORED srpIndex (tables
+    // x n narrow code rows, no vector payload), the batch (%10>=8)
+    // codes in-flight under the same frozen (planes, tables); a
+    // candidate is any shared (table, bucket) across the sides, exact
+    // cosine >= 0.4 on survivors only. Completes the ingest family's
+    // third quantizer tier — beyond the 65536-cell ceiling, where a
+    // billion-vector standing corpus actually lives. The oracle
+    // replays the code construction for ALL ids (codes are per-row vs
+    // frozen hyperplanes, so split coding ≡ restricted full coding)
+    // and re-derives the cross-side candidate join + threshold.
+    "q_embed_neardup_ingest" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val standing = emb.filter(col("vec_id") % 10 < 8)
+        val batch = emb.filter(col("vec_id") % 10 >= 8)
+        graft.operators.Dedup.embeddingNearDupsAgainst(
+          standing,
+          graft.operators.Dedup.srpIndex(standing, "vec_id", "embedding",
+            dim = 64, planes = 4),
+          batch, "vec_id", "embedding", dim = 64, threshold = 0.4,
+          planes = 4, maxBucketSize = Some(100000))
+      },
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |codes AS (SELECT vec_id, ${srpCodesSql(64, 4, 16)} AS codes FROM e),
+        |b AS (SELECT vec_id, i AS tbl, codes[i] AS bucket
+        |      FROM codes CROSS JOIN generate_series(1, 16) AS g(i)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS corpus_id, b2.vec_id AS new_id
+        |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+        |  WHERE a.vec_id % 10 < 8 AND b2.vec_id % 10 >= 8)
+        |SELECT corpus_id, new_id, cos_sim FROM (
+        |  SELECT corpus_id, new_id,
+        |         list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos_sim
+        |  FROM cand JOIN e qe ON qe.vec_id = cand.corpus_id
+        |            JOIN e ce ON ce.vec_id = cand.new_id)
+        |WHERE cos_sim >= 0.4"""),
+
     // The AUTO-SIZED near-dup path — the round-10 scale ladder's headline
     // fix graduated to a CORRECTNESS row: the engine learns n with one
     // count() and sizes planes = srpPlanesFor(n, 128); the oracle replays

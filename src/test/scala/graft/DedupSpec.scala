@@ -155,6 +155,38 @@ class DedupSpec extends SparkSpec {
       s"expected only the small-bucket pair, got ${capped.size} candidates")
   }
 
+  test("embeddingNearDupsAgainst over a stored srpIndex equals the union run's cross-side pairs") {
+    val emb = Tables.embeddings(spark, sf001)
+    val standing = emb.filter(col("vec_id") % 10 < 8)
+    val batch = emb.filter(col("vec_id") % 10 >= 8)
+    // codes are per-row against frozen hyperplanes, so coding the sides
+    // separately ≡ restricting one full coding — the Against pair set
+    // must equal the full-corpus run's pairs with one id on each side
+    // (canonical id1 < id2 re-oriented to (corpus, new))
+    val against = Dedup.embeddingNearDupsAgainst(standing,
+        Dedup.srpIndex(standing, "vec_id", "embedding", dim = 64, planes = 4),
+        batch, "vec_id", "embedding", dim = 64, threshold = 0.4, planes = 4)
+      .select("corpus_id", "new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.embeddingNearDups(emb, "vec_id", "embedding", dim = 64,
+        threshold = 0.4, planes = 4)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .collect {
+        case (a, b) if a % 10 < 8 && b % 10 >= 8 => (a, b)
+        case (a, b) if a % 10 >= 8 && b % 10 < 8 => (b, a)
+      }.toSet
+    assert(against == full,
+      s"missing=${(full -- against).take(5)} extra=${(against -- full).take(5)}")
+    assert(against.nonEmpty)
+    // hot-bucket cap: capping both sides to 1 member per bucket kills
+    // every candidate on this corpus (occupancies >> 1) — loudly bounded
+    assert(Dedup.embeddingNearDupsAgainst(standing,
+      Dedup.srpIndex(standing, "vec_id", "embedding", dim = 64, planes = 4),
+      batch, "vec_id", "embedding", dim = 64, threshold = 0.4, planes = 4,
+      maxBucketSize = Some(1)).isEmpty)
+  }
+
   test("portableHash64 pins the cross-engine value (md5 first 15 hex chars)") {
     import spark.implicits._
     // DuckDB: SELECT CAST(concat('0x', substr(md5('abc'),1,15)) AS BIGINT)
