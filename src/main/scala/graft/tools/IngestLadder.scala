@@ -46,13 +46,22 @@ import graft.operators.{SemDedup, Similarity}
   *   (200× → 400k vectors, k = 3125 — the flat tier's last comfortable
   *   rung; past [[SemDedup.FlatAssignCeiling]] the hier/SRP tiers own
   *   the corpus and HierLadder owns the measurement).
-  *   mode: `local` for the cell-localized batch (default: spread).
+  *   mode: `local` for the cell-localized batch (default: spread);
+  *   `srp` measures the SRP tier instead ([[graft.operators.Dedup
+  *   .embeddingNearDupsAgainst]] over a stored [[graft.operators.Dedup
+  *   .srpIndex]], planes sized by srpPlanesFor at index build): batch =
+  *   replica-0 re-idded (every member an exact dup of a standing row,
+  *   so the pair stream must contain ≥ n_batch cos=1 pairs — the
+  *   correctness probe), counterfactual = embeddingNearDupsAuto over
+  *   corpus ∪ batch. Default srp points "100,300,1000" (up to 2M
+  *   standing — the tier's home range on this box).
   */
 object IngestLadder {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workRoot = args.lift(1).getOrElse("/tmp")
-    val points = args.lift(2).getOrElse("30,100,200")
+    val srpMode = args.lift(3).contains("srp")
+    val points = args.lift(2).getOrElse(if (srpMode) "100,300,1000" else "30,100,200")
       .split(",").toSeq.map(_.trim.toInt)
     val localMode = args.lift(3).contains("local")
     val spark = SparkSession.builder()
@@ -68,6 +77,62 @@ object IngestLadder {
       val t0 = System.nanoTime()
       val r = try body finally graft.Caching.release()
       (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    if (srpMode) {
+      import graft.operators.Dedup
+      val rows = points.map { n =>
+        val dir = s"$workRoot/graft_ingest${n}x"
+        HierLadder.generateEmbeddings(spark, base, dir, n)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val nVec = emb.count()
+        val planes = Similarity.srpPlanesFor(nVec, 128)
+        val stamp = s"$base|$n|$planes"
+        val okFile = new java.io.File(s"$dir/_SRP_INGEST_OK")
+        if (!(okFile.exists() &&
+              new String(java.nio.file.Files.readAllBytes(okFile.toPath)) == stamp)) {
+          Dedup.srpIndex(emb, "vec_id", "embedding", dim = 64, planes = planes)
+            .write.mode("overwrite").parquet(s"$dir/srp_index.parquet")
+          graft.Caching.release()
+          java.nio.file.Files.write(okFile.toPath, stamp.getBytes)
+        }
+        val storedIdx = spark.read.parquet(s"$dir/srp_index.parquet")
+        val batch = spark.read.parquet(s"$base/embeddings.parquet")
+          .select((col("vec_id") + lit(5000000000000L)).as("vec_id"), col("embedding"))
+        val nBatch = batch.count()
+        def ingestRun(): (Long, Double) = timed {
+          Dedup.embeddingNearDupsAgainst(emb, storedIdx, batch,
+            "vec_id", "embedding", dim = 64, threshold = 0.4,
+            planes = planes).count()
+        }
+        def fullRun(): (Long, Double) = timed {
+          Dedup.embeddingNearDupsAuto(emb.unionByName(batch),
+            "vec_id", "embedding", dim = 64, threshold = 0.4,
+            knownCount = Some(nVec + nBatch)).count()
+        }
+        val (pairsN, _) = ingestRun() // cold + the correctness probe:
+        // exact dups share every bucket, so each batch member must pair
+        // with (at least) its standing twin
+        require(pairsN >= nBatch,
+          s"ingest found $pairsN pairs for a $nBatch-dup batch at ${n}x — " +
+            "the standing index was not consulted")
+        val tIngest = math.min(ingestRun()._2, ingestRun()._2)
+        val (fullPairs, _) = fullRun()
+        val tFull = math.min(fullRun()._2, fullRun()._2)
+        println(s"""{"point":"${n}x","mode":"srp","n_standing":$nVec,"planes":$planes,"n_batch":$nBatch,"t_ingest_s":${num(tIngest)},"t_full_neardup_s":${num(tFull)},"ingest_pairs":$pairsN,"full_pairs":$fullPairs}""")
+        (n, tIngest, tFull)
+      }
+      rows.sliding(2).foreach {
+        case Seq((n1, i1, f1), (n2, i2, f2)) =>
+          val f = n2.toDouble / n1
+          def expo(a: Double, b: Double): String = num(math.log(b / a) / math.log(f))
+          println(s"${n1}x -> ${n2}x (factor ${num(f)}): srp ingest exponent " +
+            s"${expo(i1, i2)}, full-neardup exponent ${expo(f1, f2)}")
+        case _ => ()
+      }
+      spark.stop()
+      return
     }
 
     val rows = points.map { n =>
