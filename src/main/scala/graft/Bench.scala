@@ -54,22 +54,31 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     // Per-query reference band (r13 verdict task 4): the prior round's
     // QUIET steady profile, checked in at bench/REFERENCE.json
-    // ({"sf":…,"steady_sec":{name:sec}}; tools/make_reference.py writes
-    // it from a quiet Bench line). Quiet-run drift — a query slowing
-    // without any load signal, invisible to min-of-2 + the load gates —
-    // re-runs once and, if it stays outside the band, lands in the
-    // tail's `drift` field: {"name":[ref,now]}.
+    // ({"sf":…,"steady_sec":{name:sec},"steady_min_sec":{…}};
+    // tools/make_reference.py writes it from a quiet Bench line).
+    // Quiet-run drift — a query slowing without any load signal,
+    // invisible to min-of-2 + the load gates — re-runs once and, if it
+    // stays outside the band, lands in the tail's `drift` field:
+    // {"name":[ref,now]}. The band for each query is the MIN across
+    // both maps (r14 verdict finding 1: a refresh taken from an
+    // ambient-elevated quiet record absorbed a 1.1–1.6× CC-family
+    // elevation, blinding the next round's gate to exactly the family
+    // under adjudication — folding the historical quiet minimum back
+    // in means one elevated refresh can never hide a real regression).
     def referenceProfile(sfDir: String): Map[String, Double] =
       try {
         val txt = java.nio.file.Files.readString(
           java.nio.file.Paths.get("bench/REFERENCE.json"))
         // minimal parse (no JSON lib on the unmanaged classpath):
-        // extract the sf value and the flat "name":number map
+        // extract the sf value and every "name":number pair — a name
+        // appearing in both steady_sec and steady_min_sec folds to its
+        // minimum, which IS the dual-band rule
         val sfOk = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
           .exists(_.group(1) == sfDir)
         if (!sfOk) Map.empty
         else """"(q_[A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+          .groupMapReduce(_._1)(_._2)(math.min)
       } catch { case _: Throwable => Map.empty }
     // Per-query GC time and heap high-water: the round-9 verdict found a
     // 40%+ gap between quiet single-query runs and the driver's full-

@@ -37,6 +37,16 @@ import org.apache.spark.sql.types._
   * DuckDB oracles hash-exact. Member vectors widen to double[] ONCE per
   * bucket (not per pair); null ids/vecs are dropped and duplicate ids
   * deduped by the id type's ordering — [[PairsGenerator]]'s contract.
+  * A ZERO (or effectively-zero) vector has no defined cosine: 0/0 = NaN
+  * fails `>= threshold`, so a zero-vector member emits NO pairs — at
+  * ANY threshold, including negative ones — exactly as
+  * [[CosineSimilarity]] returns NaN for the same pair (the two
+  * formulations stay bit-parity). This is a DELIBERATE drop, not an
+  * accident of IEEE: "similarity to the zero vector" has no value an
+  * engine could defend, and surfacing NaN rows would poison downstream
+  * threshold/ranking logic silently. Spec-pinned (DedupSpec zero-vector
+  * fixture) because both oracle engines replay NaN identically — the
+  * r12 oracle-blind-corner class the driver tables can never surface.
   *
   * Interpreted eval (CodegenFallback): the per-bucket O(k²·dim) cosine
   * loop runs on primitive double[] copies and dominates cost; codegen

@@ -286,16 +286,105 @@ object Dedup {
     * bucket): tables·n NARROW rows, no vector payload (vectors
     * re-attach from the corpus frame at ingest time). The plane count
     * is FROZEN at build time ([[Similarity.srpPlanesFor]] at the
-    * build-time corpus size — rebuild on a corpus resize, the standing
-    * -artifact contract of [[SemDedup.probedIndex]]); delete rows via
-    * [[removeFromIndex]]. This is the >[[SemDedup.HierAssignCeiling]]
-    * tier's standing artifact — the tier a billion-vector corpus
-    * actually lives in. */
+    * build-time corpus size — the standing-artifact contract of
+    * [[SemDedup.probedIndex]]); the resize lifecycle is first-class:
+    * build via [[srpIndexBuild]] (stores the sizing manifest), gate
+    * ingest on [[requireFreshSrpIndex]], re-encode via
+    * [[srpIndexRebuild]] when the corpus outgrows the frozen sizing;
+    * delete rows via [[removeFromIndex]]. This is the
+    * >[[SemDedup.HierAssignCeiling]] tier's standing artifact — the
+    * tier a billion-vector corpus actually lives in. */
   def srpIndex(emb: DataFrame, idCol: String, vecCol: String,
                dim: Int, planes: Int, tables: Int = 16): DataFrame =
     emb.select(col(idCol), col(vecCol).as("_v"))
       .select(col(idCol), posexplode(
         Similarity.srpBuckets(col("_v"), dim, planes, tables)).as(Seq("table", "bucket")))
+
+  /** Build-time sizing manifest of a standing [[srpIndex]] — the
+    * lifecycle piece that makes the frozen-parameter contract
+    * ("rebuild on a corpus resize") DETECTABLE instead of a scaladoc
+    * promise: the index stores what n the plane count was sized for,
+    * and [[srpIndexStale]] re-evaluates the sizing rule at the current
+    * corpus size. Persist it beside the codes (one row —
+    * [[srpManifestDF]]/[[srpManifestOf]]). */
+  final case class SrpManifest(builtN: Long, planes: Int, tables: Int,
+                               targetBucketSize: Int)
+
+  /** [[srpIndex]] plus its manifest, planes sized by
+    * [[Similarity.srpPlanesFor]] at the build-time corpus size — the
+    * build entry an ingest pipeline should use so the staleness check
+    * has its reference point. `knownCount` skips the sizing count()
+    * when the caller already has n (the embeddingNearDupsAuto rule). */
+  def srpIndexBuild(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    targetBucketSize: Int = 128, tables: Int = 16,
+                    knownCount: Option[Long] = None): (DataFrame, SrpManifest) = {
+    val n = knownCount.getOrElse(emb.select(col(idCol)).count())
+    val planes = Similarity.srpPlanesFor(n, targetBucketSize)
+    (srpIndex(emb, idCol, vecCol, dim, planes, tables),
+      SrpManifest(n, planes, tables, targetBucketSize))
+  }
+
+  /** The staleness rule: the sizing rule re-evaluated at the CURRENT
+    * corpus size disagrees with the frozen plane count. srpPlanesFor is
+    * log₂-quantized, so this has a built-in hysteresis band — the
+    * corpus must roughly double (or halve) past the build point before
+    * the rule flips, and expected bucket occupancy n/2^planes stays
+    * within 2× of target inside the band. Past it, occupancy compounds:
+    * per-bucket pair work is occupancy² per table, the exact
+    * fixed-hyperparameter drift the scale ladder caught at exponent
+    * 2.28 (planes frozen for 2k vectors, corpus at 10×). */
+  def srpIndexStale(m: SrpManifest, currentN: Long): Boolean =
+    Similarity.srpPlanesFor(currentN, m.targetBucketSize) != m.planes
+
+  /** Loud staleness gate for ingest paths serving a standing
+    * [[srpIndex]]: throws (never logs-and-degrades) when the corpus
+    * has outgrown the frozen sizing, naming the rule and the remedy. */
+  def requireFreshSrpIndex(m: SrpManifest, currentN: Long): Unit =
+    if (srpIndexStale(m, currentN))
+      throw new IllegalStateException(
+        s"standing srpIndex is STALE: planes=${m.planes} was sized for " +
+          s"n=${m.builtN} (target bucket ${m.targetBucketSize}), but " +
+          s"srpPlanesFor($currentN) = " +
+          s"${Similarity.srpPlanesFor(currentN, m.targetBucketSize)} — " +
+          "per-bucket pair work is now compounding quadratically; run " +
+          "Dedup.srpIndexRebuild and serve ingest from the rebuilt index")
+
+  /** The gated rebuild: re-encode the corpus under the sizing rule at
+    * its CURRENT size and return the new index + manifest. Gated —
+    * refuses when the standing manifest is not stale (`force` for a
+    * deliberate re-encode), so a pipeline cannot silently burn a full
+    * corpus re-encode on every batch. Label migration is a NO-OP by
+    * construction on this tier: SRP codes are candidate-generation
+    * state only — survivor/cluster labels were derived from exact
+    * cosine edges, which a re-encode cannot invalidate — so the
+    * standing labels ride along unchanged and only the code rows are
+    * replaced. Cost is one linear encode pass (ladder-measured against
+    * the from-scratch re-dedup counterfactual: tools/IngestLadder). */
+  def srpIndexRebuild(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                      m: SrpManifest, currentN: Long,
+                      force: Boolean = false): (DataFrame, SrpManifest) = {
+    require(force || srpIndexStale(m, currentN),
+      s"srpIndexRebuild: index is not stale (planes=${m.planes} is still " +
+        s"srpPlanesFor($currentN, ${m.targetBucketSize})) — a rebuild would " +
+        "re-encode the corpus for nothing; pass force=true to do it anyway")
+    srpIndexBuild(emb, idCol, vecCol, dim, m.targetBucketSize, m.tables,
+      knownCount = Some(currentN))
+  }
+
+  /** One-row persistence form of a [[SrpManifest]] (write beside the
+    * code rows; read back with [[srpManifestOf]]). */
+  def srpManifestDF(spark: org.apache.spark.sql.SparkSession,
+                    m: SrpManifest): DataFrame = {
+    import spark.implicits._
+    Seq((m.builtN, m.planes, m.tables, m.targetBucketSize))
+      .toDF("built_n", "planes", "tables", "target_bucket_size")
+  }
+
+  def srpManifestOf(df: DataFrame): SrpManifest = {
+    val r = df.select(col("built_n").cast("long"), col("planes").cast("int"),
+      col("tables").cast("int"), col("target_bucket_size").cast("int")).head()
+    SrpManifest(r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
 
   /** Batch-vs-standing embedding near-dup pairs over a stored
     * [[srpIndex]] — the SRP tier's `*Against` entry, completing the

@@ -26,17 +26,32 @@ object Retrieval {
     * positive integral `rankCol` (1-based, ties already broken — each
     * list must be a total order; a duplicated (keys, rank) row would
     * silently double-count, so callers rank with row_number, never
-    * rank()). Output: `keyCols`, one `rank_i` column per input list in
-    * argument order (−1 where list i did not retrieve the id — kept
-    * integral rather than NULL for the driver's dtype-sensitive
-    * compare; real ranks are ≥ 1), and `rrf_score`.
+    * rank(); `assertTotalOrder = true` makes that contract loud: each
+    * list pays one window count over its keys — cheap on per-query
+    * top-k inputs — and a key appearing twice in one list
+    * raise_errors instead of fanning out the full-outer join).
+    * NULL-keyed rows are DROPPED per list (the family-wide NULL-id
+    * contract, samplePps/splitByHash: a NULL key can never equi-match
+    * in the using-join, so keeping such rows would silently pass each
+    * list's NULL rows through as separate fused rows — a third silent
+    * fate; ranked lists have non-NULL keys by construction, so the
+    * filter is a no-op on healthy inputs). Output: `keyCols`, one
+    * `rank_i` column per input list in argument order (−1 where list
+    * i did not retrieve the id — kept integral rather than NULL for
+    * the driver's dtype-sensitive compare; real ranks are ≥ 1), and
+    * `rrf_score`.
     */
   def rrfFuse(rankings: Seq[DataFrame], keyCols: Seq[String],
-              rankCol: String, k: Int = 60): DataFrame = {
+              rankCol: String, k: Int = 60,
+              assertTotalOrder: Boolean = false): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
     require(k >= 1, s"rrfFuse: smoothing constant k must be >= 1 (got $k)")
     val named = rankings.zipWithIndex.map { case (r, i) =>
-      r.select(keyCols.map(col) :+ col(rankCol).cast("long").as(s"rank_$i"): _*)
+      val base = r
+        // NULL-key drop (family contract — see scaladoc): applied before
+        // the rank gate so a NULL-keyed row is dropped, not raised on
+        .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+        .select(keyCols.map(col) :+ col(rankCol).cast("long").as(s"rank_$i"): _*)
         // a rank < 1 (or NULL) would silently skew 1/(k+rank) — the
         // raise_error-filter pattern: free when the contract holds,
         // loud when it doesn't (NULL comparison falls to the error arm)
@@ -47,6 +62,23 @@ object Retrieval {
             // message-less error — coalesce keeps the diagnosis
             coalesce(col(s"rank_$i").cast("string"), lit("NULL")),
             lit(")"))).cast("boolean")))
+      if (!assertTotalOrder) base
+      else {
+        // opt-in tie detection: rank() ties duplicate a key WITHIN one
+        // list; the window is keyed by the list's own keys, so on a
+        // top-k-per-query input each group is ≤ k rows
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+        base.withColumn("_kn", count(lit(1)).over(w))
+          .filter(when(col("_kn") === 1L, lit(true))
+            .otherwise(raise_error(concat(
+              lit(s"rrfFuse: list $i is not a total order — key ("),
+              concat_ws(",", keyCols.map(col(_).cast("string")): _*),
+              lit(") appears "), col("_kn").cast("string"),
+              lit(" times (rank with row_number, not rank())")))
+              .cast("boolean")))
+          .drop("_kn")
+      }
     }
     // using-column joins coalesce the keys; full outer keeps ids any
     // one list retrieved

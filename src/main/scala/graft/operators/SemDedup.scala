@@ -168,7 +168,25 @@ object SemDedup {
     * scale) for ≤ probes² × the within-cell pair bound. Output contract
     * unchanged: (id, rank-1 cell). The default quantizer-tier entry of
     * [[dedupAuto]]; [[dedup]] remains the literal single-probe SemDeDup
-    * recipe (Abbas et al.). */
+    * recipe (Abbas et al.).
+    *
+    * MEASURED COST OF THE RECALL BUY (r14/r15): the two-probe rule took
+    * q_semdedup_hier 0.94 → 1.47 s (1.57×) for seam recall
+    * 0.915 → 0.995 at operating scale (sf0.1 + 400 planted, τ = 0.8).
+    * A margin-band variant ([[dedupProbedMargin]]: probe 2 only when
+    * the top1/top2 assignment margin is small, i.e. the id actually
+    * sits near a boundary) was prototyped and measured in SemDedupSpec
+    * against the same ground truth ON THE SAME frozen centroids,
+    * training excluded from every timing: probe-1 recall 0.915 @
+    * 0.7 s, margin-band(0.05) 0.98 @ 0.8 s, full probe-2 0.995 @
+    * 0.9 s. The measured verdict: at operating scale the probe-2
+    * premium over the margin band is ~12% of the rule's cost for
+    * +1.5% recall — the r14 q_semdedup_hier delta was mostly the
+    * ranked-assignment machinery, not pair work — and the margin
+    * threshold would be a NEW per-corpus operating point (exactly the
+    * fixed-hyperparameter class the scale ladder keeps catching), so
+    * unconditional probe-2 stays the default and the margin band stays
+    * a measured private prototype. */
   def dedupProbed(emb: DataFrame, idCol: String, vecCol: String,
                   threshold: Double,
                   centroids: Seq[(Int, Array[Float])] = IvfCentroids.cells,
@@ -177,13 +195,52 @@ object SemDedup {
     dedupRanked(emb, assignProbed(emb, idCol, vecCol, centroids, probes),
       idCol, vecCol, threshold, maxCellSize)
 
+  /** PROTOTYPE (spec-measured, deliberately not a public operating
+    * point — see [[dedupProbed]]'s scaladoc for the measured verdict):
+    * probe-2 only where it can matter. An id keeps its second probe
+    * only when its top1/top2 assignment margin (csim₁ − csim₂) is
+    * below `margin` — i.e. the id genuinely sits near a cell boundary;
+    * interior ids (large margin) stay single-probe, so the extra pair
+    * work concentrates on the boundary band instead of doubling
+    * everywhere. Candidate recall is bounded between within-cell-only
+    * (margin → 0) and full probe-2 (margin → 2); WHERE in that range a
+    * given `margin` lands depends on the corpus' assignment-margin
+    * distribution — a new per-corpus operating point, which is why the
+    * unconditional probe-2 remains [[dedupAuto]]'s default. */
+  private[graft] def dedupProbedMargin(emb: DataFrame, idCol: String,
+                                       vecCol: String, threshold: Double,
+                                       centroids: Seq[(Int, Array[Float])],
+                                       margin: Double,
+                                       maxCellSize: Option[Int] = None): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(centroids.toDF("cell", "center"))
+    val scored = emb.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .crossJoin(cdf)
+      .withColumn("csim", Similarity.cosine(col("_v"), col("center")))
+    val top = TopK.perGroupNative(scored, Seq("_id"), "csim", Seq("cell"), 2,
+        localGroups = true)
+      .select(col("_id"), col("cell"), col("csim"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("csim").desc, col("cell").asc)
+    val wId = org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))
+    val ranked = top.withColumn("rank", row_number().over(wRank))
+      .withColumn("_margin", max(col("csim")).over(wId) - col("csim"))
+      .filter(col("rank") === 1 || col("_margin") < margin)
+      .select(col("_id").as(idCol), col("cell"), col("rank"))
+    dedupRanked(emb, ranked, idCol, vecCol, threshold, maxCellSize)
+  }
+
   /** (id, cell, rank): the stored probed index of a standing corpus —
     * the public artifact an ingest pipeline persists ONCE (beside the
     * embeddings) and reuses for every arriving batch, so ingest never
     * re-assigns the standing corpus. Rank 1 is [[assign]]'s cell;
     * rank ≤ probes are the boundary-recovery probes ([[dedupProbed]]).
     * Refresh on centroid retrain; delete rows via
-    * [[Dedup.removeFromIndex]]. */
+    * [[Dedup.removeFromIndex]]. The resize lifecycle is first-class:
+    * build via [[probedIndexBuild]] (stores the sizing manifest), gate
+    * ingest on [[requireFreshQuantizer]], retrain + re-assign via
+    * [[probedIndexRebuild]] when the corpus leaves the sizing band. */
   def probedIndex(emb: DataFrame, idCol: String, vecCol: String,
                   centroids: Seq[(Int, Array[Float])] = IvfCentroids.cells,
                   probes: Int = 2): DataFrame =
@@ -202,6 +259,99 @@ object SemDedup {
           probes, centroids, coarseProbes, keepScore = true)
         .select(col("_id"), col("cell"), col("csim")),
       idCol)
+
+  /** Build-time sizing manifest of a standing [[probedIndex]] /
+    * [[probedIndexHier]] — what n the frozen centroid count was sized
+    * for ([[cellsFor]]), so [[quantizerStale]] can detect a corpus
+    * outgrowing its quantizer instead of trusting a scaladoc contract.
+    * The [[Dedup.SrpManifest]] of this tier. */
+  final case class QuantizerManifest(builtN: Long, k: Int, probes: Int,
+                                     targetCellSize: Int)
+
+  /** [[probedIndex]] plus its manifest — the build entry a pipeline
+    * persists so ingest can gate on staleness. `k` is taken from the
+    * centroid set itself (the thing actually frozen). */
+  def probedIndexBuild(emb: DataFrame, idCol: String, vecCol: String,
+                       centroids: Seq[(Int, Array[Float])],
+                       probes: Int = 2, targetCellSize: Int = 128,
+                       knownCount: Option[Long] = None): (DataFrame, QuantizerManifest) = {
+    val n = knownCount.getOrElse(emb.select(col(idCol)).count())
+    (probedIndex(emb, idCol, vecCol, centroids, probes),
+      QuantizerManifest(n, centroids.size, probes, targetCellSize))
+  }
+
+  /** The staleness rule for a frozen quantizer: [[cellsFor]] at the
+    * CURRENT corpus size has left the power-of-two band around the
+    * frozen k. cellsFor is ∝ n (it moves with every arrival, unlike the
+    * log₂-quantized SRP rule), so the band IS the hysteresis: inside
+    * it, mean cell occupancy stays within 2× of target; past it,
+    * per-cell pair work Σ|cell|² ≈ n²/k compounds quadratically — the
+    * measured exponent-1.42 drift of the r11 ladder (q_semdedup frozen
+    * at 16 cells, corpus at 30×). */
+  def quantizerStale(m: QuantizerManifest, currentN: Long): Boolean = {
+    val kNow = cellsFor(currentN, m.targetCellSize)
+    kNow > 2L * m.k || 2L * kNow < m.k
+  }
+
+  /** Loud staleness gate for ingest paths serving a standing probed
+    * index — the [[Dedup.requireFreshSrpIndex]] of this tier. */
+  def requireFreshQuantizer(m: QuantizerManifest, currentN: Long): Unit =
+    if (quantizerStale(m, currentN))
+      throw new IllegalStateException(
+        s"standing quantizer is STALE: k=${m.k} was sized for " +
+          s"n=${m.builtN} (target cell ${m.targetCellSize}), but " +
+          s"cellsFor($currentN) = ${cellsFor(currentN, m.targetCellSize)} " +
+          "is outside the 2x band — per-cell pair work is compounding; " +
+          "run SemDedup.probedIndexRebuild (retrain + re-assign) and " +
+          "serve ingest from the rebuilt index")
+
+  /** The gated rebuild: retrain the quantizer at [[cellsFor]] of the
+    * CURRENT corpus size and re-assign every standing id — label
+    * migration on this tier is exactly that re-assignment (cell labels
+    * are quantizer-relative and die with it; survivor identity does
+    * NOT change — the corpus is already curated, and a re-quantization
+    * cannot invalidate exact-cosine dup edges). `train` supplies the
+    * centroid trainer so the deterministic [[Similarity.hashCentroids]]
+    * path stays oracle-replayable while production passes
+    * [[Similarity.trainCentroids]]/`trainCentroidsHier` (seeded KMeans
+    * — spec/ladder-pinned, the q_semdedup precedent). Gated like
+    * [[Dedup.srpIndexRebuild]]: refuses a non-stale rebuild unless
+    * forced. Returns (new index, new centroids, new manifest) — the
+    * caller persists all three. */
+  def probedIndexRebuild(emb: DataFrame, idCol: String, vecCol: String,
+                         m: QuantizerManifest, currentN: Long,
+                         train: Int => Seq[(Int, Array[Float])],
+                         force: Boolean = false)
+      : (DataFrame, Seq[(Int, Array[Float])], QuantizerManifest) = {
+    require(force || quantizerStale(m, currentN),
+      s"probedIndexRebuild: quantizer is not stale (k=${m.k} still within " +
+        s"the 2x band of cellsFor($currentN, ${m.targetCellSize}) = " +
+        s"${cellsFor(currentN, m.targetCellSize)}) — a rebuild would " +
+        "retrain + re-assign the corpus for nothing; pass force=true to " +
+        "do it anyway")
+    val kNew = cellsFor(currentN, m.targetCellSize)
+    val centroids = train(kNew)
+    require(centroids.size == kNew,
+      s"probedIndexRebuild: trainer returned ${centroids.size} centroids, " +
+        s"sizing rule wants $kNew")
+    val (idx, _) = probedIndexBuild(emb, idCol, vecCol, centroids, m.probes,
+      m.targetCellSize, knownCount = Some(currentN))
+    (idx, centroids, QuantizerManifest(currentN, kNew, m.probes, m.targetCellSize))
+  }
+
+  /** One-row persistence form of a [[QuantizerManifest]]. */
+  def quantizerManifestDF(spark: org.apache.spark.sql.SparkSession,
+                          m: QuantizerManifest): DataFrame = {
+    import spark.implicits._
+    Seq((m.builtN, m.k, m.probes, m.targetCellSize))
+      .toDF("built_n", "k", "probes", "target_cell_size")
+  }
+
+  def quantizerManifestOf(df: DataFrame): QuantizerManifest = {
+    val r = df.select(col("built_n").cast("long"), col("k").cast("int"),
+      col("probes").cast("int"), col("target_cell_size").cast("int")).head()
+    QuantizerManifest(r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
 
   /** Batch-vs-standing near-dup edges over shared probed cells: the
     * SemDeDup analogue of [[Dedup.lshCandidatesAgainst]]. Both sides'

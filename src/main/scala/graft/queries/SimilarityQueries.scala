@@ -671,6 +671,74 @@ object SimilarityQueries {
         |            JOIN e ce ON ce.vec_id = cand.new_id)
         |WHERE cos_sim >= 0.4"""),
 
+    // The standing-index RESIZE LIFECYCLE, end to end as one hash gate
+    // (r14 verdict task 2): the SRP index's manifest says it was sized
+    // when the corpus was a QUARTER of today's (planes frozen at
+    // srpPlanesFor(n//4)), the staleness rule fires (srpPlanesFor is
+    // log2-quantized, so a 4x growth always flips it at gate SFs), the
+    // GATED rebuild re-encodes at srpPlanesFor(n), and ingest serves
+    // from the rebuilt index — hash-matching an oracle that builds
+    // FRESH at today's size, which is the rebuilt≡fresh-built proof.
+    // The oracle replays the sizing rule itself twice from COUNT(*)
+    // (p_old at n//4, p_new at n — the q_embed_neardup_auto pattern)
+    // and codes with the p_new plane set; the sentinel row carries
+    // (p_new, p_old), mapping an uncovered p_new to NULL so rule drift
+    // can never pass vacuously. If the staleness rule ever said FRESH
+    // here while p differs, the two sides' plane sets diverge and the
+    // pair set hash-mismatches — the gate covers the rule, the gating,
+    // and the rebuild in one row.
+    "q_index_rebuild" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val standing = emb.filter(col("vec_id") % 10 < 8)
+        val batch = emb.filter(col("vec_id") % 10 >= 8)
+        val n = standing.count()
+        val builtN = n / 4
+        val mOld = graft.operators.Dedup.SrpManifest(builtN,
+          graft.operators.Similarity.srpPlanesFor(builtN, 128), 16, 128)
+        val (codes, m2) =
+          if (graft.operators.Dedup.srpIndexStale(mOld, n))
+            graft.operators.Dedup.srpIndexRebuild(standing, "vec_id",
+              "embedding", 64, mOld, n)
+          else
+            (graft.operators.Dedup.srpIndex(standing, "vec_id", "embedding",
+              64, mOld.planes), mOld)
+        graft.operators.Dedup.embeddingNearDupsAgainst(
+            standing, codes, batch, "vec_id", "embedding", dim = 64,
+            threshold = 0.4, planes = m2.planes, maxBucketSize = Some(100000))
+          .unionByName(s.range(1).select(
+            lit(-1L).as("corpus_id"), lit(m2.planes.toLong).as("new_id"),
+            lit(mOld.planes.toDouble).as("cos_sim")))
+      },
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |st AS (SELECT count(*) AS n FROM e WHERE vec_id % 10 < 8),
+        |pold AS (SELECT min(i) AS p FROM generate_series(1, 62) AS g(i), st
+        |         WHERE (st.n // 4) // (1::BIGINT << i) <= 128),
+        |pnew AS (SELECT min(i) AS p FROM generate_series(1, 62) AS g(i), st
+        |         WHERE st.n // (1::BIGINT << i) <= 128),
+        |codes AS (SELECT vec_id, CASE (SELECT p FROM pnew)
+        |    WHEN 2 THEN ${srpCodesSql(64, 2, 16)}
+        |    WHEN 3 THEN ${srpCodesSql(64, 3, 16)}
+        |    WHEN 4 THEN ${srpCodesSql(64, 4, 16)}
+        |    END AS codes FROM e),
+        |b AS (SELECT vec_id, i AS tbl, codes[i] AS bucket
+        |      FROM codes CROSS JOIN generate_series(1, 16) AS g(i)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS corpus_id, b2.vec_id AS new_id
+        |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+        |  WHERE a.vec_id % 10 < 8 AND b2.vec_id % 10 >= 8)
+        |SELECT corpus_id, new_id, cos_sim FROM (
+        |  SELECT corpus_id, new_id,
+        |         list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos_sim
+        |  FROM cand JOIN e qe ON qe.vec_id = cand.corpus_id
+        |            JOIN e ce ON ce.vec_id = cand.new_id)
+        |WHERE cos_sim >= 0.4
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS corpus_id,
+        |       CAST(CASE WHEN (SELECT p FROM pnew) IN (2, 3, 4)
+        |                 THEN (SELECT p FROM pnew) END AS BIGINT) AS new_id,
+        |       CAST((SELECT p FROM pold) AS DOUBLE) AS cos_sim"""),
+
     // The AUTO-SIZED near-dup path — the round-10 scale ladder's headline
     // fix graduated to a CORRECTNESS row: the engine learns n with one
     // count() and sizes planes = srpPlanesFor(n, 128); the oracle replays

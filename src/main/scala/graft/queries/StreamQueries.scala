@@ -766,6 +766,98 @@ object StreamQueries {
         |             ORDER BY ts_us DESC, event_id DESC) AS rn
         |    FROM ch) WHERE rn = 1)
         |SELECT user_id, event_id, ts_us, event_type, value
-        |FROM last WHERE op <> 'D'""")
+        |FROM last WHERE op <> 'D'"""),
+
+    // Streaming face of the semantic ingest family (r14 verdict task
+    // 3): the embeddings %10>=8 slice arrives as TWO micro-batches
+    // (%10==8 then %10==9) against the standing %10<8 corpus + its
+    // stored probed index; each batch runs SemDedup.dedupIngest
+    // against the CURRENT standing state and its survivors fold back
+    // in (SemDedupIngest.Store: parquet batch=<id> dirs — plan-time
+    // listing binds each batch's dedup to the pre-append snapshot).
+    // The emitted rows are the stream's ADMITTED set (survivor id +
+    // rank-1 cell); the oracle replays the two-round fold exactly:
+    // round 1 = the q_semdedup_ingest rule on batch 1, round 2 = the
+    // same rule with standing ∪ survivors-of-round-1 — so a fold that
+    // forgot to append (the straddling-pair trap StreamingSpec pins at
+    // unit scale) admits extra rows and hash-mismatches here at the
+    // driver gate. No double sums cross the sink: ids and integer
+    // cells only (the replay-discipline contract above).
+    "q_stream_ingest" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val emb = Tables.embeddings(s, dir)
+        val standing = emb.filter(col("vec_id") % 10 < 8)
+        val rows: Array[(Long, Array[Float])] = collectReplay(
+          emb.filter(col("vec_id") % 10 >= 8)
+            .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
+          "streaming ingest replay slice")
+        val batch1 = rows.filter(_._1 % 10 == 8)
+        val batch2 = rows.filter(_._1 % 10 == 9)
+        val cents = graft.operators.IvfCentroids.cells
+        val cells = graft.operators.SemDedup.probedIndex(
+          standing, "vec_id", "embedding", cents)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString
+        val store = new graft.streaming.SemDedupIngest.Store(
+          s, tmp, "vec_id", "embedding")
+        store.seed(standing, cells)
+        val ms = MemoryStream[(Long, Array[Float])]
+        val q = graft.streaming.SemDedupIngest.dedupIngestStream(
+          ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          threshold = 0.4, cents, store).start()
+        try {
+          ms.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+          ms.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+        } finally q.stop()
+        // materialize the admitted set, then delete the temp store
+        // (3 parquet dirs per invocation would otherwise leak across
+        // every Verify dump and Bench run — the q_stream_cdc rule)
+        val out =
+          try store.ingested
+            .select(col("vec_id"), col("cell").cast("long").as("cell"))
+            .as[(Long, Long)].collect()
+          finally {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+              .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        s.createDataset(out.toIndexedSeq).toDF("vec_id", "cell")
+      },
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (${graft.operators.IvfCentroids.duckdbValues}),
+        |asgn AS (
+        |  SELECT vec_id, cell, crank FROM (
+        |    SELECT e.vec_id, cents.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.v, cents.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.c, cents.c))) DESC,
+        |             cents.cell) AS crank
+        |    FROM e CROSS JOIN cents)
+        |  WHERE crank <= 2),
+        |edges AS MATERIALIZED (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        |  JOIN e qe ON qe.vec_id = a.vec_id
+        |  JOIN e ce ON ce.vec_id = b.vec_id
+        |  WHERE list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) >= 0.4),
+        |surv1 AS MATERIALIZED (
+        |  SELECT vec_id FROM e WHERE vec_id % 10 = 8
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id1 % 10 = 8 AND id2 % 10 = 8 AND id1 < id2)
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id1 % 10 < 8 AND id2 % 10 = 8)),
+        |surv2 AS (
+        |  SELECT vec_id FROM e WHERE vec_id % 10 = 9
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id1 % 10 = 9 AND id2 % 10 = 9 AND id1 < id2)
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id2 % 10 = 9
+        |                         AND (id1 % 10 < 8
+        |                              OR id1 IN (SELECT vec_id FROM surv1))))
+        |SELECT asgn.vec_id, CAST(asgn.cell AS BIGINT) AS cell
+        |FROM asgn
+        |WHERE crank = 1
+        |  AND (vec_id IN (SELECT vec_id FROM surv1)
+        |       OR vec_id IN (SELECT vec_id FROM surv2))""")
   )
 }

@@ -530,6 +530,14 @@ object TextQueries {
     // ranks surface as −1 (BIGINT, never NULL — pandas dtype). Scale:
     // each arm is a distributed top-k (bounded-heap / broadcast-query
     // cosine); the fusion itself touches ≤ 40 rows per query.
+    // TEST-DATA STAND-IN (the q_ann_* vec-id-as-doc convention): the
+    // keyword arm ranks documents.doc_id and the dense arm ranks
+    // embeddings.vec_id — two unrelated id domains fused as one key
+    // space, which exercises the full fusion machinery (including the
+    // missed-by-one-arm −1 path, heavily, since the domains barely
+    // overlap) but is NOT a semantic end-to-end hybrid retrieval of
+    // one corpus; a real deployment fuses two rankings OF THE SAME
+    // document ids.
     "q_hybrid_rrf" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window

@@ -141,6 +141,36 @@ class DedupSpec extends SparkSpec {
     assert(dupEmits.count { case (a, b) => a == 3L || b == 3L } == 12)
   }
 
+  test("near_pairs zero-vector member emits no pairs at any threshold (NaN cosine, parity with CosineSimilarity)") {
+    // the r12 oracle-blind-corner class: both engines replay NaN-fails-
+    // threshold identically, so only a fixture can pin the INTENDED
+    // semantics — a zero vector has no defined cosine and must pair
+    // with nothing (silently poisoning downstream ranking with NaN rows
+    // is the failure mode this drop prevents), while the bucket's other
+    // members still pair normally
+    import spark.implicits._
+    import graft.functions.NearPairsGenerator
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      1L -> Array(1f, 0f, 0f),
+      2L -> Array(1f, 1e-6f, 0f), // near-dup of 1
+      3L -> Array(0f, 0f, 0f))    // zero vector: cosine NaN vs anything
+    def pairsAt(tau: Double): Seq[(Long, Long)] =
+      vecs.toDF("id", "vec").groupBy(lit(1))
+        .agg(collect_list(struct(col("id"), col("vec"))).as("m"))
+        .select(NearPairsGenerator.nearPairs(col("m"), tau).as(Seq("id1", "id2", "cos")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // even at threshold −1 (accept everything comparable) the zero
+    // vector pairs with nothing; the real pair always survives
+    assert(pairsAt(-1.0).toSet == Set((1L, 2L)))
+    assert(pairsAt(0.9).toSet == Set((1L, 2L)))
+    // parity: CosineSimilarity agrees the zero-vector pair is NaN
+    val c = Seq((Array(1f, 0f, 0f), Array(0f, 0f, 0f)))
+      .toDF("a", "b")
+      .select(graft.functions.CosineSimilarity(col("a"), col("b")).as("c"))
+      .head().getDouble(0)
+    assert(c.isNaN)
+  }
+
   test("embeddingNearDups maxBucketSize bounds a degenerate hot bucket") {
     import spark.implicits._
     val crowdVec = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.1f)

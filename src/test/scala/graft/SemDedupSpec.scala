@@ -193,18 +193,43 @@ class SemDedupSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet)
     // the r13 within-cell-only rule, kept measurable beside the
     // boundary-pair default: its recall is the gap the probe-2 rule
-    // buys back, its wall clock the cost baseline
-    val (cell1Kept, cell1Sec) = timed(SemDedup.dedupProbed(corpus, "vec_id", "embedding", tau,
-        graft.operators.Similarity.trainCentroids(corpus, "embedding",
-          SemDedup.cellsFor(corpus.count()), 42L), probes = 1)
+    // buys back, its wall clock the cost baseline. Centroids train ONCE
+    // outside every timed block so the three quantizer-rule timings
+    // (probe-1 / margin-band / the probe-2 inside dedupAuto) compare
+    // the CANDIDATE RULES, not training noise (dedupAuto's number
+    // inherently includes its in-path training).
+    val sharedCentroids = graft.operators.Similarity.trainCentroids(
+      corpus, "embedding", SemDedup.cellsFor(corpus.count()), 42L)
+    val (cell1Kept, cell1Sec) = timed(SemDedup.dedupProbed(corpus, "vec_id",
+        "embedding", tau, sharedCentroids, probes = 1)
+      .select("vec_id").as[Long].collect().toSet)
+    // margin-band prototype (r15 task 7): probe 2 only when the
+    // top1/top2 assignment margin is small — measured HERE against the
+    // same ground truth and centroids so the probe-2 cost trade
+    // (dedupProbed scaladoc) is a recorded number either way
+    val (mbKept, mbSec) = timed(SemDedup.dedupProbedMargin(corpus, "vec_id",
+        "embedding", tau, sharedCentroids, margin = 0.05)
+      .select("vec_id").as[Long].collect().toSet)
+    // and full probe-2 on the SAME frozen centroids, training excluded
+    // (dedupAuto's quantSec above includes training + a count)
+    val (p2Kept, p2Sec) = timed(SemDedup.dedupProbed(corpus, "vec_id",
+        "embedding", tau, sharedCentroids, probes = 2)
       .select("vec_id").as[Long].collect().toSet)
     graft.Caching.release()
     def recall(kept: Set[Long]): Double =
       (exactDropped -- kept).size.toDouble / exactDropped.size
     val (srpR, quantR, cell1R) = (recall(srpKept), recall(quantKept), recall(cell1Kept))
+    val (mbR, p2R) = (recall(mbKept), recall(p2Kept))
     info(s"seam recall vs exact at tau=$tau over ${exactDropped.size} true dups: " +
-      f"srp=$srpR (${srpSec}%.1fs) quant/probe2=$quantR (${quantSec}%.1fs) " +
-      f"within-cell-only=$cell1R (${cell1Sec}%.1fs)")
+      f"srp=$srpR (${srpSec}%.1fs) quant/auto-probe2=$quantR (${quantSec}%.1fs incl. train) " +
+      f"— frozen-centroid rules: probe1=$cell1R (${cell1Sec}%.1fs) " +
+      f"margin-band(0.05)=$mbR (${mbSec}%.1fs) probe2=$p2R (${p2Sec}%.1fs)")
+    // the margin band is a candidate-superset of within-cell-only and a
+    // subset of probe-2: recall must land between them (structural)
+    assert(mbR >= cell1R - 1e-9, "margin band must dominate within-cell-only")
+    assert(mbR <= p2R + 1e-9, "margin band cannot exceed full probe-2")
+    // precision 1 holds on the prototype too (exact-cosine filter)
+    assert((all -- mbKept).subsetOf(exactDropped), "margin band dropped a non-dup")
     // measured floors for THIS corpus class (near-dup cosine ≈
     // 0.95–0.99): SRP's 16-table OR-construction keeps essentially
     // every 0.95+ pair (r13 measured 1.000). The quantizer tier's

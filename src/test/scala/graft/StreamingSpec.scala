@@ -23,6 +23,64 @@ class StreamingSpec extends SparkSpec {
     Ev(2, ts(5), "click", 5.0),                               // session C (u2)
     Ev(2, ts(300), "view", 7.0))                              // session D + watermark push
 
+  test("streaming ingest fold: a batch-straddling near-dup drops; stream-folded survivors ≡ one-shot ingest (arrival-monotone ids)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SemDedupIngest
+    import graft.operators.SemDedup
+    val cents = graft.operators.Similarity.hashCentroids(4, 4)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // standing corpus: one doc on the x axis
+    val standing = Seq((100L, v(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val (cells, _) = SemDedup.probedIndexBuild(standing, "vec_id", "embedding", cents)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_stream").toString
+    try {
+      val store = new SemDedupIngest.Store(spark, tmp, "vec_id", "embedding")
+      store.seed(standing, cells)
+      // batch 1: 1 fresh on y; 2 a near-dup of 1 (batch-internal min-id)
+      val batch1 = Seq((1L, v(0, 1, 0, 0)), (2L, v(0, 1, 0.05, 0)))
+      // batch 2: 5 near-dups batch 1's SURVIVOR (the straddling trap),
+      // 6 fresh on z, 7 near-dups the SEED corpus
+      val batch2 = Seq((5L, v(0.05, 1, 0, 0)), (6L, v(0, 0, 1, 0)),
+        (7L, v(1, 0, 0, 0.05)))
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = SemDedupIngest.dedupIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.9, cents, store).start()
+      try {
+        ms.addData(batch1: _*); q.processAllAvailable()
+        ms.addData(batch2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = store.ingested.select("vec_id").as[Long].collect().toSet
+      // ≡ the one-shot ingest of the union: ids are arrival-monotone
+      // (batch1 < batch2), so min-id-within-batch = first-arrival-wins
+      val oneShot = SemDedup.dedupIngest(standing, cells,
+          (batch1 ++ batch2).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", threshold = 0.9, cents)
+        .select("vec_id").as[Long].collect().toSet
+      assert(streamed == oneShot)
+      assert(streamed == Set(1L, 6L),
+        s"expected {1, 6}: 2 loses min-id in batch 1, 5 loses to batch 1's " +
+          s"survivor via the FOLD, 7 loses to the seed corpus — got $streamed")
+      // the trap made explicit: WITHOUT the fold (batch 2 deduped
+      // against the seed only) the straddling near-dup 5 survives
+      val noFold = SemDedup.dedupIngest(standing, cells,
+          batch2.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", threshold = 0.9, cents)
+        .select("vec_id").as[Long].collect().toSet
+      assert(noFold.contains(5L),
+        "fixture lost its teeth: 5 should survive a fold-less batch-2 ingest")
+      // the standing store folded to seed + survivors
+      assert(store.standingEmb.select("vec_id").as[Long].collect().toSet ==
+        Set(100L, 1L, 6L))
+      graft.Caching.release()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("streaming hourly counts match batch on closed buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -5,15 +5,34 @@ quiet-run drift detection compares against — from a QUIET Bench record.
 Usage:
   SPARK_GRAFT_SF_DIR=... sbt -batch "runMain graft.Bench" 2>&1 \
       | sed 's/^\[info\] //' | grep -F '"metric"' > /tmp/bench.jsonl
-  python3 tools/make_reference.py /tmp/bench.jsonl
+  python3 tools/make_reference.py /tmp/bench.jsonl [--reset q_a,q_b]
 
 Takes the FIRST line (the full record with the named "queries" dict; the
 tail line only carries the ms array). Refuses loaded records: the whole
 point of the band is that it was measured quiet.
+
+Dual band (r14 verdict finding 1): besides the last quiet record
+(steady_sec), the file carries per-query HISTORICAL QUIET MINIMA
+(steady_min_sec) folded across every refresh — min(new record, previous
+steady_sec, previous steady_min_sec), per query, same sf. Bench flags
+drift against the MIN of both maps, so a refresh taken from an
+ambient-elevated quiet record can never absorb an elevation: the old
+minimum keeps the gate honest. When a query INTENTIONALLY slows (a
+semantics change that buys quality — the q_semdedup_hier two-probe
+class), pass --reset with its name so its minimum restarts from the new
+record; the reset names are recorded in the file for the audit trail.
 """
 import json, os, sys
 
-src = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench.jsonl"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+reset = set()
+for i, a in enumerate(sys.argv[1:]):
+    if a == "--reset" and i + 2 <= len(sys.argv[1:]):
+        reset.update(x for x in sys.argv[1:][i + 1].split(",") if x)
+    elif a.startswith("--reset="):
+        reset.update(x for x in a.split("=", 1)[1].split(",") if x)
+
+src = args[0] if args else "/tmp/bench.jsonl"
 with open(src) as f:
     rec = None
     for line in f:
@@ -31,14 +50,43 @@ if rec.get("loadavg_start", 99) >= 3.5 or (load_q and max(load_q) >= 9.0):
 if rec.get("failed"):
     sys.exit(f"record has failed queries: {rec['failed']}")
 
+steady = {k: round(v, 3) for k, v in sorted(rec["queries"].items())}
+
+# fold historical quiet minima from the previous band (same sf only);
+# queries deleted from the registry drop, new queries start at the new
+# record, --reset names restart at the new record
+prev_min, prev_resets = {}, []
+ref_path = "bench/REFERENCE.json"
+if os.path.exists(ref_path):
+    with open(ref_path) as f:
+        prev = json.load(f)
+    if prev.get("sf") == rec["sf"]:
+        for k, v in prev.get("steady_sec", {}).items():
+            prev_min[k] = min(v, prev_min.get(k, v))
+        for k, v in prev.get("steady_min_sec", {}).items():
+            prev_min[k] = min(v, prev_min.get(k, v))
+        prev_resets = prev.get("reset_history", [])
+steady_min = {}
+for k, v in steady.items():
+    if k in reset or k not in prev_min:
+        steady_min[k] = v
+    else:
+        steady_min[k] = min(v, prev_min[k])
+
 ref = {
     "sf": rec["sf"],
     "source": {"total_sec": rec["value"], "loadavg_start": rec["loadavg_start"],
                "loadavg_q": load_q, "n_queries": len(rec["queries"])},
-    "steady_sec": {k: round(v, 3) for k, v in sorted(rec["queries"].items())},
+    "steady_sec": steady,
+    "steady_min_sec": steady_min,
 }
+if reset or prev_resets:
+    ref["reset_history"] = prev_resets + sorted(reset)
 os.makedirs("bench", exist_ok=True)
-with open("bench/REFERENCE.json", "w") as f:
+with open(ref_path, "w") as f:
     json.dump(ref, f, indent=1)
-print(f"bench/REFERENCE.json: {len(ref['steady_sec'])} queries at sf={rec['sf']}, "
-      f"total {rec['value']:.1f}s, loadavg_start {rec['loadavg_start']}")
+n_hist = sum(1 for k in steady if steady_min[k] < steady[k])
+print(f"bench/REFERENCE.json: {len(steady)} queries at sf={rec['sf']}, "
+      f"total {rec['value']:.1f}s, loadavg_start {rec['loadavg_start']}; "
+      f"historical min below last record on {n_hist} queries"
+      + (f"; reset: {sorted(reset)}" if reset else ""))
