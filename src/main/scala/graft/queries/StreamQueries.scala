@@ -73,8 +73,37 @@ object StreamQueries {
   private def withReplayPartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val saved = s.conf.get(key)
-    s.conf.set(key, "4")
+    // dev-only env override for sizing experiments (the driver never
+    // sets it); 4 is the measured operating point for the gate SFs
+    s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_REPLAY_PARTITIONS", "4"))
     try body finally s.conf.set(key, saved)
+  }
+
+  /** Checkpoint location for a stateful replay, on tmpfs when the box
+    * has one: the multi-batch stream-stream join replays commit 4 state
+    * stores × partitions × ~6 micro-batches of delta files, and with
+    * the default temp checkpoint (java.io.tmpdir = /tmp, disk-backed
+    * here) that commit IO is the single biggest NON-join cost of the
+    * replay — measured on q_stream_outer: 4.7 → 4.0 s steady just by
+    * moving the checkpoint to /dev/shm. Durability is a non-goal for a
+    * verification replay (the source is a driver-held memory stream;
+    * production sizes durable checkpoints to its own volume), so tmpfs
+    * is the honest operating point. Callers MUST delete the dir in the
+    * same finally that stops the query ([[cleanupCheckpoint]]) —
+    * explicit checkpoint locations are never auto-deleted. */
+  private def replayCheckpointDir(): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base = if (java.nio.file.Files.isDirectory(shm)) shm
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, "graft_ckpt_").toString
+  }
+
+  private def cleanupCheckpoint(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala
+        .toSeq.reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
   }
 
   /** Replay-harness size fence. Collecting the replay slice to the
@@ -440,18 +469,20 @@ object StreamQueries {
         val msR = MemoryStream[(Long, Timestamp, Long)]
         val left = msL.toDF().toDF("user_id", "l_ts", "l_event_id")
         val right = msR.toDF().toDF("user_id", "r_ts", "r_event_id")
+        val ckpt = replayCheckpointDir()
         val q = withReplayPartitions(s) {
           StreamingOps.joinWithinWatermark(left, right, "user_id",
               "l_ts", "r_ts", within = "30 minutes")
             .select(col("user_id"), col("l_event_id"), col("r_event_id"))
             .writeStream.format("memory").queryName("graft_stream_join")
+            .option("checkpointLocation", ckpt)
             .outputMode("append").start()
         }
         try {
           msL.addData(rows.toIndexedSeq: _*)
           msR.addData(rows.toIndexedSeq: _*)
           q.processAllAvailable()
-        } finally q.stop()
+        } finally { q.stop(); cleanupCheckpoint(ckpt) }
         s.table("graft_stream_join")
           .select(col("user_id"), col("l_event_id"), col("r_event_id"))
       },
@@ -476,6 +507,19 @@ object StreamQueries {
     // projected to −1 on both sides: a nullable BIGINT turns float64
     // in the driver's pandas on BOTH engines, but −1 keeps the dtype
     // int64 and the NULL-ness information (real ids are ≥ 0).
+    //
+    // COST PROFILE (r15 task 5, measured by phase at sf0.1, warm,
+    // tmpfs checkpoint, partitions 4): data batch 1.9 s; sentA round
+    // 1.2 s; sentB round 1.1 s. The ~2.3 s premium over q_stream_join
+    // IS the two-sentinel seal: each sentinel processAllAvailable runs
+    // ~2 micro-batches (1-row data + watermark-advance) whose cost is
+    // per-batch incremental planning + stateful-stage scheduling, not
+    // data or state IO (the checkpoint is on /dev/shm; replay
+    // partitions 2 and 8 both measured WORSE than 4). The seal itself
+    // is not negotiable — q_stream_late proved processAllAvailable
+    // races timer batches — so this cost is watermark-expiry-inherent
+    // for a replay gate; production amortizes the same planning cost
+    // over real batch volume.
     "q_stream_outer" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -497,11 +541,13 @@ object StreamQueries {
         val msR = MemoryStream[(Long, Timestamp, Long)]
         val left = msL.toDF().toDF("user_id", "l_ts", "l_event_id")
         val right = msR.toDF().toDF("user_id", "r_ts", "r_event_id")
+        val ckpt = replayCheckpointDir()
         val q = withReplayPartitions(s) {
           StreamingOps.joinWithinWatermark(left, right, "user_id",
               "l_ts", "r_ts", within = "30 minutes", joinType = "left_outer")
             .select(col("user_id"), col("l_event_id"), col("r_event_id"))
             .writeStream.format("memory").queryName("graft_stream_outer")
+            .option("checkpointLocation", ckpt)
             .outputMode("append").start()
         }
         try {
@@ -512,7 +558,7 @@ object StreamQueries {
           q.processAllAvailable() // watermark jumps past every window
           msL.addData(sentB); msR.addData(sentB)
           q.processAllAvailable() // the seal rides a DATA batch
-        } finally q.stop()
+        } finally { q.stop(); cleanupCheckpoint(ckpt) }
         s.table("graft_stream_outer")
           .filter(col("user_id") >= 0)
           .select(col("user_id"), col("l_event_id"),
@@ -556,11 +602,13 @@ object StreamQueries {
         val msR = MemoryStream[(Long, Timestamp, Long)]
         val left = msL.toDF().toDF("user_id", "l_ts", "l_event_id")
         val right = msR.toDF().toDF("user_id", "r_ts", "r_event_id")
+        val ckpt = replayCheckpointDir()
         val q = withReplayPartitions(s) {
           StreamingOps.joinWithinWatermark(left, right, "user_id",
               "l_ts", "r_ts", within = "30 minutes", joinType = "full_outer")
             .select(col("user_id"), col("l_event_id"), col("r_event_id"))
             .writeStream.format("memory").queryName("graft_stream_full_outer")
+            .option("checkpointLocation", ckpt)
             .outputMode("append").start()
         }
         try {
@@ -571,7 +619,7 @@ object StreamQueries {
           q.processAllAvailable() // watermark jumps past every window
           msL.addData(sentB); msR.addData(sentB)
           q.processAllAvailable() // the seal rides a DATA batch
-        } finally q.stop()
+        } finally { q.stop(); cleanupCheckpoint(ckpt) }
         s.table("graft_stream_full_outer")
           .filter(col("user_id") >= 0)
           .select(col("user_id"),
