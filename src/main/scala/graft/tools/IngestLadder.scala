@@ -55,13 +55,25 @@ import graft.operators.{SemDedup, Similarity}
   *   correctness probe), counterfactual = embeddingNearDupsAuto over
   *   corpus ∪ batch. Default srp points "100,300,1000" (up to 2M
   *   standing — the tier's home range on this box).
+  *   mode `rebuild` measures the RESIZE lifecycle event (r15 task 2):
+  *   the standing [[graft.operators.Dedup.srpIndexRebuild]] — manifest
+  *   frozen at n/4 (always stale: srpPlanesFor is log₂-quantized), the
+  *   gated re-encode runs at the current sizing and PERSISTS the new
+  *   index (the store write is part of the event) — beside the
+  *   counterfactual a pipeline without the rebuild path pays: a full
+  *   re-dedup of the corpus (embeddingNearDupsAuto), which re-derives
+  *   every pair the standing labels already encode. Correctness probe:
+  *   the rebuilt index has exactly tables·n code rows and its manifest
+  *   is fresh at the current size.
   */
 object IngestLadder {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workRoot = args.lift(1).getOrElse("/tmp")
     val srpMode = args.lift(3).contains("srp")
-    val points = args.lift(2).getOrElse(if (srpMode) "100,300,1000" else "30,100,200")
+    val rebuildMode = args.lift(3).contains("rebuild")
+    val points = args.lift(2)
+      .getOrElse(if (srpMode || rebuildMode) "100,300,1000" else "30,100,200")
       .split(",").toSeq.map(_.trim.toInt)
     val localMode = args.lift(3).contains("local")
     val spark = SparkSession.builder()
@@ -77,6 +89,52 @@ object IngestLadder {
       val t0 = System.nanoTime()
       val r = try body finally graft.Caching.release()
       (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    if (rebuildMode) {
+      import graft.operators.Dedup
+      val rows = points.map { n =>
+        val dir = s"$workRoot/graft_ingest${n}x"
+        HierLadder.generateEmbeddings(spark, base, dir, n)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val nVec = emb.count()
+        // the simulated lifecycle: sizing frozen when the corpus was a
+        // quarter of today's — log2 quantization makes it always stale
+        val mOld = Dedup.SrpManifest(nVec / 4,
+          Similarity.srpPlanesFor(nVec / 4, 128), 16, 128)
+        require(Dedup.srpIndexStale(mOld, nVec),
+          s"fixture lost its teeth at ${n}x: n/4 manifest is not stale")
+        def rebuildRun(): (Long, Double) = timed {
+          val (idx, m2) = Dedup.srpIndexRebuild(emb, "vec_id", "embedding",
+            64, mOld, nVec)
+          idx.write.mode("overwrite").parquet(s"$dir/srp_index_rebuilt.parquet")
+          require(!Dedup.srpIndexStale(m2, nVec), "rebuilt manifest still stale")
+          spark.read.parquet(s"$dir/srp_index_rebuilt.parquet").count()
+        }
+        def fullRun(): (Long, Double) = timed {
+          Dedup.embeddingNearDupsAuto(emb, "vec_id", "embedding", dim = 64,
+            threshold = 0.4, knownCount = Some(nVec)).count()
+        }
+        val (idxRows, _) = rebuildRun() // cold + the correctness probe
+        require(idxRows == 16L * nVec,
+          s"rebuilt index has $idxRows rows, want ${16L * nVec} at ${n}x")
+        val tRebuild = math.min(rebuildRun()._2, rebuildRun()._2)
+        val (fullPairs, _) = fullRun()
+        val tFull = math.min(fullRun()._2, fullRun()._2)
+        println(s"""{"point":"${n}x","mode":"rebuild","n_standing":$nVec,"planes_old":${mOld.planes},"planes_new":${Similarity.srpPlanesFor(nVec, 128)},"t_rebuild_s":${num(tRebuild)},"t_full_rededup_s":${num(tFull)},"index_rows":$idxRows,"full_pairs":$fullPairs}""")
+        (n, tRebuild, tFull)
+      }
+      rows.sliding(2).foreach {
+        case Seq((n1, i1, f1), (n2, i2, f2)) =>
+          val f = n2.toDouble / n1
+          def expo(a: Double, b: Double): String = num(math.log(b / a) / math.log(f))
+          println(s"${n1}x -> ${n2}x (factor ${num(f)}): rebuild exponent " +
+            s"${expo(i1, i2)}, full-rededup exponent ${expo(f1, f2)}")
+        case _ => ()
+      }
+      spark.stop()
+      return
     }
 
     if (srpMode) {
