@@ -24,13 +24,18 @@ record; the reset names are recorded in the file for the audit trail.
 """
 import json, os, sys
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-reset = set()
-for i, a in enumerate(sys.argv[1:]):
-    if a == "--reset" and i + 2 <= len(sys.argv[1:]):
-        reset.update(x for x in sys.argv[1:][i + 1].split(",") if x)
+argv = sys.argv[1:]
+args, reset, skip = [], set(), False
+for i, a in enumerate(argv):
+    if skip:
+        skip = False
+    elif a == "--reset" and i + 1 < len(argv):
+        reset.update(x for x in argv[i + 1].split(",") if x)
+        skip = True  # the value is --reset's, not a positional
     elif a.startswith("--reset="):
         reset.update(x for x in a.split("=", 1)[1].split(",") if x)
+    elif not a.startswith("--"):
+        args.append(a)
 
 src = args[0] if args else "/tmp/bench.jsonl"
 with open(src) as f:
