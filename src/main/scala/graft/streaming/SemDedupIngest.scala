@@ -67,14 +67,14 @@ object SemDedupIngest {
       spark.read.parquet(cellsDir).filter(col("batch") >= 0)
         .filter(col("rank") === 1).select(col(idCol), col("cell"))
 
-    private[streaming] def writeBatchEmb(batchId: Long, emb: DataFrame): Unit =
+    private[graft] def writeBatchEmb(batchId: Long, emb: DataFrame): Unit =
       emb.select(col(idCol), col(vecCol))
         .write.mode("overwrite").parquet(s"$embDir/batch=$batchId")
 
-    private[streaming] def readBatchEmb(batchId: Long): DataFrame =
+    private[graft] def readBatchEmb(batchId: Long): DataFrame =
       spark.read.parquet(s"$embDir/batch=$batchId")
 
-    private[streaming] def writeBatchCells(batchId: Long, cells: DataFrame): Unit =
+    private[graft] def writeBatchCells(batchId: Long, cells: DataFrame): Unit =
       cells.select(col(idCol), col("cell"), col("rank"))
         .write.mode("overwrite").parquet(s"$cellsDir/batch=$batchId")
   }

@@ -73,6 +73,17 @@ class StreamingSpec extends SparkSpec {
       // the standing store folded to seed + survivors
       assert(store.standingEmb.select("vec_id").as[Long].collect().toSet ==
         Set(100L, 1L, 6L))
+      // epoch-retry idempotency (the foreachBatch exactly-once
+      // discipline the Store's batch=<id> OVERWRITE encodes): replaying
+      // a batch id must not double-append — standing row COUNT is
+      // unchanged after a rewrite of the same epoch
+      val before = store.standingEmb.count()
+      val replay = Seq((6L, v(0, 0, 1, 0))).toDF("vec_id", "embedding")
+      store.writeBatchEmb(1L, replay)
+      store.writeBatchCells(1L, SemDedup.probedIndex(
+        replay, "vec_id", "embedding", cents))
+      assert(store.standingEmb.count() == before)
+      assert(store.standingEmb.filter(col("vec_id") === 6L).count() == 1L)
       graft.Caching.release()
     } finally {
       import scala.jdk.CollectionConverters._
