@@ -91,11 +91,17 @@ object StreamQueries {
     * is the honest operating point. Callers MUST delete the dir in the
     * same finally that stops the query ([[cleanupCheckpoint]]) —
     * explicit checkpoint locations are never auto-deleted. */
-  private def replayCheckpointDir(): String = {
+  private def replayCheckpointDir(): String = replayTmpDir("graft_ckpt_")
+
+  /** tmpfs-preferring temp dir for replay scratch (checkpoints, the CDC
+    * snapshot fold, the ingest store): same durability-is-a-non-goal
+    * argument as [[replayCheckpointDir]] — the replay's parquet scratch
+    * round-trips within one invocation and is deleted in its finally. */
+  private def replayTmpDir(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val base = if (java.nio.file.Files.isDirectory(shm)) shm
       else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    java.nio.file.Files.createTempDirectory(base, "graft_ckpt_").toString
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
   }
 
   private def cleanupCheckpoint(dir: String): Unit = {
@@ -764,7 +770,7 @@ object StreamQueries {
           .as[Chg], "CDC change replay slice")
           .sortBy(c => (c.ts_us, c.event_id))
         val slices = changes.grouped(math.max(1, (changes.length + 2) / 3)).toSeq
-        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
+        val tmp = replayTmpDir("graft_stream_cdc")
         // written from the stream-execution thread, read from this one
         // after stop() — needs the fence an unsynchronized var lacks
         val snapDir = new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
@@ -846,7 +852,7 @@ object StreamQueries {
         val cents = graft.operators.IvfCentroids.cells
         val cells = graft.operators.SemDedup.probedIndex(
           standing, "vec_id", "embedding", cents)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString
+        val tmp = replayTmpDir("graft_stream_ingest")
         val store = new graft.streaming.SemDedupIngest.Store(
           s, tmp, "vec_id", "embedding")
         store.seed(standing, cells)
