@@ -739,6 +739,84 @@ object SimilarityQueries {
         |                 THEN (SELECT p FROM pnew) END AS BIGINT) AS new_id,
         |       CAST((SELECT p FROM pold) AS DOUBLE) AS cos_sim"""),
 
+    // The quantizer tier's RESIZE LIFECYCLE — q_index_rebuild's sibling
+    // on the semantic tier, driver-gating the OTHER standing artifact's
+    // staleness rule + gated rebuild (StalenessSpec pins the mechanics;
+    // this row makes them oracle evidence). The manifest says the
+    // quantizer was sized when the corpus was an EIGHTH of today's
+    // (k frozen at cellsFor(n/8)) — outside the 2× band at every gate
+    // SF, so quantizerStale fires, probedIndexRebuild retrains at
+    // cellsFor(n) on the deterministic hashCentroids trainer (the
+    // q_semdedup_hier oracle-replayability posture) and re-assigns the
+    // standing corpus (label migration), and ingest serves from the
+    // REBUILT index. The oracle replays the sizing rule from COUNT(*)
+    // ((n+127)//128), reconstructs hashCentroids at that RUNTIME k from
+    // md5 integer arithmetic (the hierQuantizerCtes fcv pattern over an
+    // oversized constant series, filtered to k·64 — k > 64 maps the
+    // sentinel to NULL so truncation can never pass silently), and
+    // re-derives the full ingest rule. Hash match = stale-gate +
+    // rebuild + re-assignment + ingest ≡ a fresh build at today's size.
+    "q_quantizer_rebuild" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val standing = emb.filter(col("vec_id") % 10 < 8)
+        val batch = emb.filter(col("vec_id") % 10 >= 8)
+        val n = standing.count()
+        val builtN = n / 8
+        val mOld = graft.operators.SemDedup.QuantizerManifest(builtN,
+          graft.operators.SemDedup.cellsFor(builtN), 2, 128)
+        val (idx, cents, m2) =
+          if (graft.operators.SemDedup.quantizerStale(mOld, n))
+            graft.operators.SemDedup.probedIndexRebuild(standing, "vec_id",
+              "embedding", mOld, n,
+              k => graft.operators.Similarity.hashCentroids(k, 64))
+          else {
+            val c = graft.operators.Similarity.hashCentroids(mOld.k, 64)
+            (graft.operators.SemDedup.probedIndex(standing, "vec_id",
+              "embedding", c), c, mOld)
+          }
+        graft.operators.SemDedup.dedupIngest(standing, idx, batch,
+            "vec_id", "embedding", threshold = 0.4, cents)
+          .select(col("vec_id"), col("cell").cast("long").as("cell"))
+          .unionByName(s.range(1).select(
+            lit(-1L).as("vec_id"), lit(m2.k.toLong).as("cell")))
+      },
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |st AS (SELECT count(*) AS n FROM e WHERE vec_id % 10 < 8),
+        |kk AS (SELECT (n + 127) // 128 AS k FROM st),
+        |fcv AS MATERIALIZED (
+        |  SELECT cd // 64 AS c, cd % 64 AS d,
+        |         (CAST(CAST(concat('0x', substr(md5('hc:' || CAST(cd // 64 AS VARCHAR) || ':' || CAST(cd % 64 AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS DOUBLE)
+        |          - CAST('127.5' AS DOUBLE)) / CAST('128.0' AS DOUBLE) AS x
+        |  FROM generate_series(0, 4095) AS t(cd)
+        |  WHERE cd < (SELECT k FROM kk) * 64),
+        |fc AS MATERIALIZED (SELECT c, list(x ORDER BY d) AS ctr FROM fcv GROUP BY c),
+        |asgn AS MATERIALIZED (
+        |  SELECT vec_id, cell, crank FROM (
+        |    SELECT e.vec_id, fc.c AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.v, fc.ctr) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(fc.ctr, fc.ctr))) DESC,
+        |             fc.c) AS crank
+        |    FROM e CROSS JOIN fc)
+        |  WHERE crank <= 2),
+        |edges AS MATERIALIZED (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        |  JOIN e qe ON qe.vec_id = a.vec_id
+        |  JOIN e ce ON ce.vec_id = b.vec_id
+        |  WHERE list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) >= 0.4)
+        |SELECT asgn.vec_id, CAST(asgn.cell AS BIGINT) AS cell
+        |FROM asgn
+        |WHERE crank = 1 AND vec_id % 10 >= 8
+        |  AND vec_id NOT IN (SELECT id2 FROM edges
+        |                     WHERE id1 % 10 >= 8 AND id2 % 10 >= 8 AND id1 < id2)
+        |  AND vec_id NOT IN (SELECT id2 FROM edges
+        |                     WHERE id1 % 10 < 8 AND id2 % 10 >= 8)
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS vec_id,
+        |       CAST(CASE WHEN (SELECT k FROM kk) <= 64
+        |                 THEN (SELECT k FROM kk) END AS BIGINT) AS cell"""),
+
     // The AUTO-SIZED near-dup path — the round-10 scale ladder's headline
     // fix graduated to a CORRECTNESS row: the engine learns n with one
     // count() and sizes planes = srpPlanesFor(n, 128); the oracle replays
