@@ -286,12 +286,22 @@ object Bench {
       if (rerun.isEmpty) "" else s""","rerun":"${rerun.keys.toSeq.sorted.mkString(",")}""""
     // drift: only when a quiet-run query stayed outside its reference
     // band after its extra run — [ref, now] per name so the tail is
-    // self-contained (usually absent; a handful of entries fits)
+    // self-contained. The dual band (min of last quiet record and
+    // historical quiet minima, r15) flags sub-second lucky-minimum
+    // wobble in bulk on a mildly ambient run, so the tail carries the
+    // WORST 8 by ratio plus the total count — breadth (a large
+    // drift_n across unrelated families) reads as ambient, a
+    // concentrated few as code, and the line budget survives either
+    // way. The full set is reconstructible from steady_ms vs the
+    // committed band.
     val driftJson =
       if (drift.isEmpty) ""
-      else s""","drift":${drift.sortBy(_._1).map { case (n, ref, now) =>
-        "\"" + n + "\":[" + f2(ref) + "," + f2(now) + "]"
-      }.mkString("{", ",", "}")}"""
+      else {
+        val worst = drift.sortBy { case (_, ref, now) => -(now / ref) }.take(8)
+        s""","drift_n":${drift.size},"drift":${worst.sortBy(_._1).map {
+          case (n, ref, now) => "\"" + n + "\":[" + f2(ref) + "," + f2(now) + "]"
+        }.mkString("{", ",", "}")}"""
+      }
     val launchJson =
       if (math.abs(loadAtLaunch - loadStart) < 0.05) ""
       else s""","loadavg_at_launch":$loadAtLaunch"""
