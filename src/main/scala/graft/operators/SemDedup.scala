@@ -426,9 +426,9 @@ object SemDedup {
                   centroids: Seq[(Int, Array[Float])] = IvfCentroids.cells,
                   maxCellSize: Option[Int] = None,
                   probes: Int = 2): DataFrame =
-    dedupIngestRanked(standingEmb, standingCells, batchEmb,
-      assignProbed(batchEmb, idCol, vecCol, centroids, probes),
-      idCol, vecCol, threshold, maxCellSize)
+    dedupIngestProbed(standingEmb, standingCells, batchEmb, idCol, vecCol,
+      threshold, centroids, maxCellSize, probes)
+      .filter(col("rank") === 1).select(col(idCol), col("cell"))
 
   /** [[dedupIngest]] with the batch assigned through the two-level
     * assigner — the ingest entry for >[[FlatAssignCeiling]] standing
@@ -446,11 +446,15 @@ object SemDedup {
     dedupIngestRanked(standingEmb, standingCells, batchEmb,
       probedIndexHier(batchEmb, idCol, vecCol, centroids, probes, coarseProbes),
       idCol, vecCol, threshold, maxCellSize)
+      .filter(col("rank") === 1).select(col(idCol), col("cell"))
 
   /** Shared ingest body over an already-probed batch (id, cell, rank):
     * batch probed ONCE (Caching-tracked), both edge streams off the
-    * same frame, survivor = rank-1 minus internal losers minus corpus
-    * hits. */
+    * same frame, survivor = probed rows minus internal losers minus
+    * corpus hits — ALL ranks kept here ([[dedupIngestProbed]]'s
+    * contract); [[dedupIngest]] projects rank 1 (the filter commutes
+    * with the id-keyed anti-joins and Catalyst pushes it below them,
+    * so the single-rank callers' plans are unchanged). */
   private def dedupIngestRanked(standingEmb: DataFrame, standingCells: DataFrame,
                                 batchEmb: DataFrame, probedBatch: DataFrame,
                                 idCol: String, vecCol: String, threshold: Double,
@@ -463,10 +467,29 @@ object SemDedup {
         cap(standingCells.select(col(idCol), col("cell")), idCol, maxCellSize),
         batchEmb, bCells, idCol, vecCol, threshold)
       .select(col("new_id").as(idCol)).distinct()
-    probedB.filter(col("rank") === 1).select(col(idCol), col("cell"))
+    probedB.select(col(idCol), col("cell"), col("rank"))
       .join(internalLosers, Seq(idCol), "left_anti")
       .join(corpusHits, Seq(idCol), "left_anti")
   }
+
+  /** [[dedupIngest]] returning the survivors' FULL probed rows (id,
+    * cell, rank ≤ probes) instead of the rank-1 projection — the rows
+    * a standing-index maintainer APPENDS to its [[probedIndex]] store
+    * ([[graft.streaming.SemDedupIngest]]'s per-batch fold). The batch
+    * was probed once for the dedup itself, so re-assigning survivors
+    * for their index rows (|survivors| · k cosines plus another pass
+    * over the batch) is pure waste at ingest volume; this exposes the
+    * already-computed rows. Rank-1 rows of this output ARE
+    * [[dedupIngest]]'s output (spec-pinned). */
+  def dedupIngestProbed(standingEmb: DataFrame, standingCells: DataFrame,
+                        batchEmb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double,
+                        centroids: Seq[(Int, Array[Float])] = IvfCentroids.cells,
+                        maxCellSize: Option[Int] = None,
+                        probes: Int = 2): DataFrame =
+    dedupIngestRanked(standingEmb, standingCells, batchEmb,
+      assignProbed(batchEmb, idCol, vecCol, centroids, probes),
+      idCol, vecCol, threshold, maxCellSize)
 
   /** Dup edges: (id1, id2, cell, cos_sim) with id1 < id2, cosine ≥
     * threshold, both ids assigned to `cell`. */

@@ -74,6 +74,9 @@ object SemDedupIngest {
     private[graft] def readBatchEmb(batchId: Long): DataFrame =
       spark.read.parquet(s"$embDir/batch=$batchId")
 
+    private[graft] def readBatchCells(batchId: Long): DataFrame =
+      spark.read.parquet(s"$cellsDir/batch=$batchId")
+
     private[graft] def writeBatchCells(batchId: Long, cells: DataFrame): Unit =
       cells.select(col(idCol), col("cell"), col("rank"))
         .write.mode("overwrite").parquet(s"$cellsDir/batch=$batchId")
@@ -92,21 +95,24 @@ object SemDedupIngest {
     batches.writeStream.foreachBatch { (batch: Dataset[Row], id: Long) =>
       try {
         val b = batch.toDF()
-        val survivors = SemDedup.dedupIngest(
+        // survivors WITH their probed rows (the batch is probed once for
+        // the dedup itself — re-assigning survivors for their index rows
+        // would be pure waste per batch)
+        val survivors = SemDedup.dedupIngestProbed(
           store.standingEmb, store.standingCells, b, idCol, vecCol,
           threshold, centroids, maxCellSize, probes)
-        // materialize the survivor EMBEDDINGS first: this write is the
-        // action that evaluates the dedup against the standing snapshot
-        // (parquet listing binds at plan time), so the store mutates
-        // only after the batch's own plan has fully read it
-        val survEmb = b.join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
-        store.writeBatchEmb(id, survEmb)
-        // probe the just-written survivors from their own stable files
-        // (never the half-mutated standing view) for the rank ≤ probes
-        // cell rows the NEXT batch's standing side will read
-        val written = store.readBatchEmb(id)
-        store.writeBatchCells(id,
-          SemDedup.probedIndex(written, idCol, vecCol, centroids, probes))
+        // CELLS write first: this is the action that evaluates the dedup,
+        // and its plan reads BOTH standing dirs at their pre-mutation
+        // listings (writing into a new batch=<id> subdir of cellsDir is
+        // invisible to the same action's own plan-time listing — the
+        // established emb-first argument, now on the cells side)
+        store.writeBatchCells(id, survivors)
+        // embeddings second, derived from the just-written STABLE cell
+        // file + the micro-batch source only — no standing read, so the
+        // cellsDir mutation above cannot feed back into this plan
+        val survIds = store.readBatchCells(id)
+          .filter(col("rank") === 1).select(col(idCol))
+        store.writeBatchEmb(id, b.join(survIds, Seq(idCol), "left_semi"))
       } finally graft.Caching.release()
     }
 }

@@ -432,6 +432,16 @@ class SemDedupSpec extends SparkSpec {
         threshold = 0.9, threeCells, probes = 1)
       .select("id").as[Long].collect().toSet
     assert(kept1 == Set(20L, 30L, 40L), s"got $kept1")
+    // dedupIngestProbed: the survivors' FULL probed rows (what a
+    // standing-index maintainer appends) — rank-1 rows ARE dedupIngest's
+    // output, every survivor carries ranks 1..probes, losers absent
+    val probed = SemDedup.dedupIngestProbed(standing, idx, batch, "id", "vec",
+        threshold = 0.9, threeCells)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(probed.filter(_._3 == 1).map(t => t._1 -> t._2).toMap == kept)
+    assert(probed.map(_._1).toSet == kept.keySet)
+    assert(probed.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._3).sorted.toSeq == Seq(1, 2) })
   }
 
   test("dedupIngestHier at full coarse fan-out equals flat dedupIngest; probedIndexHier ≡ probedIndex") {
