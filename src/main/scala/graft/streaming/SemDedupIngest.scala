@@ -85,15 +85,30 @@ object SemDedupIngest {
   /** The configured writer: `start()` it and feed the (id, vec)
     * stream. Owns its session's Caching entries per batch (released at
     * each batch end — don't interleave other graft operators' cached
-    * executions on the same session while an ingest stream is live). */
+    * executions on the same session while an ingest stream is live).
+    *
+    * `manifest`: the standing quantizer's build-time sizing
+    * ([[SemDedup.probedIndexBuild]]). When given, every micro-batch
+    * re-checks [[SemDedup.requireFreshQuantizer]] against the CURRENT
+    * standing size (one parquet-footer count — metadata, not a scan)
+    * BEFORE deduping, so a long-running ingest whose survivors outgrow
+    * the frozen quantizer fails the stream LOUDLY at the first stale
+    * batch instead of silently compounding per-cell pair work — the
+    * continuous-ingest face of the resize lifecycle (rebuild via
+    * [[SemDedup.probedIndexRebuild]], re-seed the store, restart). */
   def dedupIngestStream(batches: DataFrame, idCol: String, vecCol: String,
                         threshold: Double,
                         centroids: Seq[(Int, Array[Float])],
                         store: Store,
                         maxCellSize: Option[Int] = None,
-                        probes: Int = 2): DataStreamWriter[Row] =
+                        probes: Int = 2,
+                        manifest: Option[SemDedup.QuantizerManifest] = None)
+      : DataStreamWriter[Row] =
     batches.writeStream.foreachBatch { (batch: Dataset[Row], id: Long) =>
       try {
+        manifest.foreach { m =>
+          SemDedup.requireFreshQuantizer(m, store.standingEmb.count())
+        }
         val b = batch.toDF()
         // survivors WITH their probed rows (the batch is probed once for
         // the dedup itself — re-assigning survivors for their index rows

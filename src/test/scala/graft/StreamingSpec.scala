@@ -92,6 +92,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest with a manifest fails LOUDLY at the first batch whose standing corpus outgrew the frozen quantizer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SemDedupIngest
+    import graft.operators.SemDedup
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // quantizer frozen for a 2-vector corpus at target cell 2 (k = 1);
+    // the 2x cellsFor band holds through n = 4 and breaks at n >= 5
+    val cents = graft.operators.Similarity.hashCentroids(1, 4)
+    val manifest = SemDedup.QuantizerManifest(builtN = 2, k = 1,
+      probes = 2, targetCellSize = 2)
+    val standing = Seq((1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val (cells, _) = SemDedup.probedIndexBuild(standing, "vec_id", "embedding",
+      cents, targetCellSize = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_stale").toString
+    try {
+      val store = new SemDedupIngest.Store(spark, tmp, "vec_id", "embedding")
+      store.seed(standing, cells)
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = SemDedupIngest.dedupIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.9, cents, store, manifest = Some(manifest)).start()
+      try {
+        // batch 1 (standing n = 2, cellsFor = 1 = k: fresh) — ingests
+        ms.addData((10L, v(0, 0, 1, 0)), (11L, v(0, 0, 0, 1)))
+        q.processAllAvailable()
+        // batch 2 (n = 4, cellsFor = 2 = 2k: band edge, still fresh)
+        ms.addData((12L, v(1, 1, 0, 0)), (13L, v(0, 1, 1, 0)))
+        q.processAllAvailable()
+        assert(store.standingEmb.count() == 6L)
+        // batch 3: n = 6 → cellsFor = 3 > 2k — the gate must kill the
+        // stream with the staleness message, not dedup on the stale
+        // quantizer
+        ms.addData((14L, v(1, 0, 1, 0)))
+        val e = intercept[Exception] { q.processAllAvailable() }
+        def messages(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+        assert(messages(e).exists(m => m.contains("STALE")
+          && m.contains("probedIndexRebuild")), s"got: ${messages(e)}")
+        // nothing from the refused batch landed in the store
+        assert(store.standingEmb.filter(col("vec_id") === 14L).count() == 0L)
+      } finally { q.stop(); graft.Caching.release() }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("streaming hourly counts match batch on closed buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
