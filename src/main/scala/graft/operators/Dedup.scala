@@ -412,6 +412,18 @@ object Dedup {
         .select(col("new_id"), col("_v2"), posexplode(
           Similarity.srpBuckets(col("_v2"), dim, planes, tables)).as(Seq("table", "bucket"))),
       Seq("table", "bucket"), maxBucketSize)
+    srpEdgesAgainstCoded(standingEmb, standingCodes, bCoded,
+      idCol, vecCol, threshold, maxBucketSize)
+  }
+
+  /** [[embeddingNearDupsAgainst]] body over an already-coded (and
+    * already-capped) batch frame (new_id, _v2, table, bucket) — shared
+    * with [[srpIngestCoded]], whose batch is coded ONCE for all three
+    * consumers (internal edges, cross-side edges, the index append). */
+  private def srpEdgesAgainstCoded(standingEmb: DataFrame, standingCodes: DataFrame,
+                                   bCoded: DataFrame, idCol: String, vecCol: String,
+                                   threshold: Double,
+                                   maxBucketSize: Option[Int]): DataFrame = {
     val touched = bCoded.select(col("table"), col("bucket")).distinct()
     val sCodes = capBuckets(
       standingCodes.join(touched.hint("broadcast"), Seq("table", "bucket"), "left_semi"),
@@ -426,6 +438,68 @@ object Dedup {
       .select(col("corpus_id"), col("new_id"), col("cos_sim"))
       .dropDuplicates("corpus_id", "new_id")
   }
+
+  /** SRP-tier ingest survivors WITH their code rows — the
+    * [[SemDedup.dedupIngestProbed]] of the beyond-[[SemDedup
+    * .HierAssignCeiling]] tier, completing the per-batch fold entry
+    * across all three quantizer tiers ([[graft.streaming
+    * .SemDedupIngest.srpIngestStream]]). A batch id is dropped on a
+    * ≥-threshold edge to ANY standing id (standing wins — the corpus
+    * is curated) or to a SMALLER batch id (the min-id rule, the
+    * [[SemDedup.dedupIngest]] semantics verbatim); survivors return
+    * with their FULL (id, table, bucket) code rows — the rows a
+    * standing [[srpIndex]] maintainer APPENDS, already computed
+    * because the batch is coded ONCE (Caching-tracked) and the coded
+    * frame serves all three consumers: the within-batch edge stream,
+    * the cross-side edge stream, and the output itself. Candidate
+    * verification runs IN PLACE on both streams (the
+    * [[embeddingNearDups]] discipline: within-batch pairs die inside
+    * the bucket's aggregation task, cross-side pairs inside the fused
+    * cosine filter — junk never reaches an exchange); `maxBucketSize`
+    * caps candidate GENERATION only, the appended code rows are the
+    * uncapped encoding ([[srpIndexBuild]]'s contract — the cap is a
+    * per-evaluation hot-bucket guard, not index state). */
+  def srpIngestCoded(standingEmb: DataFrame, standingCodes: DataFrame,
+                     batchEmb: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, threshold: Double, planes: Int,
+                     tables: Int = 16,
+                     maxBucketSize: Option[Int] = None): DataFrame = {
+    val coded = graft.Caching.persistTracked(
+      srpIndex(batchEmb, idCol, vecCol, dim, planes, tables))
+    val withVec = capBuckets(
+      coded.join(batchEmb.select(col(idCol), col(vecCol).as("_v2")), Seq(idCol)),
+      Seq("table", "bucket"), maxBucketSize)
+    // within-batch losers: the HIGHER end of any ≥-threshold pair
+    // (NearPairsGenerator emits canonical id1 < id2), scored in place
+    // per bucket — the embeddingNearDups kernel on the shared coding
+    val internalLosers = withVec
+      .select(col(idCol).as("id"), col("_v2").as("vec"), col("table"), col("bucket"))
+      .groupBy(col("table"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("vec"))).as("_members"))
+      .select(graft.functions.NearPairsGenerator.nearPairs(col("_members"), threshold)
+        .as(Seq("id1", "id2", "cos_sim")))
+      .select(col("id2").as(idCol)).distinct()
+    val corpusHits = srpEdgesAgainstCoded(standingEmb,
+        standingCodes.select(col(idCol), col("table"), col("bucket")),
+        withVec.select(col(idCol).as("new_id"), col("_v2"), col("table"), col("bucket")),
+        idCol, vecCol, threshold, maxBucketSize)
+      .select(col("new_id").as(idCol)).distinct()
+    coded.join(internalLosers, Seq(idCol), "left_anti")
+      .join(corpusHits, Seq(idCol), "left_anti")
+  }
+
+  /** [[srpIngestCoded]] projected to the surviving batch ids — the
+    * id-only ingest answer when the caller maintains no standing
+    * index (the anti-join input shape of the LSH/spans `*Against`
+    * family). */
+  def srpIngest(standingEmb: DataFrame, standingCodes: DataFrame,
+                batchEmb: DataFrame, idCol: String, vecCol: String,
+                dim: Int, threshold: Double, planes: Int,
+                tables: Int = 16,
+                maxBucketSize: Option[Int] = None): DataFrame =
+    srpIngestCoded(standingEmb, standingCodes, batchEmb, idCol, vecCol,
+      dim, threshold, planes, tables, maxBucketSize)
+      .select(col(idCol)).distinct()
 
   /** Sorted-neighborhood candidate generation (the Hernández–Stolfo
     * merge/purge pattern): order every record by a blocking key, pair

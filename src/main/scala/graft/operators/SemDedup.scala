@@ -443,10 +443,25 @@ object SemDedup {
                       centroids: Seq[(Int, Array[Float])],
                       maxCellSize: Option[Int] = None,
                       probes: Int = 2, coarseProbes: Int = 2): DataFrame =
+    dedupIngestProbedHier(standingEmb, standingCells, batchEmb, idCol, vecCol,
+      threshold, centroids, maxCellSize, probes, coarseProbes)
+      .filter(col("rank") === 1).select(col(idCol), col("cell"))
+
+  /** [[dedupIngestProbed]] through the two-level assigner — the
+    * survivors' FULL probed rows for a >[[FlatAssignCeiling]] standing
+    * index's per-batch append ([[graft.streaming.SemDedupIngest]]'s
+    * hier tier). Rank-1 rows ARE [[dedupIngestHier]]'s output (the
+    * same filter-commutes-below-the-anti-joins argument, plan-pinned
+    * on the flat tier by PlanAuditSpec). */
+  def dedupIngestProbedHier(standingEmb: DataFrame, standingCells: DataFrame,
+                            batchEmb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double,
+                            centroids: Seq[(Int, Array[Float])],
+                            maxCellSize: Option[Int] = None,
+                            probes: Int = 2, coarseProbes: Int = 2): DataFrame =
     dedupIngestRanked(standingEmb, standingCells, batchEmb,
       probedIndexHier(batchEmb, idCol, vecCol, centroids, probes, coarseProbes),
       idCol, vecCol, threshold, maxCellSize)
-      .filter(col("rank") === 1).select(col(idCol), col("cell"))
 
   /** Shared ingest body over an already-probed batch (id, cell, rank):
     * batch probed ONCE (Caching-tracked), both edge streams off the

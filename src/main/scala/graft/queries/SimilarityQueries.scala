@@ -23,7 +23,7 @@ object SimilarityQueries {
     * [[graft.functions.SrpCode]]'s fold (ascending index, double
     * accumulate, `>= 0` sign test). Scala's Double.toString is
     * shortest-round-trip, so DuckDB parses back the identical bits. */
-  private def srpCodesSql(dim: Int, planes: Int, tables: Int): String = {
+  private[queries] def srpCodesSql(dim: Int, planes: Int, tables: Int): String = {
     val hp = Similarity.hyperplanes(dim, planes, tables)
     (0 until tables).map { t =>
       (0 until planes).map { p =>
@@ -174,7 +174,7 @@ object SimilarityQueries {
     * two-level tier; the corpus is gate-SF-sized, so this is a CODE-PATH
     * gate, not a sizing claim — SCALE.md carries the sizing evidence).
     * Lazy: 262k driver-side md5 calls, computed once per JVM. */
-  private lazy val HierCentroids =
+  private[queries] lazy val HierCentroids =
     graft.operators.Similarity.hashCentroids(4100, 64)
 
   /** DuckDB replay of the FULL hierarchical semantic-dedup chain:
@@ -202,7 +202,7 @@ object SimilarityQueries {
     * aR is the cell→group map (coarsen returns round-R means but the
     * round-R assignment computed against round R−1 means — replayed
     * faithfully). */
-  private def hierQuantizerCtes(k: Int, dim: Int, rounds: Int, tag: String): String = {
+  private[queries] def hierQuantizerCtes(k: Int, dim: Int, rounds: Int, tag: String): String = {
     val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val roundCtes = (1 to rounds).map { r =>
       s"""a$r AS MATERIALIZED (
@@ -241,7 +241,7 @@ object SimilarityQueries {
     * `fineProbes`, cell tie-break). `srcFilter` restricts the assigned
     * rows (the ANN query side); CTE names carry prefix `p` so corpus
     * and query chains compose in one oracle. */
-  private def hierAssignCtes(p: String, srcFilter: String, coarseProbes: Int,
+  private[queries] def hierAssignCtes(p: String, srcFilter: String, coarseProbes: Int,
                              fineProbes: Int, rounds: Int,
                              keepRank: Boolean = false): String = {
     val rankCol = if (keepRank) ", CAST(rn AS BIGINT) AS rank" else ""

@@ -853,25 +853,27 @@ object StreamQueries {
         val cells = graft.operators.SemDedup.probedIndex(
           standing, "vec_id", "embedding", cents)
         val tmp = replayTmpDir("graft_stream_ingest")
-        val store = new graft.streaming.SemDedupIngest.Store(
-          s, tmp, "vec_id", "embedding")
-        store.seed(standing, cells)
-        val ms = MemoryStream[(Long, Array[Float])]
-        val q = graft.streaming.SemDedupIngest.dedupIngestStream(
-          ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-          threshold = 0.4, cents, store).start()
-        try {
-          ms.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
-          ms.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
-        } finally q.stop()
-        // materialize the admitted set, then delete the temp store
-        // (3 parquet dirs per invocation would otherwise leak across
-        // every Verify dump and Bench run — the q_stream_cdc rule)
+        // the WHOLE stream body owns the tmp store's deletion: a failure
+        // inside addData/processAllAvailable must not leak the RAM-backed
+        // /dev/shm dirs across Verify/Bench runs (r15 ADVICE; the
+        // q_stream_cdc pattern)
         val out =
-          try store.ingested
-            .select(col("vec_id"), col("cell").cast("long").as("cell"))
-            .as[(Long, Long)].collect()
-          finally {
+          try {
+            val store = new graft.streaming.SemDedupIngest.Store(
+              s, tmp, "vec_id", "embedding")
+            store.seed(standing, cells)
+            val ms = MemoryStream[(Long, Array[Float])]
+            val q = graft.streaming.SemDedupIngest.dedupIngestStream(
+              ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+              threshold = 0.4, cents, store).start()
+            try {
+              ms.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+              ms.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+            } finally q.stop()
+            store.ingested
+              .select(col("vec_id"), col("cell").cast("long").as("cell"))
+              .as[(Long, Long)].collect()
+          } finally {
             import scala.jdk.CollectionConverters._
             java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
               .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
@@ -912,6 +914,177 @@ object StreamQueries {
         |FROM asgn
         |WHERE crank = 1
         |  AND (vec_id IN (SELECT vec_id FROM surv1)
-        |       OR vec_id IN (SELECT vec_id FROM surv2))""")
+        |       OR vec_id IN (SELECT vec_id FROM surv2))"""),
+
+    // The HIERARCHICAL tier's streaming ingest (r15 verdict task 3):
+    // the same two-micro-batch fold as q_stream_ingest, but the
+    // standing quantizer is the k = 4100 > FlatAssignCeiling
+    // hashCentroids operating point (q_semdedup_hier's), so
+    // dedupIngestStream's tier DISPATCH routes every batch through the
+    // two-level assigner (dedupIngestProbedHier) — the >4096-cell
+    // corpus can now ingest as a stream, which r15 couldn't. The
+    // oracle rebuilds the coarse Lloyd from scratch (8 unrolled
+    // MATERIALIZED rounds — hierQuantizerCtes), assigns ALL ids once
+    // (per-row vs centroids, so split assignment ≡ restricted full
+    // assignment), and replays the chained two-round fold
+    // (q_stream_ingest's surv1/surv2 CTEs on the hier assignment).
+    "q_stream_ingest_hier" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val emb = Tables.embeddings(s, dir)
+        val standing = emb.filter(col("vec_id") % 10 < 8)
+        val cents = SimilarityQueries.HierCentroids
+        val rows: Array[(Long, Array[Float])] = collectReplay(
+          emb.filter(col("vec_id") % 10 >= 8)
+            .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
+          "streaming hier ingest replay slice")
+        val batch1 = rows.filter(_._1 % 10 == 8)
+        val batch2 = rows.filter(_._1 % 10 == 9)
+        val idx = graft.operators.SemDedup.probedIndexHier(
+          standing, "vec_id", "embedding", cents)
+        val tmp = replayTmpDir("graft_stream_ingest_hier")
+        val out =
+          try {
+            val store = new graft.streaming.SemDedupIngest.Store(
+              s, tmp, "vec_id", "embedding")
+            store.seed(standing, idx)
+            val ms = MemoryStream[(Long, Array[Float])]
+            val q = graft.streaming.SemDedupIngest.dedupIngestStream(
+              ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+              threshold = 0.4, cents, store).start()
+            try {
+              ms.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+              ms.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+            } finally q.stop()
+            store.ingested
+              .select(col("vec_id"), col("cell").cast("long").as("cell"))
+              .as[(Long, Long)].collect()
+          } finally {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+              .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        s.createDataset(out.toIndexedSeq).toDF("vec_id", "cell")
+      },
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |${SimilarityQueries.hierQuantizerCtes(4100, 64, 8, "hc")},
+        |${SimilarityQueries.hierAssignCtes("", "", 2, 2, 8, keepRank = true)},
+        |edges AS MATERIALIZED (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        |  JOIN e qe ON qe.vec_id = a.vec_id
+        |  JOIN e ce ON ce.vec_id = b.vec_id
+        |  WHERE list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) >= 0.4),
+        |surv1 AS MATERIALIZED (
+        |  SELECT vec_id FROM e WHERE vec_id % 10 = 8
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id1 % 10 = 8 AND id2 % 10 = 8 AND id1 < id2)
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id1 % 10 < 8 AND id2 % 10 = 8)),
+        |surv2 AS (
+        |  SELECT vec_id FROM e WHERE vec_id % 10 = 9
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id1 % 10 = 9 AND id2 % 10 = 9 AND id1 < id2)
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id2 % 10 = 9
+        |                         AND (id1 % 10 < 8
+        |                              OR id1 IN (SELECT vec_id FROM surv1))))
+        |SELECT asgn.vec_id, CAST(asgn.cell AS BIGINT) AS cell
+        |FROM asgn
+        |WHERE rank = 1
+        |  AND (vec_id IN (SELECT vec_id FROM surv1)
+        |       OR vec_id IN (SELECT vec_id FROM surv2))"""),
+
+    // The SRP tier's streaming ingest — the third quantizer tier's
+    // fold (beyond the 65536-cell ceiling, where a billion-vector
+    // standing corpus lives): standing (vec_id%10<8) carries its
+    // STORED srpIndex sized by the rule (planes = srpPlanesFor(n)),
+    // the stream's two micro-batches code in-flight under the same
+    // frozen manifest (Dedup.srpIngestCoded — coded ONCE per batch for
+    // the dedup AND the index append), survivors fold back in, and
+    // Dedup.requireFreshSrpIndex re-checks per batch. The oracle
+    // replays the sizing rule itself from COUNT(*) (the
+    // q_index_rebuild pattern: per-plane-count interpolated code sets,
+    // NULL → loud rows mismatch outside p ∈ {2,3,4}), then the
+    // bucket-candidate edges and the chained two-round fold; every
+    // output row carries the runtime plane count, so rule drift can
+    // never pass silently.
+    "q_stream_ingest_srp" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val emb = Tables.embeddings(s, dir)
+        val standing = emb.filter(col("vec_id") % 10 < 8)
+        val n = standing.count()
+        val m = graft.operators.Dedup.SrpManifest(n,
+          graft.operators.Similarity.srpPlanesFor(n, 128), 16, 128)
+        val rows: Array[(Long, Array[Float])] = collectReplay(
+          emb.filter(col("vec_id") % 10 >= 8)
+            .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
+          "streaming SRP ingest replay slice")
+        val batch1 = rows.filter(_._1 % 10 == 8)
+        val batch2 = rows.filter(_._1 % 10 == 9)
+        val codes = graft.operators.Dedup.srpIndex(standing, "vec_id",
+          "embedding", dim = 64, planes = m.planes, tables = m.tables)
+        val tmp = replayTmpDir("graft_stream_ingest_srp")
+        val out =
+          try {
+            val store = new graft.streaming.SemDedupIngest.Store(
+              s, tmp, "vec_id", "embedding", indexCols = Seq("table", "bucket"))
+            store.seed(standing, codes)
+            val ms = MemoryStream[(Long, Array[Float])]
+            val q = graft.streaming.SemDedupIngest.srpIngestStream(
+              ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+              dim = 64, threshold = 0.4, m, store).start()
+            try {
+              ms.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+              ms.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+            } finally q.stop()
+            store.ingestedIds.as[Long].collect()
+          } finally {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+              .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        s.createDataset(out.toIndexedSeq).toDF("vec_id")
+          .withColumn("planes", lit(m.planes.toLong))
+      },
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |st AS (SELECT count(*) AS n FROM e WHERE vec_id % 10 < 8),
+        |pl AS (SELECT min(i) AS p FROM generate_series(1, 62) AS g(i), st
+        |       WHERE st.n // (1::BIGINT << i) <= 128),
+        |codes AS (SELECT vec_id, CASE (SELECT p FROM pl)
+        |    WHEN 2 THEN ${SimilarityQueries.srpCodesSql(64, 2, 16)}
+        |    WHEN 3 THEN ${SimilarityQueries.srpCodesSql(64, 3, 16)}
+        |    WHEN 4 THEN ${SimilarityQueries.srpCodesSql(64, 4, 16)}
+        |    END AS codes FROM e),
+        |b AS (SELECT vec_id, i AS tbl, codes[i] AS bucket
+        |      FROM codes CROSS JOIN generate_series(1, 16) AS g(i)),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+        |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+        |                    AND a.vec_id <> b2.vec_id
+        |  JOIN e qe ON qe.vec_id = a.vec_id
+        |  JOIN e ce ON ce.vec_id = b2.vec_id
+        |  WHERE list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) >= 0.4),
+        |surv1 AS MATERIALIZED (
+        |  SELECT vec_id FROM e WHERE vec_id % 10 = 8
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id1 % 10 = 8 AND id2 % 10 = 8 AND id1 < id2)
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id1 % 10 < 8 AND id2 % 10 = 8)),
+        |surv2 AS (
+        |  SELECT vec_id FROM e WHERE vec_id % 10 = 9
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id1 % 10 = 9 AND id2 % 10 = 9 AND id1 < id2)
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id2 % 10 = 9
+        |                         AND (id1 % 10 < 8
+        |                              OR id1 IN (SELECT vec_id FROM surv1))))
+        |SELECT vec_id, CAST((SELECT p FROM pl) AS BIGINT) AS planes
+        |FROM e
+        |WHERE vec_id IN (SELECT vec_id FROM surv1)
+        |   OR vec_id IN (SELECT vec_id FROM surv2)""")
   )
 }

@@ -1,17 +1,18 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import graft.operators.SemDedup
+import graft.operators.{Dedup, FileLayout, SemDedup}
 
-/** Streaming face of the semantic ingest family (r14 verdict task 3):
-  * a crawl STREAM driven against the standing index — the q_stream_cdc
-  * foreachBatch fold applied to dedup. Each micro-batch runs
-  * [[SemDedup.dedupIngest]] against the CURRENT standing state
-  * (standing wins — the corpus is already curated; min-id within the
-  * batch), then the batch's survivors APPEND to the standing store
-  * (embeddings + their probed cells under the same frozen quantizer),
+/** Streaming face of the ingest family (r14 verdict task 3; tier-
+  * complete since r16): a crawl STREAM driven against the standing
+  * index — the q_stream_cdc foreachBatch fold applied to dedup. Each
+  * micro-batch dedups against the CURRENT standing state (standing
+  * wins — the corpus is already curated; min-id within the batch),
+  * then the batch's survivors APPEND to the standing store
+  * (embeddings + their index rows under the same frozen quantizer),
   * so a near-dup arriving in a LATER micro-batch loses to an earlier
   * batch's survivor exactly as a re-crawl loses to the historical
   * corpus. Without the fold — per-batch dedup against a frozen
@@ -23,63 +24,209 @@ import graft.operators.SemDedup
   * one-shot keeps the smaller id — same cluster, different
   * representative, inherent to any online rule).
   *
-  * Scale posture: per-batch cost is the [[SemDedup.dedupIngest]]
-  * touched-cell carve-out (standing members of the batch's probed
-  * cells only — never a corpus re-assignment), and the standing store
-  * grows by survivors only. The store is parquet `batch=<id>`
-  * partition directories written in OVERWRITE mode, so a foreachBatch
-  * RETRY of the same epoch overwrites its own output instead of
+  * All three quantizer tiers stream through the same fold:
+  * [[dedupIngestStream]] routes the flat probed assigner below
+  * [[SemDedup.FlatAssignCeiling]] and the two-level assigner past it
+  * (the batch-side dispatch, now at the streaming boundary too), and
+  * [[srpIngestStream]] is the beyond-[[SemDedup.HierAssignCeiling]]
+  * tier over a standing [[Dedup.srpIndex]] — the tier a
+  * billion-vector corpus actually lives in.
+  *
+  * Scale posture: per-batch cost is the touched-cell/bucket carve-out
+  * (standing members of the batch's probed cells / coded buckets only
+  * — never a corpus re-assignment), and the standing store grows by
+  * survivors only. The store is GENERATIONAL parquet (see [[Store]]):
+  * batch writes are per-epoch OVERWRITE dirs, so a foreachBatch RETRY
+  * of the same epoch overwrites its own output instead of
   * double-appending — idempotent replay, the foreachBatch
   * exactly-once discipline (production swaps the store for a
   * transactional table; the fold and the per-batch plan shape are
   * identical). The quantizer stays FROZEN across the stream — the
-  * standing-artifact contract; gate a long-running ingest on
-  * [[SemDedup.requireFreshQuantizer]] and rebuild via
-  * [[SemDedup.probedIndexRebuild]] when the corpus outgrows it.
+  * standing-artifact contract; both streams re-check their staleness
+  * gate per micro-batch when given the build manifest and die LOUDLY
+  * at the first stale batch (rebuild via
+  * [[SemDedup.probedIndexRebuild]] / [[Dedup.srpIndexRebuild]],
+  * re-seed, restart).
   */
 object SemDedupIngest {
 
-  /** Standing state of a streaming ingest: embeddings and probed cells
-    * as parquet partition dirs (`batch=-1` = the seed corpus; `batch=k`
-    * = micro-batch k's survivors). Reads list the directory at plan
-    * time, so a batch's dedup plan binds to the standing snapshot
-    * BEFORE its own append lands — the fold's correctness hinge. */
+  /** Standing state of a streaming ingest: embeddings and index rows
+    * (probed cells on the semantic tiers, SRP codes on the SRP tier —
+    * `indexCols` declares the index schema beside the id) as parquet
+    * trees. Layout:
+    *
+    * {{{
+    *   dir/seed/{emb,index}             the historical corpus (once)
+    *   dir/g<G>/{emb,index}/batch=<id>  per-epoch survivor appends
+    *   dir/_gen_commit_<G>              generation publish markers
+    * }}}
+    *
+    * Correctness hinges, in order:
+    *   - Reads LIST COMMITTED BATCHES EAGERLY (driver-side, at
+    *     DataFrame construction): a batch id counts only when BOTH its
+    *     emb and index dirs carry Spark's `_SUCCESS` marker, so a
+    *     half-committed batch (crash between the two per-epoch writes)
+    *     is INVISIBLE — no vectorless index rows can ever admit a
+    *     later near-dup (the r15 ADVICE atomicity finding). The
+    *     explicit listing also binds a batch's dedup plan to the
+    *     pre-append snapshot by construction.
+    *   - Generation publish is ONE atomic file create
+    *     (`_gen_commit_<G>`); readers bind to the max committed
+    *     marker, so a crash mid-[[compact]] leaves the half-written
+    *     next generation invisible and the current one intact.
+    *   - [[compact]] folds only batches STRICTLY BEFORE the epoch
+    *     being processed: the one epoch foreachBatch can ever redeliver
+    *     is the CURRENT one, so its overwrite can never clobber folded
+    *     history.
+    *
+    * Without compaction the tree accrues one KB-sized dir per
+    * micro-batch forever — the classic small-files + listing-growth
+    * failure (per-batch plan cost ∝ stream age). [[compact]] is the
+    * lifecycle answer: fold the accrued batch dirs into one
+    * [[FileLayout]]-sized dir in the next generation and retire the
+    * old one, keeping the listing bounded by the trigger interval.
+    * The fold rewrites the whole ACCRUED SURVIVOR set (never the seed
+    * corpus — survivors are the small side by construction); a stream
+    * whose survivor set itself grows huge would tier the fold
+    * (size-bucketed generations, the LSM shape) — not needed while
+    * survivors ≪ corpus, the curated-ingest operating point. */
   final class Store(spark: SparkSession, dir: String,
-                    idCol: String, vecCol: String) {
-    private val embDir = s"$dir/emb"
-    private val cellsDir = s"$dir/cells"
+                    idCol: String, vecCol: String,
+                    indexCols: Seq[String] = Seq("cell", "rank")) {
+    private val fs =
+      new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private val seedEmbDir = s"$dir/seed/emb"
+    private val seedIdxDir = s"$dir/seed/index"
+    private def embRoot(g: Long) = s"$dir/g$g/emb"
+    private def idxRoot(g: Long) = s"$dir/g$g/index"
 
-    /** Seed the store with the historical corpus + its probed index
-      * (build the index once via [[SemDedup.probedIndexBuild]]). */
-    def seed(emb: DataFrame, cells: DataFrame): Unit = {
-      emb.select(col(idCol), col(vecCol))
-        .write.mode("overwrite").parquet(s"$embDir/batch=-1")
-      cells.select(col(idCol), col("cell"), col("rank"))
-        .write.mode("overwrite").parquet(s"$cellsDir/batch=-1")
+    /** Current generation: the max published marker (0 before any
+      * [[compact]]). Marker creation is one atomic file create — the
+      * publish point of a compaction. */
+    private[graft] def currentGen: Long = {
+      val p = new Path(dir)
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("_gen_commit_"))
+        .map(_.stripPrefix("_gen_commit_").toLong)
+        .foldLeft(0L)(math.max)
+    }
+    private def publishGen(g: Long): Unit =
+      fs.create(new Path(s"$dir/_gen_commit_$g"), true).close()
+
+    private def listCommitted(root: String): Set[Long] = {
+      val p = new Path(root)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).iterator.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+        .filter(b => fs.exists(new Path(s"$root/batch=$b/_SUCCESS")))
+        .toSet
     }
 
-    def standingEmb: DataFrame = spark.read.parquet(embDir).drop("batch")
-    def standingCells: DataFrame = spark.read.parquet(cellsDir).drop("batch")
+    /** Batch ids committed in BOTH trees of the current generation —
+      * the atomicity rule: a half-committed batch is invisible. */
+    private[graft] def committedBatches: Seq[Long] = {
+      val g = currentGen
+      (listCommitted(embRoot(g)) intersect listCommitted(idxRoot(g)))
+        .toSeq.sorted
+    }
 
-    /** The stream's admitted rows so far: survivor (id, rank-1 cell)
-      * across every micro-batch (the seed corpus excluded). */
+    /** Seed the store with the historical corpus + its standing index
+      * ([[SemDedup.probedIndexBuild]] / [[Dedup.srpIndexBuild]]). */
+    def seed(emb: DataFrame, index: DataFrame): Unit = {
+      emb.select(col(idCol), col(vecCol))
+        .write.mode("overwrite").parquet(seedEmbDir)
+      index.select(col(idCol) +: indexCols.map(col): _*)
+        .write.mode("overwrite").parquet(seedIdxDir)
+    }
+
+    private def genRead(root: Long => String, ids: Seq[Long]): Option[DataFrame] =
+      if (ids.isEmpty) None
+      else Some(spark.read.option("basePath", root(currentGen))
+        .parquet(ids.map(b => s"${root(currentGen)}/batch=$b"): _*)
+        .drop("batch"))
+
+    def standingEmb: DataFrame = {
+      val seed = spark.read.parquet(seedEmbDir)
+      genRead(embRoot, committedBatches).fold(seed)(seed.unionByName(_))
+    }
+    def standingIndex: DataFrame = {
+      val seed = spark.read.parquet(seedIdxDir)
+      genRead(idxRoot, committedBatches).fold(seed)(seed.unionByName(_))
+    }
+
+    /** Standing row count for the per-batch staleness gates: the seed
+      * count is footer metadata computed ONCE per Store instance (the
+      * seed is immutable), so each micro-batch pays only the gen
+      * tree's footers — bounded by the compaction trigger, not by
+      * stream age (the r15 what's-wrong #2). */
+    def standingCount: Long =
+      seedCount + genRead(embRoot, committedBatches).fold(0L)(_.count())
+    private lazy val seedCount: Long = spark.read.parquet(seedEmbDir).count()
+
+    /** The stream's admitted ids so far (tier-blind: every gen row is
+      * a survivor append; the seed corpus is excluded by layout). */
+    def ingestedIds: DataFrame =
+      genRead(idxRoot, committedBatches)
+        .fold(standingIndex.limit(0))(identity)
+        .select(col(idCol)).distinct()
+
+    /** Semantic tiers: admitted (id, rank-1 cell) — requires the
+      * default `indexCols` (errs loudly on an SRP store, whose index
+      * carries no rank; use [[ingestedIds]] there). */
     def ingested: DataFrame =
-      spark.read.parquet(cellsDir).filter(col("batch") >= 0)
+      genRead(idxRoot, committedBatches)
+        .fold(standingIndex.limit(0))(identity)
         .filter(col("rank") === 1).select(col(idCol), col("cell"))
 
     private[graft] def writeBatchEmb(batchId: Long, emb: DataFrame): Unit =
       emb.select(col(idCol), col(vecCol))
-        .write.mode("overwrite").parquet(s"$embDir/batch=$batchId")
+        .write.mode("overwrite").parquet(s"${embRoot(currentGen)}/batch=$batchId")
 
-    private[graft] def readBatchEmb(batchId: Long): DataFrame =
-      spark.read.parquet(s"$embDir/batch=$batchId")
+    private[graft] def writeBatchIndex(batchId: Long, index: DataFrame): Unit =
+      index.select(col(idCol) +: indexCols.map(col): _*)
+        .write.mode("overwrite").parquet(s"${idxRoot(currentGen)}/batch=$batchId")
 
-    private[graft] def readBatchCells(batchId: Long): DataFrame =
-      spark.read.parquet(s"$cellsDir/batch=$batchId")
+    private[graft] def readBatchIndex(batchId: Long): DataFrame =
+      spark.read.parquet(s"${idxRoot(currentGen)}/batch=$batchId")
 
-    private[graft] def writeBatchCells(batchId: Long, cells: DataFrame): Unit =
-      cells.select(col(idCol), col("cell"), col("rank"))
-        .write.mode("overwrite").parquet(s"$cellsDir/batch=$batchId")
+    /** Fold the committed batch dirs BEFORE `upToExclusive` (the epoch
+      * being processed — never foldable, see the class doc) into ONE
+      * [[FileLayout]]-sized dir each in the next generation, publish
+      * the generation marker, and retire the old tree. No-op (false)
+      * below `minBatches` accrued dirs — the trigger that keeps the
+      * fold amortized instead of per-epoch. Sizing uses the measured
+      * bytes/row of the dirs being folded (their real on-disk rate —
+      * no calibration write). Crash-safe at every point: before the
+      * marker, the next generation is invisible garbage; after it,
+      * the old tree is unreferenced garbage retired best-effort. */
+    def compact(upToExclusive: Long, minBatches: Int = 8,
+                targetBytes: Long = 128L << 20): Boolean = {
+      val g = currentGen
+      val ids = committedBatches.filter(_ < upToExclusive)
+      if (ids.size < math.max(2, minBatches)) return false
+      val tgt = ids.max
+      val ng = g + 1
+      def fold(root: Long => String): Unit = {
+        val paths = ids.map(b => s"${root(g)}/batch=$b")
+        val bytes = paths.map(p =>
+          fs.getContentSummary(new Path(p)).getLength).sum
+        val df = spark.read.option("basePath", root(g))
+          .parquet(paths: _*).drop("batch")
+        val rows = df.count() // parquet footer metadata
+        val parts =
+          if (rows <= 0L || bytes <= 0L) 1
+          else FileLayout.sizedPartitions(rows, bytes.toDouble / rows, targetBytes)
+        df.repartition(parts).write.mode("overwrite")
+          .parquet(s"${root(ng)}/batch=$tgt")
+      }
+      fold(embRoot)
+      fold(idxRoot)
+      publishGen(ng)
+      fs.delete(new Path(s"$dir/g$g"), true)
+      true
+    }
   }
 
   /** The configured writer: `start()` it and feed the (id, vec)
@@ -87,46 +234,104 @@ object SemDedupIngest {
     * each batch end — don't interleave other graft operators' cached
     * executions on the same session while an ingest stream is live).
     *
+    * Tier routing (the batch-side dispatch, [[SemDedup.dedupAuto]]'s
+    * rule, now at the streaming boundary): the flat probed assigner
+    * serves quantizers up to [[SemDedup.FlatAssignCeiling]]; past it
+    * the two-level assigner takes over ([[SemDedup
+    * .dedupIngestProbedHier]] — (1+coarseProbes)·√k cosines per batch
+    * row instead of n·k). `forceHier` pins the hier path below the
+    * ceiling (spec/oracle use: at full coarse fan-out it is bitwise
+    * the flat path).
+    *
     * `manifest`: the standing quantizer's build-time sizing
     * ([[SemDedup.probedIndexBuild]]). When given, every micro-batch
     * re-checks [[SemDedup.requireFreshQuantizer]] against the CURRENT
-    * standing size (one parquet-footer count — metadata, not a scan)
-    * BEFORE deduping, so a long-running ingest whose survivors outgrow
-    * the frozen quantizer fails the stream LOUDLY at the first stale
-    * batch instead of silently compounding per-cell pair work — the
+    * standing size ([[Store.standingCount]] — footer metadata, its
+    * gen-tree term bounded by the compaction trigger) BEFORE deduping,
+    * so a long-running ingest whose survivors outgrow the frozen
+    * quantizer fails the stream LOUDLY at the first stale batch
+    * instead of silently compounding per-cell pair work — the
     * continuous-ingest face of the resize lifecycle (rebuild via
-    * [[SemDedup.probedIndexRebuild]], re-seed the store, restart). */
+    * [[SemDedup.probedIndexRebuild]], re-seed the store, restart).
+    *
+    * `compactEvery` > 0 runs [[Store.compact]] at the top of each
+    * epoch once that many batch dirs have accrued, keeping per-batch
+    * listing/planning cost flat in stream age (measured:
+    * tools/IngestLadder `stream` mode). 0 = never (the caller owns
+    * compaction scheduling). */
   def dedupIngestStream(batches: DataFrame, idCol: String, vecCol: String,
                         threshold: Double,
                         centroids: Seq[(Int, Array[Float])],
                         store: Store,
                         maxCellSize: Option[Int] = None,
                         probes: Int = 2,
-                        manifest: Option[SemDedup.QuantizerManifest] = None)
+                        manifest: Option[SemDedup.QuantizerManifest] = None,
+                        compactEvery: Int = 0,
+                        coarseProbes: Int = 2,
+                        forceHier: Boolean = false)
       : DataStreamWriter[Row] =
     batches.writeStream.foreachBatch { (batch: Dataset[Row], id: Long) =>
       try {
+        if (compactEvery > 0) store.compact(id, minBatches = compactEvery)
         manifest.foreach { m =>
-          SemDedup.requireFreshQuantizer(m, store.standingEmb.count())
+          SemDedup.requireFreshQuantizer(m, store.standingCount)
         }
         val b = batch.toDF()
         // survivors WITH their probed rows (the batch is probed once for
         // the dedup itself — re-assigning survivors for their index rows
         // would be pure waste per batch)
-        val survivors = SemDedup.dedupIngestProbed(
-          store.standingEmb, store.standingCells, b, idCol, vecCol,
-          threshold, centroids, maxCellSize, probes)
-        // CELLS write first: this is the action that evaluates the dedup,
-        // and its plan reads BOTH standing dirs at their pre-mutation
-        // listings (writing into a new batch=<id> subdir of cellsDir is
-        // invisible to the same action's own plan-time listing — the
-        // established emb-first argument, now on the cells side)
-        store.writeBatchCells(id, survivors)
-        // embeddings second, derived from the just-written STABLE cell
+        val survivors =
+          if (forceHier || centroids.size > SemDedup.FlatAssignCeiling)
+            SemDedup.dedupIngestProbedHier(
+              store.standingEmb, store.standingIndex, b, idCol, vecCol,
+              threshold, centroids, maxCellSize, probes, coarseProbes)
+          else
+            SemDedup.dedupIngestProbed(
+              store.standingEmb, store.standingIndex, b, idCol, vecCol,
+              threshold, centroids, maxCellSize, probes)
+        // INDEX write first: this is the action that evaluates the dedup,
+        // and its plan reads both standing trees at their eagerly-listed
+        // committed snapshot (the Store's construction-time listing)
+        store.writeBatchIndex(id, survivors)
+        // embeddings second, derived from the just-written STABLE index
         // file + the micro-batch source only — no standing read, so the
-        // cellsDir mutation above cannot feed back into this plan
-        val survIds = store.readBatchCells(id)
+        // index append above cannot feed back into this plan
+        val survIds = store.readBatchIndex(id)
           .filter(col("rank") === 1).select(col(idCol))
+        store.writeBatchEmb(id, b.join(survIds, Seq(idCol), "left_semi"))
+      } finally graft.Caching.release()
+    }
+
+  /** The SRP tier's streaming fold — [[dedupIngestStream]] over a
+    * standing [[Dedup.srpIndex]] (the beyond-[[SemDedup
+    * .HierAssignCeiling]] tier). `store` must carry
+    * `indexCols = Seq("table", "bucket")` and be seeded with
+    * [[Dedup.srpIndexBuild]]'s code rows; the batch is coded ONCE per
+    * epoch ([[Dedup.srpIngestCoded]]) and its survivors append their
+    * code rows + embeddings. The manifest is REQUIRED — planes/tables
+    * are the frozen contract itself — and
+    * [[Dedup.requireFreshSrpIndex]] re-checks it per micro-batch, so
+    * the stream dies loudly at the first batch whose standing corpus
+    * outgrew the frozen plane count (rebuild via
+    * [[Dedup.srpIndexRebuild]], re-seed, restart). */
+  def srpIngestStream(batches: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, threshold: Double,
+                      manifest: Dedup.SrpManifest,
+                      store: Store,
+                      maxBucketSize: Option[Int] = None,
+                      compactEvery: Int = 0)
+      : DataStreamWriter[Row] =
+    batches.writeStream.foreachBatch { (batch: Dataset[Row], id: Long) =>
+      try {
+        if (compactEvery > 0) store.compact(id, minBatches = compactEvery)
+        Dedup.requireFreshSrpIndex(manifest, store.standingCount)
+        val b = batch.toDF()
+        val survivors = Dedup.srpIngestCoded(
+          store.standingEmb, store.standingIndex, b, idCol, vecCol,
+          dim, threshold, manifest.planes, manifest.tables, maxBucketSize)
+        store.writeBatchIndex(id, survivors)
+        val survIds = store.readBatchIndex(id)
+          .select(col(idCol)).distinct()
         store.writeBatchEmb(id, b.join(survIds, Seq(idCol), "left_semi"))
       } finally graft.Caching.release()
     }

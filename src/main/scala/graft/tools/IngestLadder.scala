@@ -55,6 +55,20 @@ import graft.operators.{SemDedup, Similarity}
   *   correctness probe), counterfactual = embeddingNearDupsAuto over
   *   corpus ∪ batch. Default srp points "100,300,1000" (up to 2M
   *   standing — the tier's home range on this box).
+  *   mode `stream` measures the STREAMING fold itself (r16 task 6:
+  *   [[graft.streaming.SemDedupIngest.dedupIngestStream]], not the
+  *   batch API): per point, a seeded store ingests `streamBatches`
+  *   micro-batches of fresh deterministic vectors (hash-derived — cos
+  *   to anything ≲ 0.15, so survivors ≈ the whole batch and the store
+  *   GROWS, which is what ages the listing), once with compaction off
+  *   and once folding every 8 dirs. Reported per batch: wall seconds
+  *   (micro-batch planning + the dedup + both appends + the staleness
+  *   gate). The growth signal is mean(last 4) / mean(first 4) per
+  *   mode: without compaction it carries the per-batch listing/footer
+  *   growth (the r15 what's-missing #1), with compaction it should
+  *   sit ~flat. Uses points "30" by default (flat tier; the fold's
+  *   plan shape is tier-blind, so one tier's growth curve speaks for
+  *   all three).
   *   mode `rebuild` measures the RESIZE lifecycle event (r15 task 2):
   *   the standing [[graft.operators.Dedup.srpIndexRebuild]] — manifest
   *   frozen at n/4 (always stale: srpPlanesFor is log₂-quantized), the
@@ -72,8 +86,11 @@ object IngestLadder {
     val workRoot = args.lift(1).getOrElse("/tmp")
     val srpMode = args.lift(3).contains("srp")
     val rebuildMode = args.lift(3).contains("rebuild")
+    val streamMode = args.lift(3).contains("stream")
     val points = args.lift(2)
-      .getOrElse(if (srpMode || rebuildMode) "100,300,1000" else "30,100,200")
+      .getOrElse(
+        if (srpMode || rebuildMode) "100,300,1000"
+        else if (streamMode) "30,100" else "30,100,200")
       .split(",").toSeq.map(_.trim.toInt)
     val localMode = args.lift(3).contains("local")
     val spark = SparkSession.builder()
@@ -89,6 +106,75 @@ object IngestLadder {
       val t0 = System.nanoTime()
       val r = try body finally graft.Caching.release()
       (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    if (streamMode) {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.SemDedupIngest
+      val nBatches = 24
+      val batchSize = 200
+      // fresh deterministic arrivals: hash-derived vectors are mutually
+      // near-orthogonal in 64-dim (|cos| ≲ 0.15 ≪ τ = 0.4), so nearly
+      // every row survives and the store's batch-dir listing GROWS —
+      // the aging this mode exists to measure
+      val arrivals: IndexedSeq[IndexedSeq[(Long, Array[Float])]] = {
+        val all = Similarity.hashCentroids(nBatches * batchSize, 64)
+        (0 until nBatches).map { b =>
+          (0 until batchSize).map { i =>
+            (7000000000000L + b.toLong * batchSize + i,
+              all(b * batchSize + i)._2)
+          }
+        }
+      }
+      points.foreach { n =>
+        val dir = s"$workRoot/graft_ingest${n}x"
+        HierLadder.generateEmbeddings(spark, base, dir, n)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val nVec = emb.count()
+        val k = SemDedup.cellsFor(nVec)
+        require(k <= SemDedup.FlatAssignCeiling,
+          s"point ${n}x (n=$nVec, k=$k) belongs to the hier tier")
+        val centroids = Similarity.hashCentroids(k, 64)
+        val (idx, manifest) = SemDedup.probedIndexBuild(
+          emb, "vec_id", "embedding", centroids, knownCount = Some(nVec))
+        // the quantizer band must hold across the whole stream's growth
+        // (nBatches·batchSize arrivals) or the gate kills it mid-ladder
+        require(!SemDedup.quantizerStale(manifest,
+          nVec + nBatches.toLong * batchSize), "stream outgrows the band")
+        Seq(0, 8).foreach { compactEvery =>
+          val storeDir = s"$dir/stream_store_c$compactEvery"
+          val store = new SemDedupIngest.Store(spark, storeDir,
+            "vec_id", "embedding")
+          store.seed(emb, idx)
+          graft.Caching.release()
+          val ms = MemoryStream[(Long, Array[Float])]
+          val q = SemDedupIngest.dedupIngestStream(
+            ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+            threshold = 0.4, centroids, store,
+            manifest = Some(manifest), compactEvery = compactEvery).start()
+          val times = try arrivals.zipWithIndex.map { case (batch, i) =>
+            val t0 = System.nanoTime()
+            ms.addData(batch: _*)
+            q.processAllAvailable()
+            val t = (System.nanoTime() - t0) / 1e9
+            println(s"""{"point":"${n}x","mode":"stream","compact_every":$compactEvery,"batch":$i,"t_s":${num(t)},"dirs":${store.committedBatches.size}}""")
+            t
+          } finally q.stop()
+          val ingested = store.ingestedIds.count()
+          val head = times.take(4).sum / 4
+          val tailM = times.takeRight(4).sum / 4
+          println(s"""{"point":"${n}x","mode":"stream","compact_every":$compactEvery,"n_standing":$nVec,"n_batches":$nBatches,"batch_size":$batchSize,"ingested":$ingested,"head4_mean_s":${num(head)},"tail4_mean_s":${num(tailM)},"growth":${num(tailM / head)},"dirs_final":${store.committedBatches.size}}""")
+          graft.Caching.release()
+          // retire the store (a per-mode scratch tree, not ladder cache)
+          val p = new org.apache.hadoop.fs.Path(storeDir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      }
+      spark.stop()
+      return
     }
 
     if (rebuildMode) {

@@ -481,4 +481,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(id#"), s"prefix window lost its key:\n$p")
     Caching.release()
   }
+
+  test("dedupIngest rank-1 filter pushes BELOW both anti-joins (flat and hier tiers)") {
+    // dedupIngest = dedupIngestProbed().filter(rank === 1) since r15
+    // (66f26fb): the scaladoc argues Catalyst pushes the filter below
+    // the two id-keyed anti-joins so single-rank callers' plans are
+    // unchanged — this pin holds that against a silent Catalyst
+    // regression (a non-deterministic-marked column would double the
+    // anti-join input). In tree print order a parent precedes its
+    // subtree, so the pushed filter's FIRST occurrence must come after
+    // the LAST LeftAnti — an unpushed filter would sit at the root,
+    // printed before both.
+    for (q <- Seq("q_semdedup_ingest", "q_semdedup_ingest_hier")) {
+      val p = planOf(q)
+      val antis = "LeftAnti".r.findAllMatchIn(p).map(_.start).toSeq
+      assert(antis.size >= 2, s"$q lost its two anti-joins:\n$p")
+      val rankFilter = """Filter \(?rank#\d+L? = 1\)?""".r.findFirstMatchIn(p)
+      assert(rankFilter.isDefined, s"$q: rank-1 filter missing from the plan:\n$p")
+      assert(rankFilter.get.start > antis.max,
+        s"$q: rank-1 filter sits ABOVE an anti-join — the pushdown " +
+          s"regressed and both edge streams now read 2x rows:\n$p")
+      Caching.release()
+    }
+  }
 }

@@ -80,7 +80,7 @@ class StreamingSpec extends SparkSpec {
       val before = store.standingEmb.count()
       val replay = Seq((6L, v(0, 0, 1, 0))).toDF("vec_id", "embedding")
       store.writeBatchEmb(1L, replay)
-      store.writeBatchCells(1L, SemDedup.probedIndex(
+      store.writeBatchIndex(1L, SemDedup.probedIndex(
         replay, "vec_id", "embedding", cents))
       assert(store.standingEmb.count() == before)
       assert(store.standingEmb.filter(col("vec_id") === 6L).count() == 1L)
@@ -135,6 +135,226 @@ class StreamingSpec extends SparkSpec {
         // nothing from the refused batch landed in the store
         assert(store.standingEmb.filter(col("vec_id") === 14L).count() == 0L)
       } finally { q.stop(); graft.Caching.release() }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("store compaction mid-stream preserves the standing set bit-exactly and bounds the listing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SemDedupIngest
+    import graft.operators.SemDedup
+    val cents = graft.operators.Similarity.hashCentroids(4, 4)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val standing = Seq((100L, v(1, 1, 1, 1))).toDF("vec_id", "embedding")
+    val (cells, _) = SemDedup.probedIndexBuild(standing, "vec_id", "embedding", cents)
+    // five micro-batches: pairwise cosine ≤ 0.5 across the fresh rows
+    // (axes + Hadamard rows), plus id 9 near-dupping batch-0's survivor
+    // — dropped via the fold in BOTH runs, so the fixture keeps teeth
+    val batches: Seq[Seq[(Long, Array[Float])]] = Seq(
+      Seq((1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0))),
+      Seq((3L, v(0, 0, 1, 0))),
+      Seq((4L, v(0, 0, 0, 1)), (5L, v(1, -1, 1, -1))),
+      Seq((6L, v(1, 1, -1, -1)), (9L, v(1, 0.02, 0, 0))),
+      Seq((7L, v(1, -1, -1, 1))))
+    def run(tmp: String, compactEvery: Int): SemDedupIngest.Store = {
+      val store = new SemDedupIngest.Store(spark, tmp, "vec_id", "embedding")
+      store.seed(standing, cells)
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = SemDedupIngest.dedupIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.9, cents, store, compactEvery = compactEvery).start()
+      try batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      store
+    }
+    val tmpC = java.nio.file.Files.createTempDirectory("graft_compact_c").toString
+    val tmpN = java.nio.file.Files.createTempDirectory("graft_compact_n").toString
+    try {
+      val sC = run(tmpC, compactEvery = 2) // folds at (almost) every epoch
+      val sN = run(tmpN, compactEvery = 0) // one dir per epoch forever
+      def embSet(s: SemDedupIngest.Store) =
+        s.standingEmb.as[(Long, Array[Float])].collect()
+          .map { case (id, vec) => (id, vec.toSeq) }.toSet
+      def ingSet(s: SemDedupIngest.Store) =
+        s.ingested.as[(Long, Int)].collect().toSet
+      assert(embSet(sC) == embSet(sN), "compaction changed the standing embeddings")
+      assert(ingSet(sC) == ingSet(sN), "compaction changed the admitted set")
+      assert(!ingSet(sC).map(_._1).contains(9L),
+        "fixture lost its teeth: 9 near-dups batch-0's survivor and must drop")
+      assert(sC.currentGen > 0, "compaction never fired")
+      assert(sN.currentGen == 0)
+      assert(sC.committedBatches.size < sN.committedBatches.size,
+        s"listing not bounded: ${sC.committedBatches.size} vs ${sN.committedBatches.size}")
+      // the folded store keeps ingesting: one more batch against it
+      val ms2 = MemoryStream[(Long, Array[Float])]
+      val q2 = SemDedupIngest.dedupIngestStream(
+        ms2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.9, cents, sC, compactEvery = 2).start()
+      // 20 near-dups a COMPACTED survivor (id 3); 21 is fresh
+      try {
+        ms2.addData((20L, v(0, 0.02, 1, 0)), (21L, v(-1, 1, 1, 1)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(sC.ingestedIds.as[Long].collect().toSet ==
+        ingSet(sC).map(_._1) + 21L,
+        "post-compaction ingest lost the folded standing state")
+      graft.Caching.release()
+    } finally Seq(tmpC, tmpN).foreach { t =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(t)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("a half-committed batch (index without embeddings) is invisible to every standing read") {
+    import spark.implicits._
+    import graft.streaming.SemDedupIngest
+    import graft.operators.SemDedup
+    val cents = graft.operators.Similarity.hashCentroids(4, 4)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val standing = Seq((100L, v(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val (cells, _) = SemDedup.probedIndexBuild(standing, "vec_id", "embedding", cents)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_halfcommit").toString
+    try {
+      val store = new SemDedupIngest.Store(spark, tmp, "vec_id", "embedding")
+      store.seed(standing, cells)
+      val row = Seq((7L, v(0, 1, 0, 0))).toDF("vec_id", "embedding")
+      // crash between the two per-epoch writes: index landed, emb did not
+      store.writeBatchIndex(0L, SemDedup.probedIndex(row, "vec_id", "embedding", cents))
+      assert(store.standingEmb.count() == 1L)
+      assert(store.standingIndex.filter(col("vec_id") === 7L).count() == 0L,
+        "vectorless index rows leaked into the standing index — later " +
+          "near-dups of the phantom survivor would be admitted")
+      assert(store.standingCount == 1L)
+      assert(store.ingestedIds.count() == 0L)
+      // the write completes (epoch redelivery) → batch becomes visible
+      store.writeBatchEmb(0L, row)
+      assert(store.standingEmb.count() == 2L)
+      assert(store.standingIndex.filter(col("vec_id") === 7L).count() == 2L)
+      assert(store.ingestedIds.as[Long].collect().toSet == Set(7L))
+      graft.Caching.release()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("hier-tier streaming fold: batch-straddling near-dup drops; stream ≡ one-shot dedupIngestHier (full coarse fan-out ≡ flat)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SemDedupIngest
+    import graft.operators.SemDedup
+    val cents = graft.operators.Similarity.hashCentroids(4, 4)
+    val g = math.ceil(math.sqrt(4.0)).toInt // full coarse fan-out
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val standing = Seq((100L, v(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val idxHier = SemDedup.probedIndexHier(standing, "vec_id", "embedding",
+      cents, coarseProbes = g)
+    val batch1 = Seq((1L, v(0, 1, 0, 0)), (2L, v(0, 1, 0.05, 0)))
+    val batch2 = Seq((5L, v(0.05, 1, 0, 0)), (6L, v(0, 0, 1, 0)),
+      (7L, v(1, 0, 0, 0.05)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_hier").toString
+    try {
+      val store = new SemDedupIngest.Store(spark, tmp, "vec_id", "embedding")
+      store.seed(standing, idxHier)
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = SemDedupIngest.dedupIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.9, cents, store,
+        coarseProbes = g, forceHier = true).start()
+      try {
+        ms.addData(batch1: _*); q.processAllAvailable()
+        ms.addData(batch2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = store.ingested.as[(Long, Int)].collect().toSet
+      val oneShot = SemDedup.dedupIngestHier(standing, idxHier,
+          (batch1 ++ batch2).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", threshold = 0.9, cents, coarseProbes = g)
+        .as[(Long, Int)].collect().toSet
+      assert(streamed == oneShot)
+      assert(streamed.map(_._1) == Set(1L, 6L),
+        s"expected {1, 6}: 2 loses min-id in batch 1, 5 loses to batch 1's " +
+          s"survivor via the FOLD, 7 loses to the seed corpus — got $streamed")
+      // tier equivalence at full fan-out: the flat fold admits the same
+      val flat = SemDedup.dedupIngest(standing,
+          SemDedup.probedIndex(standing, "vec_id", "embedding", cents),
+          (batch1 ++ batch2).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", threshold = 0.9, cents)
+        .as[(Long, Int)].collect().toSet
+      assert(streamed == flat)
+      graft.Caching.release()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("SRP-tier streaming fold: batch-straddling near-dup drops; stream ≡ one-shot srpIngest; stale manifest kills batch 1") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SemDedupIngest
+    import graft.operators.Dedup
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val standing = Seq((100L, v(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    // planes per the sizing rule at this corpus (1 for any tiny n), so
+    // the per-batch staleness gate stays fresh across the whole stream
+    val m = Dedup.SrpManifest(1L, graft.operators.Similarity.srpPlanesFor(1L), 16, 128)
+    val codes = Dedup.srpIndex(standing, "vec_id", "embedding", dim = 4,
+      planes = m.planes, tables = m.tables)
+    val batch1 = Seq((1L, v(0, 1, 0, 0)), (2L, v(0, 1, 0.05, 0)))
+    val batch2 = Seq((5L, v(0.05, 1, 0, 0)), (6L, v(0, 0, 1, 0)),
+      (7L, v(1, 0, 0, 0.05)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_srp").toString
+    try {
+      val store = new SemDedupIngest.Store(spark, tmp, "vec_id", "embedding",
+        indexCols = Seq("table", "bucket"))
+      store.seed(standing, codes)
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = SemDedupIngest.srpIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dim = 4, threshold = 0.9, m, store).start()
+      try {
+        ms.addData(batch1: _*); q.processAllAvailable()
+        ms.addData(batch2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = store.ingestedIds.as[Long].collect().toSet
+      val oneShot = Dedup.srpIngest(standing, codes,
+          (batch1 ++ batch2).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", dim = 4, threshold = 0.9, planes = m.planes)
+        .as[Long].collect().toSet
+      assert(streamed == oneShot)
+      assert(streamed == Set(1L, 6L),
+        s"expected {1, 6}: 2 loses min-id in batch 1, 5 loses to batch 1's " +
+          s"survivor via the FOLD, 7 loses to the seed corpus — got $streamed")
+      // survivors appended their FULL code rows (tables × |survivors|,
+      // beside the seed's tables × 1)
+      assert(store.standingIndex.filter(col("vec_id").isin(1L, 6L)).count() ==
+        m.tables.toLong * 2)
+      assert(store.standingIndex.count() == m.tables.toLong * 3)
+      // the staleness gate is live per micro-batch: a stream served from
+      // a manifest the corpus has outgrown dies loudly at its FIRST batch
+      val stale = m.copy(planes = m.planes + 3)
+      val ms2 = MemoryStream[(Long, Array[Float])]
+      val q2 = SemDedupIngest.srpIngestStream(
+        ms2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dim = 4, threshold = 0.9, stale, store).start()
+      val e = intercept[Exception] {
+        ms2.addData((30L, v(0, 0, 0, 1))); q2.processAllAvailable()
+      }
+      q2.stop()
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(m => m.contains("STALE")
+        && m.contains("srpIndexRebuild")), s"got: ${messages(e)}")
+      assert(store.ingestedIds.filter(col("vec_id") === 30L).count() == 0L,
+        "the refused batch landed in the store")
+      graft.Caching.release()
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala

@@ -29,7 +29,9 @@ args, reset, skip = [], set(), False
 for i, a in enumerate(argv):
     if skip:
         skip = False
-    elif a == "--reset" and i + 1 < len(argv):
+    elif a == "--reset":
+        if i + 1 >= len(argv):
+            sys.exit("--reset requires a comma-separated query-name value")
         reset.update(x for x in argv[i + 1].split(",") if x)
         skip = True  # the value is --reset's, not a positional
     elif a.startswith("--reset="):
@@ -54,6 +56,14 @@ if rec.get("loadavg_start", 99) >= 3.5 or (load_q and max(load_q) >= 9.0):
              f"q={load_q}) — a reference band must come from a quiet run")
 if rec.get("failed"):
     sys.exit(f"record has failed queries: {rec['failed']}")
+
+# a reset name must exist in the record: a typo'd or deleted-query name
+# would otherwise silently not apply while still landing in
+# reset_history — an audit entry for a reset that never happened, with
+# the intended query flagging drift forever (r15 ADVICE)
+bad_reset = sorted(reset - set(rec["queries"]))
+if bad_reset:
+    sys.exit(f"--reset names not in the record's queries: {bad_reset}")
 
 steady = {k: round(v, 3) for k, v in sorted(rec["queries"].items())}
 
