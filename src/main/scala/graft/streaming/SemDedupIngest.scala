@@ -180,13 +180,38 @@ object SemDedupIngest {
         .fold(standingIndex.limit(0))(identity)
         .filter(col("rank") === 1).select(col(idCol), col("cell"))
 
-    private[graft] def writeBatchEmb(batchId: Long, emb: DataFrame): Unit =
+    /** Refuse a write that would overwrite committed MID-history: a
+      * foreachBatch retry can only ever redeliver the LATEST epoch, so
+      * a write below the committed max means a NEW stream (fresh
+      * checkpoint, epoch ids restarting at 0) is replaying ids over a
+      * used store — silent survivor loss without this gate. Writes
+      * into holes (ids compaction folded away, or above the max) stay
+      * allowed: the fold's correctness is order-free across batches.
+      * The one undetectable corner is a fresh checkpoint whose epoch 0
+      * collides with a store holding EXACTLY batch 0 — indistinguishable
+      * from a retry at the store level; the checkpoint and the store
+      * are one durability unit (the foreachBatch contract). */
+    private def guardOverwrite(batchId: Long): Unit = {
+      val committed = committedBatches
+      if (committed.nonEmpty && committed.contains(batchId) && batchId < committed.max)
+        throw new IllegalStateException(
+          s"batch=$batchId is committed history (max committed = " +
+            s"${committed.max}) — only the latest epoch is retried; a new " +
+            "stream over a used store must not reuse epoch ids (run " +
+            "compact() past them, or keep the original checkpoint)")
+    }
+
+    private[graft] def writeBatchEmb(batchId: Long, emb: DataFrame): Unit = {
+      guardOverwrite(batchId)
       emb.select(col(idCol), col(vecCol))
         .write.mode("overwrite").parquet(s"${embRoot(currentGen)}/batch=$batchId")
+    }
 
-    private[graft] def writeBatchIndex(batchId: Long, index: DataFrame): Unit =
+    private[graft] def writeBatchIndex(batchId: Long, index: DataFrame): Unit = {
+      guardOverwrite(batchId)
       index.select(col(idCol) +: indexCols.map(col): _*)
         .write.mode("overwrite").parquet(s"${idxRoot(currentGen)}/batch=$batchId")
+    }
 
     private[graft] def readBatchIndex(batchId: Long): DataFrame =
       spark.read.parquet(s"${idxRoot(currentGen)}/batch=$batchId")

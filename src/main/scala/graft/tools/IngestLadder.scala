@@ -57,18 +57,19 @@ import graft.operators.{SemDedup, Similarity}
   *   standing — the tier's home range on this box).
   *   mode `stream` measures the STREAMING fold itself (r16 task 6:
   *   [[graft.streaming.SemDedupIngest.dedupIngestStream]], not the
-  *   batch API): per point, a seeded store ingests `streamBatches`
-  *   micro-batches of fresh deterministic vectors (hash-derived — cos
-  *   to anything ≲ 0.15, so survivors ≈ the whole batch and the store
-  *   GROWS, which is what ages the listing), once with compaction off
-  *   and once folding every 8 dirs. Reported per batch: wall seconds
-  *   (micro-batch planning + the dedup + both appends + the staleness
-  *   gate). The growth signal is mean(last 4) / mean(first 4) per
-  *   mode: without compaction it carries the per-batch listing/footer
-  *   growth (the r15 what's-missing #1), with compaction it should
-  *   sit ~flat. Uses points "30" by default (flat tier; the fold's
-  *   plan shape is tier-blind, so one tier's growth curve speaks for
-  *   all three).
+  *   batch API): per point, a seeded store ingests 96 micro-batches
+  *   (args(4) overrides) of 50 fresh deterministic vectors each
+  *   (hash-derived), once with compaction off and once folding every
+  *   8 dirs. Batches are TINY on purpose: per-batch dedup work is then
+  *   small and fixed, so the growing term — the per-batch
+  *   listing/footer/planning cost the batch-dir count drives (the r15
+  *   what's-missing #1) — dominates the curve instead of hiding under
+  *   dedup cost. Reported per batch: wall seconds + committed dir
+  *   count. The growth signal is mean(batches 88–95) / mean(batches
+  *   8–15) (the first 8 are JIT/codegen warmup and excluded): without
+  *   compaction it carries the aging, with compaction it should sit
+  *   ~flat. Default points "3,30" (flat tier; the fold's plan shape is
+  *   tier-blind, so one tier's growth curve speaks for all three).
   *   mode `rebuild` measures the RESIZE lifecycle event (r15 task 2):
   *   the standing [[graft.operators.Dedup.srpIndexRebuild]] — manifest
   *   frozen at n/4 (always stale: srpPlanesFor is log₂-quantized), the
@@ -90,7 +91,7 @@ object IngestLadder {
     val points = args.lift(2)
       .getOrElse(
         if (srpMode || rebuildMode) "100,300,1000"
-        else if (streamMode) "30,100" else "30,100,200")
+        else if (streamMode) "3,30" else "30,100,200")
       .split(",").toSeq.map(_.trim.toInt)
     val localMode = args.lift(3).contains("local")
     val spark = SparkSession.builder()
@@ -113,8 +114,8 @@ object IngestLadder {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.SemDedupIngest
-      val nBatches = 24
-      val batchSize = 200
+      val nBatches = args.lift(4).map(_.toInt).getOrElse(96)
+      val batchSize = 50
       // fresh deterministic arrivals: hash-derived vectors are mutually
       // near-orthogonal in 64-dim (|cos| ≲ 0.15 ≪ τ = 0.4), so nearly
       // every row survives and the store's batch-dir listing GROWS —
@@ -144,7 +145,7 @@ object IngestLadder {
         // (nBatches·batchSize arrivals) or the gate kills it mid-ladder
         require(!SemDedup.quantizerStale(manifest,
           nVec + nBatches.toLong * batchSize), "stream outgrows the band")
-        Seq(0, 8).foreach { compactEvery =>
+        val ingestedByMode = Seq(0, 8).map { compactEvery =>
           val storeDir = s"$dir/stream_store_c$compactEvery"
           val store = new SemDedupIngest.Store(spark, storeDir,
             "vec_id", "embedding")
@@ -164,14 +165,22 @@ object IngestLadder {
             t
           } finally q.stop()
           val ingested = store.ingestedIds.count()
-          val head = times.take(4).sum / 4
-          val tailM = times.takeRight(4).sum / 4
-          println(s"""{"point":"${n}x","mode":"stream","compact_every":$compactEvery,"n_standing":$nVec,"n_batches":$nBatches,"batch_size":$batchSize,"ingested":$ingested,"head4_mean_s":${num(head)},"tail4_mean_s":${num(tailM)},"growth":${num(tailM / head)},"dirs_final":${store.committedBatches.size}}""")
+          // head window starts at batch 8: the first batches carry JIT/
+          // codegen warmup that would otherwise mask (or fake) growth
+          val head = times.slice(8, 16).sum / 8
+          val tailM = times.takeRight(8).sum / 8
+          println(s"""{"point":"${n}x","mode":"stream","compact_every":$compactEvery,"n_standing":$nVec,"n_batches":$nBatches,"batch_size":$batchSize,"ingested":$ingested,"head8_mean_s":${num(head)},"tail8_mean_s":${num(tailM)},"growth":${num(tailM / head)},"dirs_final":${store.committedBatches.size}}""")
           graft.Caching.release()
           // retire the store (a per-mode scratch tree, not ladder cache)
           val p = new org.apache.hadoop.fs.Path(storeDir)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          ingested
         }
+        // the timing rides a correctness probe: compaction must not
+        // change the fold's admitted set (StreamingSpec pins it
+        // bit-exactly at unit scale; this holds it at ladder scale)
+        require(ingestedByMode.distinct.size == 1,
+          s"compaction changed the admitted set at ${n}x: $ingestedByMode")
       }
       spark.stop()
       return

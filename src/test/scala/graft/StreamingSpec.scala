@@ -236,6 +236,15 @@ class StreamingSpec extends SparkSpec {
       assert(store.standingEmb.count() == 2L)
       assert(store.standingIndex.filter(col("vec_id") === 7L).count() == 2L)
       assert(store.ingestedIds.as[Long].collect().toSet == Set(7L))
+      // a later committed epoch makes batch 0 MID-history: rewriting it
+      // (a fresh-checkpoint stream replaying epoch ids over a used
+      // store) must die loudly, never clobber survivors
+      val row2 = Seq((8L, v(0, 0, 1, 0))).toDF("vec_id", "embedding")
+      store.writeBatchIndex(1L, SemDedup.probedIndex(row2, "vec_id", "embedding", cents))
+      store.writeBatchEmb(1L, row2)
+      val e = intercept[IllegalStateException] { store.writeBatchIndex(0L, cells) }
+      assert(e.getMessage.contains("committed history"))
+      assert(store.ingestedIds.as[Long].collect().toSet == Set(7L, 8L))
       graft.Caching.release()
     } finally {
       import scala.jdk.CollectionConverters._
