@@ -1085,6 +1085,98 @@ object StreamQueries {
         |SELECT vec_id, CAST((SELECT p FROM pl) AS BIGINT) AS planes
         |FROM e
         |WHERE vec_id IN (SELECT vec_id FROM surv1)
-        |   OR vec_id IN (SELECT vec_id FROM surv2)""")
+        |   OR vec_id IN (SELECT vec_id FROM surv2)"""),
+
+    // TAKEDOWN mid-stream (r16): between the two micro-batches, every
+    // id ≡ 0 or 8 (mod 20) is REMOVED from the standing store — seed
+    // docs and batch-1 survivors alike — and the store is VACUUMED
+    // (seed rewritten minus tombstones into the next seed generation,
+    // gen dirs force-folded, tombstone files retired), so batch 2
+    // dedups against the physically purged standing state. The oracle
+    // replays the decremental semantics exactly: round 2's corpus
+    // edges exclude any edge FROM a removed id (its edges died with
+    // it — near-dups of removed docs are admitted), and the emitted
+    // admitted set excludes the removed ids themselves. A vacuum bug
+    // that loses extra rows (or resurrects removed ones) shifts the
+    // survivor set and hash-mismatches here.
+    "q_stream_ingest_remove" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val emb = Tables.embeddings(s, dir)
+        val standing = emb.filter(col("vec_id") % 10 < 8)
+        val rows: Array[(Long, Array[Float])] = collectReplay(
+          emb.filter(col("vec_id") % 10 >= 8)
+            .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
+          "streaming takedown replay slice")
+        val batch1 = rows.filter(_._1 % 10 == 8)
+        val batch2 = rows.filter(_._1 % 10 == 9)
+        val cents = graft.operators.IvfCentroids.cells
+        val cells = graft.operators.SemDedup.probedIndex(
+          standing, "vec_id", "embedding", cents)
+        val tmp = replayTmpDir("graft_stream_remove")
+        val out =
+          try {
+            val store = new graft.streaming.SemDedupIngest.Store(
+              s, tmp, "vec_id", "embedding")
+            store.seed(standing, cells)
+            val ms = MemoryStream[(Long, Array[Float])]
+            val q = graft.streaming.SemDedupIngest.dedupIngestStream(
+              ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+              threshold = 0.4, cents, store).start()
+            try {
+              ms.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+              store.remove(emb.filter(col("vec_id") % 20 === 0
+                || col("vec_id") % 20 === 8).select(col("vec_id")))
+              store.vacuum(upToExclusive = 1)
+              ms.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+            } finally q.stop()
+            store.ingested
+              .select(col("vec_id"), col("cell").cast("long").as("cell"))
+              .as[(Long, Long)].collect()
+          } finally {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+              .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        s.createDataset(out.toIndexedSeq).toDF("vec_id", "cell")
+      },
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (${graft.operators.IvfCentroids.duckdbValues}),
+        |asgn AS (
+        |  SELECT vec_id, cell, crank FROM (
+        |    SELECT e.vec_id, cents.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.v, cents.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.c, cents.c))) DESC,
+        |             cents.cell) AS crank
+        |    FROM e CROSS JOIN cents)
+        |  WHERE crank <= 2),
+        |edges AS MATERIALIZED (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        |  JOIN e qe ON qe.vec_id = a.vec_id
+        |  JOIN e ce ON ce.vec_id = b.vec_id
+        |  WHERE list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) >= 0.4),
+        |surv1 AS MATERIALIZED (
+        |  SELECT vec_id FROM e WHERE vec_id % 10 = 8
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id1 % 10 = 8 AND id2 % 10 = 8 AND id1 < id2)
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id1 % 10 < 8 AND id2 % 10 = 8)),
+        |surv2 AS (
+        |  SELECT vec_id FROM e WHERE vec_id % 10 = 9
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id1 % 10 = 9 AND id2 % 10 = 9 AND id1 < id2)
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id2 % 10 = 9
+        |                         AND id1 % 20 <> 0 AND id1 % 20 <> 8
+        |                         AND (id1 % 10 < 8
+        |                              OR id1 IN (SELECT vec_id FROM surv1))))
+        |SELECT asgn.vec_id, CAST(asgn.cell AS BIGINT) AS cell
+        |FROM asgn
+        |WHERE crank = 1
+        |  AND asgn.vec_id % 20 <> 0 AND asgn.vec_id % 20 <> 8
+        |  AND (vec_id IN (SELECT vec_id FROM surv1)
+        |       OR vec_id IN (SELECT vec_id FROM surv2))""")
   )
 }

@@ -95,10 +95,11 @@ object SemDedupIngest {
                     indexCols: Seq[String] = Seq("cell", "rank")) {
     private val fs =
       new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    private val seedEmbDir = s"$dir/seed/emb"
-    private val seedIdxDir = s"$dir/seed/index"
+    private def seedEmbDir = s"$dir/seed${currentSeedGen}/emb"
+    private def seedIdxDir = s"$dir/seed${currentSeedGen}/index"
     private def embRoot(g: Long) = s"$dir/g$g/emb"
     private def idxRoot(g: Long) = s"$dir/g$g/index"
+    private val tombRoot = s"$dir/tombstones"
 
     /** Current generation: the max published marker (0 before any
       * [[compact]]). Marker creation is one atomic file create — the
@@ -114,21 +115,50 @@ object SemDedupIngest {
     private def publishGen(g: Long): Unit =
       fs.create(new Path(s"$dir/_gen_commit_$g"), true).close()
 
-    private def listCommitted(root: String): Set[Long] = {
+    private def maxMarker(prefix: String): Long = {
+      val p = new Path(dir)
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).iterator.map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).toLong)
+        .foldLeft(0L)(math.max)
+    }
+    /** Seed generation: bumped only by [[vacuum]]'s physical rewrite
+      * (the seed is otherwise immutable — [[seed]] writes gen 0). */
+    private[graft] def currentSeedGen: Long = maxMarker("_seed_commit_")
+    private def publishSeedGen(k: Long): Unit =
+      fs.create(new Path(s"$dir/_seed_commit_$k"), true).close()
+
+    /** Committed tombstone files: each [[remove]] call lands one
+      * `t=<k>` parquet dir of ids under `tombstones/` (visible only
+      * with its `_SUCCESS`, like batch dirs). */
+    private def committedTombs: Seq[Long] = listCommitted(tombRoot, "t=")
+    private def tombstonesOf(ids: Seq[Long]): Option[DataFrame] =
+      if (ids.isEmpty) None
+      else Some(spark.read.option("basePath", tombRoot)
+        .parquet(ids.map(k => s"$tombRoot/t=$k"): _*).drop("t")
+        .select(col(idCol)))
+    /** Apply outstanding tombstones to a standing frame (no-op while
+      * none are outstanding — the common, vacuumed state). */
+    private def live(df: DataFrame): DataFrame =
+      tombstonesOf(committedTombs)
+        .fold(df)(t => df.join(t.hint("broadcast"), Seq(idCol), "left_anti"))
+
+    private def listCommitted(root: String, prefix: String = "batch="): Seq[Long] = {
       val p = new Path(root)
-      if (!fs.exists(p)) Set.empty
+      if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).iterator.filter(_.isDirectory)
-        .map(_.getPath.getName).filter(_.startsWith("batch="))
-        .map(_.stripPrefix("batch=").toLong)
-        .filter(b => fs.exists(new Path(s"$root/batch=$b/_SUCCESS")))
-        .toSet
+        .map(_.getPath.getName).filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).toLong)
+        .filter(b => fs.exists(new Path(s"$root/$prefix$b/_SUCCESS")))
+        .toSeq.sorted
     }
 
     /** Batch ids committed in BOTH trees of the current generation —
       * the atomicity rule: a half-committed batch is invisible. */
     private[graft] def committedBatches: Seq[Long] = {
       val g = currentGen
-      (listCommitted(embRoot(g)) intersect listCommitted(idxRoot(g)))
+      (listCommitted(embRoot(g)).toSet intersect listCommitted(idxRoot(g)).toSet)
         .toSeq.sorted
     }
 
@@ -147,38 +177,53 @@ object SemDedupIngest {
         .parquet(ids.map(b => s"${root(currentGen)}/batch=$b"): _*)
         .drop("batch"))
 
-    def standingEmb: DataFrame = {
+    def standingEmb: DataFrame = live {
       val seed = spark.read.parquet(seedEmbDir)
       genRead(embRoot, committedBatches).fold(seed)(seed.unionByName(_))
     }
-    def standingIndex: DataFrame = {
+    def standingIndex: DataFrame = live {
       val seed = spark.read.parquet(seedIdxDir)
       genRead(idxRoot, committedBatches).fold(seed)(seed.unionByName(_))
     }
 
-    /** Standing row count for the per-batch staleness gates: the seed
-      * count is footer metadata computed ONCE per Store instance (the
-      * seed is immutable), so each micro-batch pays only the gen
+    /** Standing row count for the per-batch staleness gates. With no
+      * outstanding tombstones (the common, vacuumed state): seed count
+      * cached per seed generation (footer metadata, once) + the gen
       * tree's footers — bounded by the compaction trigger, not by
-      * stream age (the r15 what's-wrong #2). */
+      * stream age (the r15 what's-wrong #2). With tombstones
+      * outstanding the honest live count needs the anti-join (one
+      * small broadcast job per batch) — [[vacuum]] restores the fast
+      * path, which is one more reason takedowns should not sit
+      * unvacuumed forever. */
     def standingCount: Long =
-      seedCount + genRead(embRoot, committedBatches).fold(0L)(_.count())
-    private lazy val seedCount: Long = spark.read.parquet(seedEmbDir).count()
+      if (committedTombs.nonEmpty) standingEmb.count()
+      else seedCount + genRead(embRoot, committedBatches).fold(0L)(_.count())
+    private var seedCountCache: Option[(Long, Long)] = None
+    private def seedCount: Long = {
+      val sg = currentSeedGen
+      seedCountCache match {
+        case Some((g, n)) if g == sg => n
+        case _ =>
+          val n = spark.read.parquet(seedEmbDir).count()
+          seedCountCache = Some((sg, n)); n
+      }
+    }
 
     /** The stream's admitted ids so far (tier-blind: every gen row is
-      * a survivor append; the seed corpus is excluded by layout). */
-    def ingestedIds: DataFrame =
+      * a survivor append; the seed corpus is excluded by layout;
+      * taken-down ids excluded by tombstone). */
+    def ingestedIds: DataFrame = live {
       genRead(idxRoot, committedBatches)
         .fold(standingIndex.limit(0))(identity)
-        .select(col(idCol)).distinct()
+    }.select(col(idCol)).distinct()
 
     /** Semantic tiers: admitted (id, rank-1 cell) — requires the
       * default `indexCols` (errs loudly on an SRP store, whose index
       * carries no rank; use [[ingestedIds]] there). */
-    def ingested: DataFrame =
+    def ingested: DataFrame = live {
       genRead(idxRoot, committedBatches)
         .fold(standingIndex.limit(0))(identity)
-        .filter(col("rank") === 1).select(col(idCol), col("cell"))
+    }.filter(col("rank") === 1).select(col(idCol), col("cell"))
 
     /** Refuse a write that would overwrite committed MID-history: a
       * foreachBatch retry can only ever redeliver the LATEST epoch, so
@@ -231,15 +276,28 @@ object SemDedupIngest {
       val g = currentGen
       val ids = committedBatches.filter(_ < upToExclusive)
       if (ids.size < math.max(2, minBatches)) return false
+      foldGen(g, ids, tombstonesOf(committedTombs), targetBytes)
+      true
+    }
+
+    /** Fold the given committed batch dirs of generation `g` into one
+      * sized dir per tree in generation g+1, dropping any tombstoned
+      * rows en route (physical purge rides every fold). Sizing uses
+      * the folded dirs' own measured bytes/row — no calibration
+      * write. */
+    private def foldGen(g: Long, ids: Seq[Long], tomb: Option[DataFrame],
+                        targetBytes: Long): Unit = {
       val tgt = ids.max
       val ng = g + 1
       def fold(root: Long => String): Unit = {
         val paths = ids.map(b => s"${root(g)}/batch=$b")
         val bytes = paths.map(p =>
           fs.getContentSummary(new Path(p)).getLength).sum
-        val df = spark.read.option("basePath", root(g))
+        val raw = spark.read.option("basePath", root(g))
           .parquet(paths: _*).drop("batch")
-        val rows = df.count() // parquet footer metadata
+        val df = tomb.fold(raw)(t =>
+          raw.join(t.hint("broadcast"), Seq(idCol), "left_anti"))
+        val rows = df.count() // footer metadata when tomb is empty
         val parts =
           if (rows <= 0L || bytes <= 0L) 1
           else FileLayout.sizedPartitions(rows, bytes.toDouble / rows, targetBytes)
@@ -250,6 +308,72 @@ object SemDedupIngest {
       fold(idxRoot)
       publishGen(ng)
       fs.delete(new Path(s"$dir/g$g"), true)
+    }
+
+    /** TAKEDOWN on the standing store — the streaming face of
+      * [[graft.operators.Dedup.removeDocs]]'s lifecycle: the ids stop
+      * being visible to every standing read (and to the NEXT
+      * micro-batch's dedup) immediately, via a tombstone file the
+      * readers anti-join; physical bytes go at the next [[vacuum]] (or
+      * for gen rows, any [[compact]]). Semantics are the batch tier's
+      * scoped-decremental contract: future near-dups of a removed doc
+      * are ADMITTED (its edges die with it), and past drops are never
+      * retro-admitted (their rows were never stored). A removed id
+      * that RE-ARRIVES under the SAME id stays invisible (takedown is
+      * by id — re-ingest under a new id); spec-pinned. */
+    def remove(ids: DataFrame): Unit = {
+      val k = committedTombs.foldLeft(0L)(math.max) + 1
+      ids.select(col(idCol)).distinct()
+        .write.mode("overwrite").parquet(s"$tombRoot/t=$k")
+    }
+
+    /** Physical purge of every outstanding tombstone: rewrite the seed
+      * trees minus the tombstoned ids into the next SEED generation
+      * (one atomic marker publish — the seed's only mutation path),
+      * force-fold all committed gen dirs before `upToExclusive` (the
+      * purge rides [[foldGen]]'s tombstone drop), then retire the
+      * tombstone files. Crash-safe at every point: until the final
+      * tombstone delete, readers keep anti-joining, so a half-vacuum
+      * is never visible; a re-run completes it. Call from the fold's
+      * thread only (the store's single-writer discipline — a remove()
+      * racing the snapshot would lose its tombstone). Returns false
+      * when nothing was outstanding. */
+    def vacuum(upToExclusive: Long,
+               targetBytes: Long = 128L << 20): Boolean = {
+      val tombIds = committedTombs
+      if (tombIds.isEmpty) return false
+      val tomb = tombstonesOf(tombIds)
+      // 1. seed rewrite minus tombstones → next seed generation
+      val sg = currentSeedGen
+      val nsg = sg + 1
+      def rewriteSeed(sub: String): Unit = {
+        val src = s"$dir/seed$sg/$sub"
+        val raw = spark.read.parquet(src)
+        val df = raw.join(tomb.get.hint("broadcast"), Seq(idCol), "left_anti")
+        val bytes = fs.getContentSummary(new Path(src)).getLength
+        val rows = df.count()
+        val parts =
+          if (rows <= 0L || bytes <= 0L) 1
+          else FileLayout.sizedPartitions(rows, bytes.toDouble / rows, targetBytes)
+        df.repartition(parts).write.mode("overwrite")
+          .parquet(s"$dir/seed$nsg/$sub")
+      }
+      rewriteSeed("emb")
+      rewriteSeed("index")
+      publishSeedGen(nsg)
+      fs.delete(new Path(s"$dir/seed$sg"), true)
+      // 2. gen rows: force-fold everything foldable (ONE dir still
+      // rewrites — the purge is the point, unlike compact's no-op)
+      val g = currentGen
+      val ids = committedBatches.filter(_ < upToExclusive)
+      if (ids.nonEmpty) foldGen(g, ids, tomb, targetBytes)
+      // 3. retire the tombstones — ONLY when every committed batch was
+      // covered by the fold: a dir at/past upToExclusive (a retried
+      // epoch's) keeps its physical rows, and deleting its ids'
+      // tombstones would RESURRECT them; leave those for the next
+      // vacuum (the anti-join keeps them invisible meanwhile)
+      if (committedBatches.forall(_ < upToExclusive))
+        tombIds.foreach(k => fs.delete(new Path(s"$tombRoot/t=$k"), true))
       true
     }
   }

@@ -253,6 +253,93 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("takedown on the streaming store: remove is immediate and decremental; vacuum purges physically and the stream continues") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SemDedupIngest
+    import graft.operators.SemDedup
+    val cents = graft.operators.Similarity.hashCentroids(4, 4)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val standing = Seq((100L, v(1, 0, 0, 0)), (101L, v(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val (cells, _) = SemDedup.probedIndexBuild(standing, "vec_id", "embedding", cents)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_takedown").toString
+    try {
+      val store = new SemDedupIngest.Store(spark, tmp, "vec_id", "embedding")
+      store.seed(standing, cells)
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id").as[Long].collect().toSet
+      // ONE stream across the takedown (separate streams would restart
+      // epoch ids at 0 — the documented batch-0 retry corner)
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = SemDedupIngest.dedupIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.9, cents, store).start()
+      try {
+        // epoch 0: two fresh docs admitted
+        ms.addData((1L, v(0, 0, 1, 0)), (2L, v(0, 0, 0, 1)))
+        q.processAllAvailable()
+        assert(ids(store.ingestedIds) == Set(1L, 2L))
+        // TAKEDOWN: one seed doc (101) and one stream survivor (1) —
+        // immediately invisible to every standing read
+        store.remove(Seq(1L, 101L).toDF("vec_id"))
+        assert(ids(store.standingEmb) == Set(100L, 2L))
+        assert(ids(store.ingestedIds) == Set(2L))
+        assert(store.standingCount == 2L)
+        // DECREMENTAL teeth: near-dups of the removed docs are now
+        // admitted (their edges died with them); near-dups of the
+        // REMAINING corpus still drop. 1's re-arrival under its own id
+        // is admitted by the dedup but stays tombstone-invisible
+        // (takedown is by id — re-ingest needs a new id).
+        ms.addData((5L, v(0, 0, 1, 0.02)),  // ~removed survivor 1 → admitted
+          (6L, v(1, 0.02, 0, 0)),           // ~remaining seed 100 → drops
+          (7L, v(0, 1, 0, 0.02)))           // ~removed seed 101 → admitted
+        q.processAllAvailable()
+        ms.addData((1L, v(1, 1, 1, 1)))     // re-arrival of a removed id
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(ids(store.ingestedIds) == Set(2L, 5L, 7L))
+      assert(ids(store.standingEmb) == Set(100L, 2L, 5L, 7L))
+      // VACUUM: physical purge — seed rewritten minus tombstones (next
+      // seed generation), gen dirs folded minus tombstones, tombstone
+      // files retired; the logical view is unchanged
+      assert(store.vacuum(upToExclusive = 3))
+      assert(!store.vacuum(3), "second vacuum must be a no-op")
+      assert(ids(store.standingEmb) == Set(100L, 2L, 5L, 7L))
+      assert(ids(store.ingestedIds) == Set(2L, 5L, 7L))
+      assert(store.standingCount == 4L) // fast path again (no tombstones)
+      // raw bytes: the removed ids are gone from the seed tree and
+      // from every gen dir (incl. the re-arrival's row), and no
+      // tombstone files remain
+      val seedRaw = spark.read.parquet(s"$tmp/seed${store.currentSeedGen}/emb")
+      assert(ids(seedRaw) == Set(100L))
+      val genEmb = spark.read.parquet(s"$tmp/g${store.currentGen}/emb")
+      assert(ids(genEmb.drop("batch")) == Set(2L, 5L, 7L))
+      import scala.jdk.CollectionConverters._
+      val tombFiles = {
+        val p = java.nio.file.Paths.get(tmp, "tombstones")
+        if (!java.nio.file.Files.exists(p)) Seq.empty
+        else java.nio.file.Files.walk(p).iterator().asScala
+          .filter(f => f.toString.endsWith(".parquet")).toSeq
+      }
+      assert(tombFiles.isEmpty, s"tombstone files survived vacuum: $tombFiles")
+      // the vacuumed store keeps ingesting (fresh checkpoint, epoch 0
+      // lands in a hole — the folded dirs freed the id space)
+      val ms2 = MemoryStream[(Long, Array[Float])]
+      val q2 = SemDedupIngest.dedupIngestStream(
+        ms2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.9, cents, store).start()
+      try { ms2.addData((8L, v(1, -1, 1, -1))); q2.processAllAvailable() }
+      finally q2.stop()
+      assert(ids(store.ingestedIds) == Set(2L, 5L, 7L, 8L))
+      graft.Caching.release()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("hier-tier streaming fold: batch-straddling near-dup drops; stream ≡ one-shot dedupIngestHier (full coarse fan-out ≡ flat)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
