@@ -112,6 +112,83 @@ object StreamQueries {
         .toSeq.reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
   }
 
+  /** Session-lifetime memo for replay-HARNESS artifacts that are
+    * identical across gates and across a Bench run's cold/steady
+    * repetitions (r16 verdict task 2 — the replay harness had grown to
+    * 24% of the bench): the collected replay slices (same table, same
+    * filter, same deterministic rows every time) and the SEEDED ingest
+    * store templates (same standing corpus + same frozen quantizer →
+    * byte-identical seed trees). Everything here is deterministic data
+    * keyed by the sf dir, so memoizing shifts COST only, never content:
+    * each invocation still runs its own stream against its own store
+    * (a fresh tmpfs COPY of the template — [[storeCopy]]), and the
+    * streamed rows the oracle hashes are computed by that stream alone.
+    * What the memo removes from the steady numbers is harness re-build
+    * (re-collecting slices, re-assigning the standing corpus, re-seeding
+    * parquet), not operator work — the per-batch folds, the joins, and
+    * the sentinel seals still run on every invocation. Template dirs
+    * live until JVM exit (one shutdown hook); per-invocation copies are
+    * deleted in each gate's own finally, as before. */
+  private object ReplayShared {
+    private val memos = scala.collection.mutable.HashMap.empty[String, Any]
+    def memo[T](key: String)(build: => T): T =
+      memos.synchronized(memos.getOrElseUpdate(key, build)).asInstanceOf[T]
+
+    private lazy val templateRoot: java.nio.file.Path = {
+      val r = java.nio.file.Paths.get(replayTmpDir("graft_tpl_"))
+      sys.addShutdownHook(cleanupCheckpoint(r.toString))
+      r
+    }
+    /** Build-once seeded store template under the JVM-lifetime root;
+      * `seedInto` receives the template dir exactly once. */
+    def seededTemplate(key: String)(seedInto: String => Unit): String =
+      memo("tpl:" + key) {
+        val d = java.nio.file.Files.createTempDirectory(templateRoot, "s_")
+        seedInto(d.toString)
+        d.toString
+      }
+    /** Fresh working copy of a template tree (tmpfs file copy —
+      * milliseconds for the gate-SF seed trees): the per-gate store the
+      * stream mutates. The caller deletes it in its finally, exactly as
+      * it deleted the store it used to seed from scratch. */
+    def storeCopy(template: String): String = {
+      import scala.jdk.CollectionConverters._
+      val dst = java.nio.file.Paths.get(replayTmpDir("graft_store_"))
+      val src = java.nio.file.Paths.get(template)
+      java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      dst.toString
+    }
+  }
+
+  /** The four ingest gates' shared replay slice: embeddings %10>=8 as
+    * (id, vector) rows, collected once per sf dir. */
+  private def ingestSlice(s: SparkSession, dir: String): Array[(Long, Array[Float])] =
+    ReplayShared.memo(s"ingest_slice:$dir") {
+      import s.implicits._
+      collectReplay(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 10 >= 8)
+          .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
+        "streaming ingest replay slice")
+    }
+
+  /** The three stream-stream join gates' shared replay slice: the
+    * user_id%4=0 quarter of events, collected once per sf dir. */
+  private def joinSlice(s: SparkSession, dir: String): Array[(Long, Timestamp, Long)] =
+    ReplayShared.memo(s"join_slice:$dir") {
+      collectReplay(
+        Tables.events(s, dir)
+          .filter(pmod(col("user_id"), lit(4)) === 0)
+          .select(col("user_id"), col("ts"), col("event_id")),
+        "stream-stream join replay slice")
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    }
+
   /** Replay-harness size fence. Collecting the replay slice to the
     * driver is the inherent shape of memory-source replay — this file
     * is a VERIFICATION harness, not a data path: the operators under
@@ -465,12 +542,7 @@ object StreamQueries {
         // oracle): the stream-stream join exec's buffered-state cost is
         // the one replay that grows with BOTH sides, and the gate is
         // exactly as strong on 25% of the keys
-        val rows: Array[(Long, Timestamp, Long)] = collectReplay(
-          Tables.events(s, dir)
-            .filter(pmod(col("user_id"), lit(4)) === 0)
-            .select(col("user_id"), col("ts"), col("event_id")),
-          "stream-stream join replay slice")
-          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        val rows = joinSlice(s, dir)
         val msL = MemoryStream[(Long, Timestamp, Long)]
         val msR = MemoryStream[(Long, Timestamp, Long)]
         val left = msL.toDF().toDF("user_id", "l_ts", "l_event_id")
@@ -516,26 +588,23 @@ object StreamQueries {
     //
     // COST PROFILE (r15 task 5, measured by phase at sf0.1, warm,
     // tmpfs checkpoint, partitions 4): data batch 1.9 s; sentA round
-    // 1.2 s; sentB round 1.1 s. The ~2.3 s premium over q_stream_join
-    // IS the two-sentinel seal: each sentinel processAllAvailable runs
+    // 1.2 s; sentB round 1.1 s — each sentinel processAllAvailable runs
     // ~2 micro-batches (1-row data + watermark-advance) whose cost is
     // per-batch incremental planning + stateful-stage scheduling, not
     // data or state IO (the checkpoint is on /dev/shm; replay
-    // partitions 2 and 8 both measured WORSE than 4). The seal itself
-    // is not negotiable — q_stream_late proved processAllAvailable
-    // races timer batches — so this cost is watermark-expiry-inherent
-    // for a replay gate; production amortizes the same planning cost
-    // over real batch volume.
+    // partitions 2 and 8 both measured WORSE than 4). Since r17 sentA
+    // RIDES the data batch (the watermark during the first batch is 0
+    // either way, so the emitted set is identical), returning its
+    // ~1.2 s; sentB's round is not negotiable — expiry emits only in a
+    // batch AFTER the watermark jump, and q_stream_late proved
+    // processAllAvailable races timer batches — so that remaining cost
+    // is watermark-expiry-inherent for a replay gate; production
+    // amortizes the same planning cost over real batch volume.
     "q_stream_outer" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val rows: Array[(Long, Timestamp, Long)] = collectReplay(
-          Tables.events(s, dir)
-            .filter(pmod(col("user_id"), lit(4)) === 0)
-            .select(col("user_id"), col("ts"), col("event_id")),
-          "stream-stream outer join replay slice")
-          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        val rows = joinSlice(s, dir)
         val rightRows = rows.filter(_._3 % 3 == 0)
         val maxTsMs = rows.iterator.map(_._2.getTime).max
         // expiry needs watermark > l_ts + within; watermark trails the
@@ -557,13 +626,16 @@ object StreamQueries {
             .outputMode("append").start()
         }
         try {
-          msL.addData(rows.toIndexedSeq: _*)
-          msR.addData(rightRows.toIndexedSeq: _*)
-          q.processAllAvailable() // all matches emit; no expiry yet
-          msL.addData(sentA); msR.addData(sentA)
-          q.processAllAvailable() // watermark jumps past every window
+          // sentA RIDES the data batch (r16 task 2 — one fewer sealing
+          // round): the watermark during batch 1 is still 0, so every
+          // match emits exactly as it did when sentA had its own round,
+          // and the post-batch watermark jumps past every window in one
+          // step; the emitted row SET is unchanged
+          msL.addData(rows.toIndexedSeq: _*); msL.addData(sentA)
+          msR.addData(rightRows.toIndexedSeq: _*); msR.addData(sentA)
+          q.processAllAvailable() // matches emit; watermark jumps
           msL.addData(sentB); msR.addData(sentB)
-          q.processAllAvailable() // the seal rides a DATA batch
+          q.processAllAvailable() // expiry emissions ride a DATA batch
         } finally { q.stop(); cleanupCheckpoint(ckpt) }
         s.table("graft_stream_outer")
           .filter(col("user_id") >= 0)
@@ -593,12 +665,7 @@ object StreamQueries {
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val rows: Array[(Long, Timestamp, Long)] = collectReplay(
-          Tables.events(s, dir)
-            .filter(pmod(col("user_id"), lit(4)) === 0)
-            .select(col("user_id"), col("ts"), col("event_id")),
-          "stream-stream full outer join replay slice")
-          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        val rows = joinSlice(s, dir)
         val leftRows = rows.filter(_._3 % 2 == 0)
         val rightRows = rows.filter(_._3 % 3 == 0)
         val maxTsMs = rows.iterator.map(_._2.getTime).max
@@ -618,13 +685,13 @@ object StreamQueries {
             .outputMode("append").start()
         }
         try {
-          msL.addData(leftRows.toIndexedSeq: _*)
-          msR.addData(rightRows.toIndexedSeq: _*)
-          q.processAllAvailable() // all matches emit; no expiry yet
-          msL.addData(sentA); msR.addData(sentA)
-          q.processAllAvailable() // watermark jumps past every window
+          // sentA rides the data batch — same one-fewer-round argument
+          // as q_stream_outer, on both sides
+          msL.addData(leftRows.toIndexedSeq: _*); msL.addData(sentA)
+          msR.addData(rightRows.toIndexedSeq: _*); msR.addData(sentA)
+          q.processAllAvailable() // matches emit; watermark jumps
           msL.addData(sentB); msR.addData(sentB)
-          q.processAllAvailable() // the seal rides a DATA batch
+          q.processAllAvailable() // expiry emissions ride a DATA batch
         } finally { q.stop(); cleanupCheckpoint(ckpt) }
         s.table("graft_stream_full_outer")
           .filter(col("user_id") >= 0)
@@ -843,16 +910,21 @@ object StreamQueries {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val emb = Tables.embeddings(s, dir)
         val standing = emb.filter(col("vec_id") % 10 < 8)
-        val rows: Array[(Long, Array[Float])] = collectReplay(
-          emb.filter(col("vec_id") % 10 >= 8)
-            .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
-          "streaming ingest replay slice")
+        val rows = ingestSlice(s, dir)
         val batch1 = rows.filter(_._1 % 10 == 8)
         val batch2 = rows.filter(_._1 % 10 == 9)
         val cents = graft.operators.IvfCentroids.cells
-        val cells = graft.operators.SemDedup.probedIndex(
-          standing, "vec_id", "embedding", cents)
-        val tmp = replayTmpDir("graft_stream_ingest")
+        // seeded-store TEMPLATE built once per sf dir (standing corpus
+        // + frozen quantizer are deterministic, so the seed trees are
+        // byte-identical every time); shared with q_stream_ingest_remove,
+        // which replays the same fold before its takedown
+        val tpl = ReplayShared.seededTemplate(s"ingest_flat:$dir") { d =>
+          val cells = graft.operators.SemDedup.probedIndex(
+            standing, "vec_id", "embedding", cents)
+          new graft.streaming.SemDedupIngest.Store(
+            s, d, "vec_id", "embedding").seed(standing, cells)
+        }
+        val tmp = ReplayShared.storeCopy(tpl)
         // the WHOLE stream body owns the tmp store's deletion: a failure
         // inside addData/processAllAvailable must not leak the RAM-backed
         // /dev/shm dirs across Verify/Bench runs (r15 ADVICE; the
@@ -861,7 +933,6 @@ object StreamQueries {
           try {
             val store = new graft.streaming.SemDedupIngest.Store(
               s, tmp, "vec_id", "embedding")
-            store.seed(standing, cells)
             val ms = MemoryStream[(Long, Array[Float])]
             val q = graft.streaming.SemDedupIngest.dedupIngestStream(
               ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
@@ -935,20 +1006,20 @@ object StreamQueries {
         val emb = Tables.embeddings(s, dir)
         val standing = emb.filter(col("vec_id") % 10 < 8)
         val cents = SimilarityQueries.HierCentroids
-        val rows: Array[(Long, Array[Float])] = collectReplay(
-          emb.filter(col("vec_id") % 10 >= 8)
-            .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
-          "streaming hier ingest replay slice")
+        val rows = ingestSlice(s, dir)
         val batch1 = rows.filter(_._1 % 10 == 8)
         val batch2 = rows.filter(_._1 % 10 == 9)
-        val idx = graft.operators.SemDedup.probedIndexHier(
-          standing, "vec_id", "embedding", cents)
-        val tmp = replayTmpDir("graft_stream_ingest_hier")
+        val tpl = ReplayShared.seededTemplate(s"ingest_hier:$dir") { d =>
+          val idx = graft.operators.SemDedup.probedIndexHier(
+            standing, "vec_id", "embedding", cents)
+          new graft.streaming.SemDedupIngest.Store(
+            s, d, "vec_id", "embedding").seed(standing, idx)
+        }
+        val tmp = ReplayShared.storeCopy(tpl)
         val out =
           try {
             val store = new graft.streaming.SemDedupIngest.Store(
               s, tmp, "vec_id", "embedding")
-            store.seed(standing, idx)
             val ms = MemoryStream[(Long, Array[Float])]
             val q = graft.streaming.SemDedupIngest.dedupIngestStream(
               ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
@@ -1016,23 +1087,24 @@ object StreamQueries {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val emb = Tables.embeddings(s, dir)
         val standing = emb.filter(col("vec_id") % 10 < 8)
-        val n = standing.count()
+        val n = ReplayShared.memo(s"standing_n:$dir")(standing.count())
         val m = graft.operators.Dedup.SrpManifest(n,
           graft.operators.Similarity.srpPlanesFor(n, 128), 16, 128)
-        val rows: Array[(Long, Array[Float])] = collectReplay(
-          emb.filter(col("vec_id") % 10 >= 8)
-            .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
-          "streaming SRP ingest replay slice")
+        val rows = ingestSlice(s, dir)
         val batch1 = rows.filter(_._1 % 10 == 8)
         val batch2 = rows.filter(_._1 % 10 == 9)
-        val codes = graft.operators.Dedup.srpIndex(standing, "vec_id",
-          "embedding", dim = 64, planes = m.planes, tables = m.tables)
-        val tmp = replayTmpDir("graft_stream_ingest_srp")
+        val tpl = ReplayShared.seededTemplate(s"ingest_srp:$dir") { d =>
+          val codes = graft.operators.Dedup.srpIndex(standing, "vec_id",
+            "embedding", dim = 64, planes = m.planes, tables = m.tables)
+          new graft.streaming.SemDedupIngest.Store(s, d, "vec_id",
+            "embedding", indexCols = Seq("table", "bucket"))
+            .seed(standing, codes)
+        }
+        val tmp = ReplayShared.storeCopy(tpl)
         val out =
           try {
             val store = new graft.streaming.SemDedupIngest.Store(
               s, tmp, "vec_id", "embedding", indexCols = Seq("table", "bucket"))
-            store.seed(standing, codes)
             val ms = MemoryStream[(Long, Array[Float])]
             val q = graft.streaming.SemDedupIngest.srpIngestStream(
               ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
@@ -1105,21 +1177,22 @@ object StreamQueries {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val emb = Tables.embeddings(s, dir)
         val standing = emb.filter(col("vec_id") % 10 < 8)
-        val rows: Array[(Long, Array[Float])] = collectReplay(
-          emb.filter(col("vec_id") % 10 >= 8)
-            .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
-          "streaming takedown replay slice")
+        val rows = ingestSlice(s, dir)
         val batch1 = rows.filter(_._1 % 10 == 8)
         val batch2 = rows.filter(_._1 % 10 == 9)
         val cents = graft.operators.IvfCentroids.cells
-        val cells = graft.operators.SemDedup.probedIndex(
-          standing, "vec_id", "embedding", cents)
-        val tmp = replayTmpDir("graft_stream_remove")
+        // SAME template as q_stream_ingest (same corpus, same quantizer)
+        val tpl = ReplayShared.seededTemplate(s"ingest_flat:$dir") { d =>
+          val cells = graft.operators.SemDedup.probedIndex(
+            standing, "vec_id", "embedding", cents)
+          new graft.streaming.SemDedupIngest.Store(
+            s, d, "vec_id", "embedding").seed(standing, cells)
+        }
+        val tmp = ReplayShared.storeCopy(tpl)
         val out =
           try {
             val store = new graft.streaming.SemDedupIngest.Store(
               s, tmp, "vec_id", "embedding")
-            store.seed(standing, cells)
             val ms = MemoryStream[(Long, Array[Float])]
             val q = graft.streaming.SemDedupIngest.dedupIngestStream(
               ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",

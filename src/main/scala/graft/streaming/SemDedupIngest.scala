@@ -37,11 +37,14 @@ import graft.operators.{Dedup, FileLayout, SemDedup}
   * — never a corpus re-assignment), and the standing store grows by
   * survivors only. The store is GENERATIONAL parquet (see [[Store]]):
   * batch writes are per-epoch OVERWRITE dirs, so a foreachBatch RETRY
-  * of the same epoch overwrites its own output instead of
-  * double-appending — idempotent replay, the foreachBatch
-  * exactly-once discipline (production swaps the store for a
-  * transactional table; the fold and the per-batch plan shape are
-  * identical). The quantizer stays FROZEN across the stream — the
+  * of a HALF-committed epoch overwrites its own partial output instead
+  * of double-appending, and a redelivery of a FULLY-committed epoch
+  * (crash between the store commit and the checkpoint offset commit)
+  * is SKIPPED outright ([[Store.alreadyCommitted]] — rerunning it
+  * would overwrite a path its own standing plan reads) — idempotent
+  * replay, the foreachBatch exactly-once discipline (production swaps
+  * the store for a transactional table; the fold and the per-batch
+  * plan shape are identical). The quantizer stays FROZEN across the stream — the
   * standing-artifact contract; both streams re-check their staleness
   * gate per micro-batch when given the build manifest and die LOUDLY
   * at the first stale batch (rebuild via
@@ -77,7 +80,9 @@ object SemDedupIngest {
     *   - [[compact]] folds only batches STRICTLY BEFORE the epoch
     *     being processed: the one epoch foreachBatch can ever redeliver
     *     is the CURRENT one, so its overwrite can never clobber folded
-    *     history.
+    *     history. Committed dirs AT/PAST the fold bound (a redelivered
+    *     epoch's) are CARRIED into the next generation unchanged —
+    *     never destroyed with the retired tree.
     *
     * Without compaction the tree accrues one KB-sized dir per
     * micro-batch forever — the classic small-files + listing-growth
@@ -246,6 +251,22 @@ object SemDedupIngest {
             "compact() past them, or keep the original checkpoint)")
     }
 
+    /** True when this epoch's output is already fully committed in
+      * BOTH trees — a redelivery after a crash between the store
+      * commit and the checkpoint offset commit. The fold is
+      * deterministic and the output durable, so the epoch must be
+      * SKIPPED wholesale: re-running it would build a survivors plan
+      * whose standing reads list `batch=<id>` itself and then
+      * overwrite that exact path — Spark refuses ("Cannot overwrite a
+      * path that is also being read from"), and every restart
+      * redelivers the same epoch into the same error, a permanent
+      * wedge (the r16 ADVICE medium finding). Mid-history reuse still
+      * dies loudly first ([[guardOverwrite]]'s rule). */
+    private[graft] def alreadyCommitted(batchId: Long): Boolean = {
+      guardOverwrite(batchId)
+      committedBatches.contains(batchId)
+    }
+
     private[graft] def writeBatchEmb(batchId: Long, emb: DataFrame): Unit = {
       guardOverwrite(batchId)
       emb.select(col(idCol), col(vecCol))
@@ -284,7 +305,14 @@ object SemDedupIngest {
       * sized dir per tree in generation g+1, dropping any tombstoned
       * rows en route (physical purge rides every fold). Sizing uses
       * the folded dirs' own measured bytes/row — no calibration
-      * write. */
+      * write. Committed batch dirs NOT in `ids` (a redelivered epoch's
+      * at/past the fold bound) are CARRIED into g+1 unchanged, keeping
+      * their batch ids — by COPY, never rename: generation g must stay
+      * intact until the marker publishes (the crash-safety invariant),
+      * and the carried rows keep any tombstoned members physically
+      * (which is what makes [[vacuum]]'s retire guard meaningful).
+      * Without the carry, retiring g would destroy checkpoint-committed
+      * survivors (the r16 ADVICE data-loss finding). */
     private def foldGen(g: Long, ids: Seq[Long], tomb: Option[DataFrame],
                         targetBytes: Long): Unit = {
       val tgt = ids.max
@@ -306,6 +334,14 @@ object SemDedupIngest {
       }
       fold(embRoot)
       fold(idxRoot)
+      val carried = committedBatches.filterNot(ids.contains)
+      for (b <- carried; root <- Seq(embRoot _, idxRoot _)) {
+        val src = new Path(s"${root(g)}/batch=$b")
+        val dst = new Path(s"${root(ng)}/batch=$b")
+        if (fs.exists(dst)) fs.delete(dst, true) // a crashed fold's retry
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+          false, spark.sparkContext.hadoopConfiguration)
+      }
       publishGen(ng)
       fs.delete(new Path(s"$dir/g$g"), true)
     }
@@ -422,32 +458,39 @@ object SemDedupIngest {
     batches.writeStream.foreachBatch { (batch: Dataset[Row], id: Long) =>
       try {
         if (compactEvery > 0) store.compact(id, minBatches = compactEvery)
-        manifest.foreach { m =>
-          SemDedup.requireFreshQuantizer(m, store.standingCount)
+        // fully-committed redelivery (crash between store commit and
+        // offset commit): output is durable, fold deterministic — skip,
+        // or the plan reads batch=<id> and the write wedges on it
+        if (!store.alreadyCommitted(id)) {
+          manifest.foreach { m =>
+            SemDedup.requireFreshQuantizer(m, store.standingCount)
+          }
+          val b = batch.toDF()
+          // survivors WITH their probed rows (the batch is probed once
+          // for the dedup itself — re-assigning survivors for their
+          // index rows would be pure waste per batch)
+          val survivors =
+            if (forceHier || centroids.size > SemDedup.FlatAssignCeiling)
+              SemDedup.dedupIngestProbedHier(
+                store.standingEmb, store.standingIndex, b, idCol, vecCol,
+                threshold, centroids, maxCellSize, probes, coarseProbes)
+            else
+              SemDedup.dedupIngestProbed(
+                store.standingEmb, store.standingIndex, b, idCol, vecCol,
+                threshold, centroids, maxCellSize, probes)
+          // INDEX write first: this is the action that evaluates the
+          // dedup, and its plan reads both standing trees at their
+          // eagerly-listed committed snapshot (the Store's
+          // construction-time listing)
+          store.writeBatchIndex(id, survivors)
+          // embeddings second, derived from the just-written STABLE
+          // index file + the micro-batch source only — no standing
+          // read, so the index append above cannot feed back into this
+          // plan
+          val survIds = store.readBatchIndex(id)
+            .filter(col("rank") === 1).select(col(idCol))
+          store.writeBatchEmb(id, b.join(survIds, Seq(idCol), "left_semi"))
         }
-        val b = batch.toDF()
-        // survivors WITH their probed rows (the batch is probed once for
-        // the dedup itself — re-assigning survivors for their index rows
-        // would be pure waste per batch)
-        val survivors =
-          if (forceHier || centroids.size > SemDedup.FlatAssignCeiling)
-            SemDedup.dedupIngestProbedHier(
-              store.standingEmb, store.standingIndex, b, idCol, vecCol,
-              threshold, centroids, maxCellSize, probes, coarseProbes)
-          else
-            SemDedup.dedupIngestProbed(
-              store.standingEmb, store.standingIndex, b, idCol, vecCol,
-              threshold, centroids, maxCellSize, probes)
-        // INDEX write first: this is the action that evaluates the dedup,
-        // and its plan reads both standing trees at their eagerly-listed
-        // committed snapshot (the Store's construction-time listing)
-        store.writeBatchIndex(id, survivors)
-        // embeddings second, derived from the just-written STABLE index
-        // file + the micro-batch source only — no standing read, so the
-        // index append above cannot feed back into this plan
-        val survIds = store.readBatchIndex(id)
-          .filter(col("rank") === 1).select(col(idCol))
-        store.writeBatchEmb(id, b.join(survIds, Seq(idCol), "left_semi"))
       } finally graft.Caching.release()
     }
 
@@ -473,15 +516,18 @@ object SemDedupIngest {
     batches.writeStream.foreachBatch { (batch: Dataset[Row], id: Long) =>
       try {
         if (compactEvery > 0) store.compact(id, minBatches = compactEvery)
-        Dedup.requireFreshSrpIndex(manifest, store.standingCount)
-        val b = batch.toDF()
-        val survivors = Dedup.srpIngestCoded(
-          store.standingEmb, store.standingIndex, b, idCol, vecCol,
-          dim, threshold, manifest.planes, manifest.tables, maxBucketSize)
-        store.writeBatchIndex(id, survivors)
-        val survIds = store.readBatchIndex(id)
-          .select(col(idCol)).distinct()
-        store.writeBatchEmb(id, b.join(survIds, Seq(idCol), "left_semi"))
+        // same fully-committed-redelivery skip as [[dedupIngestStream]]
+        if (!store.alreadyCommitted(id)) {
+          Dedup.requireFreshSrpIndex(manifest, store.standingCount)
+          val b = batch.toDF()
+          val survivors = Dedup.srpIngestCoded(
+            store.standingEmb, store.standingIndex, b, idCol, vecCol,
+            dim, threshold, manifest.planes, manifest.tables, maxBucketSize)
+          store.writeBatchIndex(id, survivors)
+          val survIds = store.readBatchIndex(id)
+            .select(col(idCol)).distinct()
+          store.writeBatchEmb(id, b.join(survIds, Seq(idCol), "left_semi"))
+        }
       } finally graft.Caching.release()
     }
 }

@@ -115,6 +115,11 @@ object IngestLadder {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.SemDedupIngest
       val nBatches = args.lift(4).map(_.toInt).getOrElse(96)
+      // head window = batches [8,16), tail = last 8: both need room
+      // past the 8-batch JIT warmup or the growth ratio divides short/
+      // overlapping windows (Infinity/NaN in the emitted JSON)
+      require(nBatches >= 24,
+        s"stream mode needs >= 24 batches for warmup + head/tail windows (got $nBatches)")
       val batchSize = 50
       // fresh deterministic arrivals: hash-derived vectors are mutually
       // near-orthogonal in 64-dim (|cos| ≲ 0.15 ≪ τ = 0.4), so nearly

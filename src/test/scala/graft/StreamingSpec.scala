@@ -340,6 +340,292 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("in-stream rebuild recovery, semantic tier: stale kill → probedIndexRebuild → re-seed → restart ≡ one-shot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SemDedupIngest
+    import graft.operators.SemDedup
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // the full 3am path the scaladocs document (r16 verdict task 3):
+    // a long-running ingest outgrows its frozen quantizer mid-stream,
+    // the per-batch gate kills it loudly, the operator rebuilds at the
+    // current size, re-seeds a FRESH store from the standing snapshot
+    // (gen index rows are quantizer-relative — they die with it, which
+    // is why recovery re-seeds instead of reusing the old tree), and
+    // the restarted stream (fresh checkpoint, epoch 0 on the fresh
+    // store) resumes the fold: the admitted UNION across the kill must
+    // equal the one-shot ingest of every batch under the new quantizer.
+    val cents = graft.operators.Similarity.hashCentroids(1, 4)
+    val manifest = SemDedup.QuantizerManifest(builtN = 2, k = 1,
+      probes = 2, targetCellSize = 2)
+    val standing = Seq((1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val (cells, _) = SemDedup.probedIndexBuild(standing, "vec_id", "embedding",
+      cents, targetCellSize = 2)
+    val batchA = Seq((10L, v(0, 0, 1, 0)), (11L, v(0, 0, 0, 1)))
+    val batchB = Seq((12L, v(1, 1, 1, 1)), (13L, v(1, -1, 1, -1)))
+    // C re-delivers after the kill: 15 near-dups PRE-rebuild survivor 10
+    // (the rebuilt standing state must still reject it), 14 fresh
+    val batchC = Seq((14L, v(1, 1, -1, -1)), (15L, v(0, 0, 1, 0.05)))
+    // D: 16 near-dups POST-restart survivor 14 (the fold still works
+    // across the recovery), 17 fresh
+    val batchD = Seq((16L, v(1, 1, -1.05, -1)), (17L, v(1, -1, -1, 1)))
+    val tmp1 = java.nio.file.Files.createTempDirectory("graft_rebuild_a").toString
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_rebuild_b").toString
+    try {
+      val store = new SemDedupIngest.Store(spark, tmp1, "vec_id", "embedding")
+      store.seed(standing, cells)
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id").as[Long].collect().toSet
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = SemDedupIngest.dedupIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.9, cents, store, manifest = Some(manifest)).start()
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      val e = intercept[Exception] {
+        try {
+          ms.addData(batchA: _*); q.processAllAvailable() // n 2→4, fresh
+          ms.addData(batchB: _*); q.processAllAvailable() // n 4→6, band edge
+          ms.addData(batchC: _*); q.processAllAvailable() // cellsFor(6)=3 > 2k
+        } finally q.stop()
+      }
+      assert(messages(e).exists(m => m.contains("STALE")
+        && m.contains("probedIndexRebuild")), s"got: ${messages(e)}")
+      assert(ids(store.ingestedIds) == Set(10L, 11L, 12L, 13L),
+        "the refused batch must not have landed")
+      // REBUILD at the current size (the loud message's named remedy)
+      val snapshot = store.standingEmb
+      val n1 = store.standingCount
+      val (idx2, cents2, m2) = SemDedup.probedIndexRebuild(
+        snapshot, "vec_id", "embedding", manifest, n1,
+        train = k => graft.operators.Similarity.hashCentroids(k, 4))
+      assert(!SemDedup.quantizerStale(m2, n1))
+      // RE-SEED a fresh store from the standing snapshot + rebuilt index
+      val store2 = new SemDedupIngest.Store(spark, tmp2, "vec_id", "embedding")
+      store2.seed(snapshot, idx2)
+      // RESTART (fresh checkpoint; epoch ids restart at 0 on a fresh
+      // store, so guardOverwrite has nothing to refuse) and RESUME with
+      // the refused batch first
+      val ms2 = MemoryStream[(Long, Array[Float])]
+      val q2 = SemDedupIngest.dedupIngestStream(
+        ms2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.9, cents2, store2, manifest = Some(m2)).start()
+      try {
+        ms2.addData(batchC: _*); q2.processAllAvailable()
+        ms2.addData(batchD: _*); q2.processAllAvailable()
+      } finally q2.stop()
+      val resumed = ids(store2.ingestedIds)
+      assert(resumed == Set(14L, 17L),
+        s"15 near-dups pre-rebuild survivor 10, 16 near-dups post-restart " +
+          s"survivor 14 via the fold — got $resumed")
+      // the union across the recovery ≡ the one-shot ingest of every
+      // batch under the rebuilt quantizer
+      val union = ids(store.ingestedIds) ++ resumed
+      val cells2 = SemDedup.probedIndex(standing, "vec_id", "embedding", cents2)
+      val oneShot = SemDedup.dedupIngest(standing, cells2,
+          (batchA ++ batchB ++ batchC ++ batchD).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", threshold = 0.9, cents2)
+        .select("vec_id").as[Long].collect().toSet
+      assert(union == oneShot, s"union $union != one-shot $oneShot")
+      graft.Caching.release()
+    } finally Seq(tmp1, tmp2).foreach { t =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(t)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("in-stream rebuild recovery, SRP tier: stale kill → srpIndexRebuild → re-seed → restart ≡ one-shot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SemDedupIngest
+    import graft.operators.Dedup
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // same recovery walk on the SRP tier: targetBucketSize = 1 makes
+    // the log2-quantized sizing rule flip at n = 4 (srpPlanesFor(3,1)=1,
+    // srpPlanesFor(4,1)=2), so real growth — not a fabricated manifest —
+    // drives the kill
+    val standing = Seq((100L, v(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val (codes, m) = Dedup.srpIndexBuild(standing, "vec_id", "embedding",
+      dim = 4, targetBucketSize = 1, knownCount = Some(1L))
+    assert(m.planes == 1)
+    val batchA = Seq((1L, v(0, 1, 0, 0)), (2L, v(0, 0, 1, 0)))
+    val batchB = Seq((3L, v(0, 0, 0, 1)))
+    val batchC = Seq((4L, v(0, 1, 0.05, 0)), (5L, v(1, 1, 1, 1)))
+    val batchD = Seq((6L, v(1, 1, 1, 1.05)), (7L, v(1, -1, 1, -1)))
+    val tmp1 = java.nio.file.Files.createTempDirectory("graft_srp_reb_a").toString
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_srp_reb_b").toString
+    try {
+      val store = new SemDedupIngest.Store(spark, tmp1, "vec_id", "embedding",
+        indexCols = Seq("table", "bucket"))
+      store.seed(standing, codes)
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id").as[Long].collect().toSet
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = SemDedupIngest.srpIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dim = 4, threshold = 0.9, m, store).start()
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      val e = intercept[Exception] {
+        try {
+          ms.addData(batchA: _*); q.processAllAvailable() // n 1→3
+          ms.addData(batchB: _*); q.processAllAvailable() // n 3→4
+          ms.addData(batchC: _*); q.processAllAvailable() // planesFor(4)=2≠1
+        } finally q.stop()
+      }
+      assert(messages(e).exists(x => x.contains("STALE")
+        && x.contains("srpIndexRebuild")), s"got: ${messages(e)}")
+      assert(ids(store.ingestedIds) == Set(1L, 2L, 3L))
+      val snapshot = store.standingEmb
+      val n1 = store.standingCount
+      val (codes2, m2) = Dedup.srpIndexRebuild(snapshot, "vec_id", "embedding",
+        dim = 4, m, n1)
+      assert(m2.planes == 2 && !Dedup.srpIndexStale(m2, n1))
+      val store2 = new SemDedupIngest.Store(spark, tmp2, "vec_id", "embedding",
+        indexCols = Seq("table", "bucket"))
+      store2.seed(snapshot, codes2)
+      val ms2 = MemoryStream[(Long, Array[Float])]
+      val q2 = SemDedupIngest.srpIngestStream(
+        ms2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dim = 4, threshold = 0.9, m2, store2).start()
+      try {
+        ms2.addData(batchC: _*); q2.processAllAvailable()
+        ms2.addData(batchD: _*); q2.processAllAvailable()
+      } finally q2.stop()
+      val resumed = ids(store2.ingestedIds)
+      assert(resumed == Set(5L, 7L),
+        s"4 near-dups pre-rebuild survivor 1, 6 near-dups post-restart " +
+          s"survivor 5 via the fold — got $resumed")
+      val union = ids(store.ingestedIds) ++ resumed
+      val codesAll2 = Dedup.srpIndex(standing, "vec_id", "embedding",
+        dim = 4, planes = m2.planes, tables = m2.tables)
+      val oneShot = Dedup.srpIngest(standing, codesAll2,
+          (batchA ++ batchB ++ batchC ++ batchD).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", dim = 4, threshold = 0.9, planes = m2.planes)
+        .as[Long].collect().toSet
+      assert(union == oneShot, s"union $union != one-shot $oneShot")
+      graft.Caching.release()
+    } finally Seq(tmp1, tmp2).foreach { t =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(t)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("compact/vacuum carry committed batches at/past the fold bound; the tombstone retire guard has teeth") {
+    import spark.implicits._
+    import graft.streaming.SemDedupIngest
+    import graft.operators.SemDedup
+    val cents = graft.operators.Similarity.hashCentroids(4, 4)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val standing = Seq((100L, v(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val (cells, _) = SemDedup.probedIndexBuild(standing, "vec_id", "embedding", cents)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_carry").toString
+    try {
+      val store = new SemDedupIngest.Store(spark, tmp, "vec_id", "embedding")
+      store.seed(standing, cells)
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id").as[Long].collect().toSet
+      // four fully-committed epochs, written as the fold writes them
+      val rows = Seq(1L -> v(0, 1, 0, 0), 2L -> v(0, 0, 1, 0),
+        3L -> v(0, 0, 0, 1), 4L -> v(1, -1, 1, -1))
+      rows.zipWithIndex.foreach { case ((id, vec), b) =>
+        val df = Seq((id, vec)).toDF("vec_id", "embedding")
+        store.writeBatchIndex(b.toLong, SemDedup.probedIndex(df, "vec_id", "embedding", cents))
+        store.writeBatchEmb(b.toLong, df)
+      }
+      // compact with batch 3 AT the bound (a redelivered epoch's dir):
+      // it must be CARRIED into the next generation, not destroyed
+      // with the retired g0 tree (the r16 ADVICE data-loss finding —
+      // e.g. a plain off-by-one vacuum(maxCommitted))
+      assert(store.compact(upToExclusive = 3, minBatches = 2))
+      assert(store.currentGen == 1L)
+      assert(ids(store.standingEmb) == Set(100L, 1L, 2L, 3L, 4L),
+        "checkpoint-committed survivors at/past the fold bound were destroyed")
+      assert(store.committedBatches.contains(3L),
+        "the carried batch must keep its epoch id (the retry contract)")
+      // retire-guard teeth: take down the CARRIED batch's row, vacuum
+      // below it — its dir keeps the physical row, so the tombstone
+      // must survive the vacuum (retiring it would resurrect id 4)
+      store.remove(Seq(4L).toDF("vec_id"))
+      assert(store.vacuum(upToExclusive = 3))
+      assert(ids(store.standingEmb) == Set(100L, 1L, 2L, 3L))
+      val carriedRaw = spark.read
+        .parquet(s"$tmp/g${store.currentGen}/emb/batch=3")
+      assert(ids(carriedRaw) == Set(4L),
+        "the carried dir must keep its physical rows across a vacuum below it")
+      import scala.jdk.CollectionConverters._
+      def tombFiles = {
+        val p = java.nio.file.Paths.get(tmp, "tombstones")
+        if (!java.nio.file.Files.exists(p)) Seq.empty
+        else java.nio.file.Files.walk(p).iterator().asScala
+          .filter(f => f.toString.endsWith(".parquet")).toSeq
+      }
+      assert(tombFiles.nonEmpty,
+        "tombstone retired while a committed dir past the bound kept its rows")
+      // a vacuum past every committed dir finishes the purge
+      assert(store.vacuum(upToExclusive = 4))
+      assert(tombFiles.isEmpty, "full-coverage vacuum must retire the tombstones")
+      assert(ids(store.standingEmb) == Set(100L, 1L, 2L, 3L))
+      assert(ids(spark.read.parquet(s"$tmp/g${store.currentGen}/emb").drop("batch"))
+        == Set(1L, 2L, 3L), "the purge must drop the tombstoned row physically")
+      graft.Caching.release()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("redelivery of a fully-committed epoch is skipped, not re-run into an overwrite-while-reading wedge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SemDedupIngest
+    import graft.operators.SemDedup
+    val cents = graft.operators.Similarity.hashCentroids(4, 4)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val standing = Seq((100L, v(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val (cells, _) = SemDedup.probedIndexBuild(standing, "vec_id", "embedding", cents)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_redeliver").toString
+    try {
+      val store = new SemDedupIngest.Store(spark, tmp, "vec_id", "embedding")
+      store.seed(standing, cells)
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id").as[Long].collect().toSet
+      // epoch 0's output fully committed, but the checkpoint offset was
+      // not (crash between the two) — the store-level shape of a
+      // redelivery, built via the documented undetectable batch-0
+      // corner: a fresh checkpoint's epoch 0 IS the retry
+      val b0 = Seq((1L, v(0, 1, 0, 0))).toDF("vec_id", "embedding")
+      store.writeBatchIndex(0L, SemDedup.probedIndex(b0, "vec_id", "embedding", cents))
+      store.writeBatchEmb(0L, b0)
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = SemDedupIngest.dedupIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.9, cents, store).start()
+      try {
+        // the redelivered epoch: without the skip, its survivors plan
+        // reads g0/index/batch=0 and then overwrites that exact path —
+        // Spark refuses, and every restart wedges on the same epoch
+        ms.addData((1L, v(0, 1, 0, 0)))
+        q.processAllAvailable()
+        assert(ids(store.ingestedIds) == Set(1L))
+        // the stream proceeds normally past the skipped epoch
+        ms.addData((2L, v(0, 0, 1, 0)), (3L, v(0, 1, 0.02, 0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(ids(store.ingestedIds) == Set(1L, 2L),
+        "post-skip epochs must dedup against the committed epoch's survivors")
+      graft.Caching.release()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("hier-tier streaming fold: batch-straddling near-dup drops; stream ≡ one-shot dedupIngestHier (full coarse fan-out ≡ flat)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -433,6 +719,11 @@ class StreamingSpec extends SparkSpec {
       assert(store.standingIndex.filter(col("vec_id").isin(1L, 6L)).count() ==
         m.tables.toLong * 2)
       assert(store.standingIndex.count() == m.tables.toLong * 3)
+      // a NEW stream (fresh checkpoint, epoch ids restarting at 0) over
+      // this used store must first compact() past the committed epoch
+      // ids — guardOverwrite's documented path; without it epoch 0 dies
+      // with the epoch-reuse refusal before the gate under test runs
+      assert(store.compact(upToExclusive = 2, minBatches = 2))
       // the staleness gate is live per micro-batch: a stream served from
       // a manifest the corpus has outgrown dies loudly at its FIRST batch
       val stale = m.copy(planes = m.planes + 3)
