@@ -1250,6 +1250,170 @@ object StreamQueries {
         |WHERE crank = 1
         |  AND asgn.vec_id % 20 <> 0 AND asgn.vec_id % 20 <> 8
         |  AND (vec_id IN (SELECT vec_id FROM surv1)
-        |       OR vec_id IN (SELECT vec_id FROM surv2))""")
+        |       OR vec_id IN (SELECT vec_id FROM surv2))"""),
+
+    // The IN-STREAM REBUILD RECOVERY, end to end as one hash gate
+    // (r16 verdict task 3 — the 3am path the scaladocs document,
+    // StreamingSpec pins at unit scale, and this row makes oracle
+    // evidence): the standing quantizer was sized when the corpus was
+    // an EIGHTH of today's, so the FIRST micro-batch's staleness gate
+    // kills the stream loudly (require()d in the body — nothing may
+    // land); the operator then runs the gated probedIndexRebuild at
+    // the current size, re-seeds a FRESH store from the standing
+    // corpus + rebuilt index (gen index rows are quantizer-relative —
+    // recovery re-seeds, it never reuses the stale tree), restarts
+    // with a fresh checkpoint, RE-DELIVERS the refused batch, and the
+    // fold resumes. Emitted rows are the recovered stream's admitted
+    // set under the REBUILT quantizer + the q_index_rebuild-style
+    // sentinel carrying the runtime k. Oracle = q_quantizer_rebuild's
+    // md5 hashCentroids reconstruction at the replayed sizing rule
+    // ((n+127)//128 from COUNT(*), k > 64 → NULL sentinel) composed
+    // with q_stream_ingest's chained two-round fold — so a broken
+    // kill, a silently-landed refused batch, a rebuild at the wrong k,
+    // or a fold that lost the recovery handoff each hash-mismatch.
+    "q_stream_rebuild" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import graft.operators.{SemDedup, Similarity}
+        import graft.streaming.SemDedupIngest
+        val emb = Tables.embeddings(s, dir)
+        val standing = emb.filter(col("vec_id") % 10 < 8)
+        val n = ReplayShared.memo(s"standing_n:$dir")(standing.count())
+        val mOld = SemDedup.QuantizerManifest(n / 8,
+          SemDedup.cellsFor(n / 8), 2, 128)
+        val rows = ingestSlice(s, dir)
+        val batch1 = rows.filter(_._1 % 10 == 8)
+        val batch2 = rows.filter(_._1 % 10 == 9)
+        def messages(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ messages(x.getCause))
+        val (cents2, m2, idx2) =
+          if (SemDedup.quantizerStale(mOld, n)) {
+            // phase 1: the stale stream dies loudly at its first batch
+            val centsOld = Similarity.hashCentroids(mOld.k, 64)
+            val tplStale = ReplayShared.seededTemplate(s"rebuild_stale:$dir") { d =>
+              new SemDedupIngest.Store(s, d, "vec_id", "embedding")
+                .seed(standing, SemDedup.probedIndex(
+                  standing, "vec_id", "embedding", centsOld))
+            }
+            val tmpStale = ReplayShared.storeCopy(tplStale)
+            try {
+              val staleStore = new SemDedupIngest.Store(
+                s, tmpStale, "vec_id", "embedding")
+              val msS = MemoryStream[(Long, Array[Float])]
+              val qS = SemDedupIngest.dedupIngestStream(
+                msS.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+                threshold = 0.4, centsOld, staleStore,
+                manifest = Some(mOld)).start()
+              val killed =
+                try {
+                  msS.addData(batch1.toIndexedSeq: _*)
+                  try { qS.processAllAvailable(); None }
+                  catch { case e: Exception => Some(e) }
+                } finally qS.stop()
+              require(killed.exists(e => messages(e).exists(m =>
+                m.contains("STALE") && m.contains("probedIndexRebuild"))),
+                "q_stream_rebuild: the staleness gate did not kill the " +
+                  s"stale stream — got ${killed.map(messages)}")
+              require(staleStore.ingestedIds.count() == 0L,
+                "q_stream_rebuild: the refused batch landed in the stale store")
+            } finally {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(java.nio.file.Paths.get(tmpStale))
+                .iterator().asScala
+                .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+            }
+            // phase 2: the gated rebuild at the current size (lazy index
+            // frame — it evaluates once, into the template seed below)
+            val (i2, c2, mNew) = SemDedup.probedIndexRebuild(
+              standing, "vec_id", "embedding", mOld, n,
+              k => Similarity.hashCentroids(k, 64))
+            (c2, mNew, i2)
+          } else {
+            // in-band corpus (tiny SFs): the frozen quantizer IS the
+            // current sizing — the straight fold under it must match
+            // the oracle's replayed rule or the hash fails loudly
+            val c = Similarity.hashCentroids(mOld.k, 64)
+            (c, mOld, SemDedup.probedIndex(standing, "vec_id", "embedding", c))
+          }
+        // phase 3: re-seed + restart (fresh checkpoint; epoch 0 on a
+        // fresh store — nothing for guardOverwrite to refuse), the
+        // refused batch re-delivered first
+        val tpl2 = ReplayShared.seededTemplate(s"rebuild_fresh:$dir") { d =>
+          new SemDedupIngest.Store(s, d, "vec_id", "embedding")
+            .seed(standing, idx2)
+        }
+        val tmp = ReplayShared.storeCopy(tpl2)
+        val out =
+          try {
+            val store = new SemDedupIngest.Store(s, tmp, "vec_id", "embedding")
+            val ms = MemoryStream[(Long, Array[Float])]
+            val q = SemDedupIngest.dedupIngestStream(
+              ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+              threshold = 0.4, cents2, store, manifest = Some(m2)).start()
+            try {
+              ms.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+              ms.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+            } finally q.stop()
+            store.ingested
+              .select(col("vec_id"), col("cell").cast("long").as("cell"))
+              .as[(Long, Long)].collect()
+          } finally {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+              .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        s.createDataset(out.toIndexedSeq).toDF("vec_id", "cell")
+          .unionByName(s.range(1).select(
+            lit(-1L).as("vec_id"), lit(m2.k.toLong).as("cell")))
+      },
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |st AS (SELECT count(*) AS n FROM e WHERE vec_id % 10 < 8),
+        |kk AS (SELECT (n + 127) // 128 AS k FROM st),
+        |fcv AS MATERIALIZED (
+        |  SELECT cd // 64 AS c, cd % 64 AS d,
+        |         (CAST(CAST(concat('0x', substr(md5('hc:' || CAST(cd // 64 AS VARCHAR) || ':' || CAST(cd % 64 AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS DOUBLE)
+        |          - CAST('127.5' AS DOUBLE)) / CAST('128.0' AS DOUBLE) AS x
+        |  FROM generate_series(0, 4095) AS t(cd)
+        |  WHERE cd < (SELECT k FROM kk) * 64),
+        |fc AS MATERIALIZED (SELECT c, list(x ORDER BY d) AS ctr FROM fcv GROUP BY c),
+        |asgn AS MATERIALIZED (
+        |  SELECT vec_id, cell, crank FROM (
+        |    SELECT e.vec_id, fc.c AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.v, fc.ctr) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(fc.ctr, fc.ctr))) DESC,
+        |             fc.c) AS crank
+        |    FROM e CROSS JOIN fc)
+        |  WHERE crank <= 2),
+        |edges AS MATERIALIZED (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        |  JOIN e qe ON qe.vec_id = a.vec_id
+        |  JOIN e ce ON ce.vec_id = b.vec_id
+        |  WHERE list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) >= 0.4),
+        |surv1 AS MATERIALIZED (
+        |  SELECT vec_id FROM e WHERE vec_id % 10 = 8
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id1 % 10 = 8 AND id2 % 10 = 8 AND id1 < id2)
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id1 % 10 < 8 AND id2 % 10 = 8)),
+        |surv2 AS (
+        |  SELECT vec_id FROM e WHERE vec_id % 10 = 9
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id1 % 10 = 9 AND id2 % 10 = 9 AND id1 < id2)
+        |    AND vec_id NOT IN (SELECT id2 FROM edges
+        |                       WHERE id2 % 10 = 9
+        |                         AND (id1 % 10 < 8
+        |                              OR id1 IN (SELECT vec_id FROM surv1))))
+        |SELECT asgn.vec_id, CAST(asgn.cell AS BIGINT) AS cell
+        |FROM asgn
+        |WHERE crank = 1
+        |  AND (vec_id IN (SELECT vec_id FROM surv1)
+        |       OR vec_id IN (SELECT vec_id FROM surv2))
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS vec_id,
+        |       CAST(CASE WHEN (SELECT k FROM kk) <= 64
+        |                 THEN (SELECT k FROM kk) END AS BIGINT) AS cell""")
   )
 }

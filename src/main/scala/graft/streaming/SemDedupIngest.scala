@@ -100,6 +100,34 @@ object SemDedupIngest {
                     indexCols: Seq[String] = Seq("cell", "rank")) {
     private val fs =
       new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** Single-writer enforcement (r16 verdict task 5): every mutation
+      * ([[seed]], the per-epoch writes, [[compact]], [[remove]],
+      * [[vacuum]]) must hold the store's writer token, and a SECOND
+      * concurrent writer dies loudly instead of racing — e.g. a
+      * remove() issued from an ops thread while the fold is mid-epoch
+      * could lose its tombstone id to a concurrent remove, or a
+      * caller-scheduled compact() could fold dirs out from under the
+      * epoch's write. Reentrant, so the fold's own nested mutations
+      * (vacuum → foldGen, the in-stream compact) stay free; tryLock —
+      * never blocks — because a queued mutation would execute against
+      * a standing state it did not observe (the loud-refusal house
+      * style). JVM-scoped, matching the store's operating point (one
+      * driver owns a stream's store; production swaps in a
+      * transactional table). */
+    private val writer = new java.util.concurrent.locks.ReentrantLock()
+    private def asWriter[T](what: String)(body: => T): T = {
+      if (!writer.tryLock())
+        throw new IllegalStateException(
+          s"store single-writer discipline violated: $what raced another " +
+            "writer mid-mutation — schedule remove()/compact()/vacuum() " +
+            "from the fold's thread (between epochs), never concurrently " +
+            "with it")
+      try body finally writer.unlock()
+    }
+    /** Test seam: hold the writer token while `body` runs. */
+    private[graft] def withWriterLock[T](body: => T): T =
+      asWriter("withWriterLock")(body)
     private def seedEmbDir = s"$dir/seed${currentSeedGen}/emb"
     private def seedIdxDir = s"$dir/seed${currentSeedGen}/index"
     private def embRoot(g: Long) = s"$dir/g$g/emb"
@@ -169,7 +197,7 @@ object SemDedupIngest {
 
     /** Seed the store with the historical corpus + its standing index
       * ([[SemDedup.probedIndexBuild]] / [[Dedup.srpIndexBuild]]). */
-    def seed(emb: DataFrame, index: DataFrame): Unit = {
+    def seed(emb: DataFrame, index: DataFrame): Unit = asWriter("seed") {
       emb.select(col(idCol), col(vecCol))
         .write.mode("overwrite").parquet(seedEmbDir)
       index.select(col(idCol) +: indexCols.map(col): _*)
@@ -201,8 +229,23 @@ object SemDedupIngest {
       * path, which is one more reason takedowns should not sit
       * unvacuumed forever. */
     def standingCount: Long =
-      if (committedTombs.nonEmpty) standingEmb.count()
-      else seedCount + genRead(embRoot, committedBatches).fold(0L)(_.count())
+      if (committedTombs.nonEmpty) {
+        // the slow path is bounded but UNBOUNDED IN TIME if takedowns
+        // are never vacuumed — nudge after it has run a while (the r16
+        // what's-wrong #3: nothing surfaced the standing drag before)
+        slowCounts += 1
+        if (slowCounts % 8 == 0)
+          org.slf4j.LoggerFactory.getLogger("graft.streaming.SemDedupIngest")
+            .warn(s"store at $dir has paid the tombstone anti-join count " +
+              s"$slowCounts times (${committedTombs.size} tombstone files " +
+              "outstanding) — run vacuum() to restore the metadata-only " +
+              "standing count")
+        standingEmb.count()
+      } else {
+        slowCounts = 0
+        seedCount + genRead(embRoot, committedBatches).fold(0L)(_.count())
+      }
+    private var slowCounts = 0
     private var seedCountCache: Option[(Long, Long)] = None
     private def seedCount: Long = {
       val sg = currentSeedGen
@@ -267,17 +310,19 @@ object SemDedupIngest {
       committedBatches.contains(batchId)
     }
 
-    private[graft] def writeBatchEmb(batchId: Long, emb: DataFrame): Unit = {
-      guardOverwrite(batchId)
-      emb.select(col(idCol), col(vecCol))
-        .write.mode("overwrite").parquet(s"${embRoot(currentGen)}/batch=$batchId")
-    }
+    private[graft] def writeBatchEmb(batchId: Long, emb: DataFrame): Unit =
+      asWriter(s"writeBatchEmb($batchId)") {
+        guardOverwrite(batchId)
+        emb.select(col(idCol), col(vecCol))
+          .write.mode("overwrite").parquet(s"${embRoot(currentGen)}/batch=$batchId")
+      }
 
-    private[graft] def writeBatchIndex(batchId: Long, index: DataFrame): Unit = {
-      guardOverwrite(batchId)
-      index.select(col(idCol) +: indexCols.map(col): _*)
-        .write.mode("overwrite").parquet(s"${idxRoot(currentGen)}/batch=$batchId")
-    }
+    private[graft] def writeBatchIndex(batchId: Long, index: DataFrame): Unit =
+      asWriter(s"writeBatchIndex($batchId)") {
+        guardOverwrite(batchId)
+        index.select(col(idCol) +: indexCols.map(col): _*)
+          .write.mode("overwrite").parquet(s"${idxRoot(currentGen)}/batch=$batchId")
+      }
 
     private[graft] def readBatchIndex(batchId: Long): DataFrame =
       spark.read.parquet(s"${idxRoot(currentGen)}/batch=$batchId")
@@ -293,13 +338,16 @@ object SemDedupIngest {
       * marker, the next generation is invisible garbage; after it,
       * the old tree is unreferenced garbage retired best-effort. */
     def compact(upToExclusive: Long, minBatches: Int = 8,
-                targetBytes: Long = 128L << 20): Boolean = {
-      val g = currentGen
-      val ids = committedBatches.filter(_ < upToExclusive)
-      if (ids.size < math.max(2, minBatches)) return false
-      foldGen(g, ids, tombstonesOf(committedTombs), targetBytes)
-      true
-    }
+                targetBytes: Long = 128L << 20): Boolean =
+      asWriter(s"compact($upToExclusive)") {
+        val g = currentGen
+        val ids = committedBatches.filter(_ < upToExclusive)
+        if (ids.size < math.max(2, minBatches)) false
+        else {
+          foldGen(g, ids, tombstonesOf(committedTombs), targetBytes)
+          true
+        }
+      }
 
     /** Fold the given committed batch dirs of generation `g` into one
       * sized dir per tree in generation g+1, dropping any tombstoned
@@ -357,7 +405,7 @@ object SemDedupIngest {
       * retro-admitted (their rows were never stored). A removed id
       * that RE-ARRIVES under the SAME id stays invisible (takedown is
       * by id — re-ingest under a new id); spec-pinned. */
-    def remove(ids: DataFrame): Unit = {
+    def remove(ids: DataFrame): Unit = asWriter("remove") {
       val k = committedTombs.foldLeft(0L)(math.max) + 1
       ids.select(col(idCol)).distinct()
         .write.mode("overwrite").parquet(s"$tombRoot/t=$k")
@@ -370,12 +418,14 @@ object SemDedupIngest {
       * purge rides [[foldGen]]'s tombstone drop), then retire the
       * tombstone files. Crash-safe at every point: until the final
       * tombstone delete, readers keep anti-joining, so a half-vacuum
-      * is never visible; a re-run completes it. Call from the fold's
-      * thread only (the store's single-writer discipline — a remove()
-      * racing the snapshot would lose its tombstone). Returns false
-      * when nothing was outstanding. */
+      * is never visible; a re-run completes it. Single-writer
+      * discipline is ENFORCED ([[asWriter]]): a remove() racing this
+      * snapshot dies loudly instead of losing its tombstone. Returns
+      * false when nothing was outstanding. */
     def vacuum(upToExclusive: Long,
-               targetBytes: Long = 128L << 20): Boolean = {
+               targetBytes: Long = 128L << 20): Boolean =
+      asWriter(s"vacuum($upToExclusive)") { vacuumLocked(upToExclusive, targetBytes) }
+    private def vacuumLocked(upToExclusive: Long, targetBytes: Long): Boolean = {
       val tombIds = committedTombs
       if (tombIds.isEmpty) return false
       val tomb = tombstonesOf(tombIds)

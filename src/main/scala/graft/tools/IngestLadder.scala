@@ -70,6 +70,19 @@ import graft.operators.{SemDedup, Similarity}
   *   compaction it carries the aging, with compaction it should sit
   *   ~flat. Default points "3,30" (flat tier; the fold's plan shape is
   *   tier-blind, so one tier's growth curve speaks for all three).
+  *   mode `takedown` measures the takedown lifecycle (r16 verdict task
+  *   4) on a seeded store: four 1000-id remove() rounds, the UNVACUUMED
+  *   [[graft.streaming.SemDedupIngest.Store.standingCount]] after each
+  *   (the staleness gate's documented slow path — a full anti-join
+  *   count per micro-batch while tombstones are outstanding) as
+  *   tombstone files accrue 1→4, then vacuum() (the seed rewrite that
+  *   restores the metadata-only fast path) and the fast count again.
+  *   Cross-point exponents: tombed-count and vacuum should both track
+  *   the standing size ≈ linearly (the anti-join count job and the
+  *   seed rewrite are one corpus pass each); the fast count should stay
+  *   flat (footer metadata). Default points "100,300,1000" (the SRP
+  *   tier's, reusing its cached standing index — takedown is
+  *   tier-blind).
   *   mode `rebuild` measures the RESIZE lifecycle event (r15 task 2):
   *   the standing [[graft.operators.Dedup.srpIndexRebuild]] — manifest
   *   frozen at n/4 (always stale: srpPlanesFor is log₂-quantized), the
@@ -88,9 +101,10 @@ object IngestLadder {
     val srpMode = args.lift(3).contains("srp")
     val rebuildMode = args.lift(3).contains("rebuild")
     val streamMode = args.lift(3).contains("stream")
+    val takedownMode = args.lift(3).contains("takedown")
     val points = args.lift(2)
       .getOrElse(
-        if (srpMode || rebuildMode) "100,300,1000"
+        if (srpMode || rebuildMode || takedownMode) "100,300,1000"
         else if (streamMode) "3,30" else "30,100,200")
       .split(",").toSeq.map(_.trim.toInt)
     val localMode = args.lift(3).contains("local")
@@ -120,7 +134,14 @@ object IngestLadder {
       // overlapping windows (Infinity/NaN in the emitted JSON)
       require(nBatches >= 24,
         s"stream mode needs >= 24 batches for warmup + head/tail windows (got $nBatches)")
-      val batchSize = 50
+      // args(5) overrides for the SURVIVOR-HEAVY question (r16 verdict
+      // task 7): near-orthogonal arrivals all survive, so batchSize
+      // 2000 at point 100 accrues ~192k survivors over 96 batches —
+      // enough for compact()'s full accrued-set rewrite to show its
+      // linear-in-age spike in the per-batch t_s lines (dirs drops mark
+      // the fold epochs). Default 50 keeps the original listing-growth
+      // measurement, where dedup cost is pinned small on purpose.
+      val batchSize = args.lift(5).map(_.toInt).getOrElse(50)
       // fresh deterministic arrivals: hash-derived vectors are mutually
       // near-orthogonal in 64-dim (|cos| ≲ 0.15 ≪ τ = 0.4), so nearly
       // every row survives and the store's batch-dir listing GROWS —
@@ -186,6 +207,84 @@ object IngestLadder {
         // bit-exactly at unit scale; this holds it at ladder scale)
         require(ingestedByMode.distinct.size == 1,
           s"compaction changed the admitted set at ${n}x: $ingestedByMode")
+      }
+      spark.stop()
+      return
+    }
+
+    if (takedownMode) {
+      import spark.implicits._
+      import graft.streaming.SemDedupIngest
+      import graft.operators.Dedup
+      val rows = points.map { n =>
+        val dir = s"$workRoot/graft_ingest${n}x"
+        HierLadder.generateEmbeddings(spark, base, dir, n)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val nVec = emb.count()
+        // standing index: the SRP tier's (cached by the srp mode's own
+        // stamp — takedown is tier-blind, this just gives the store a
+        // REAL index tree whose rewrite cost vacuum must pay)
+        val planes = Similarity.srpPlanesFor(nVec, 128)
+        val stamp = s"$base|$n|$planes"
+        val okFile = new java.io.File(s"$dir/_SRP_INGEST_OK")
+        if (!(okFile.exists() &&
+              new String(java.nio.file.Files.readAllBytes(okFile.toPath)) == stamp)) {
+          Dedup.srpIndex(emb, "vec_id", "embedding", dim = 64, planes = planes)
+            .write.mode("overwrite").parquet(s"$dir/srp_index.parquet")
+          graft.Caching.release()
+          java.nio.file.Files.write(okFile.toPath, stamp.getBytes)
+        }
+        val storedIdx = spark.read.parquet(s"$dir/srp_index.parquet")
+        val storeDir = s"$dir/takedown_store"
+        def rmStore(): Unit = {
+          val p = new org.apache.hadoop.fs.Path(storeDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        rmStore() // the mode mutates the store — always start fresh
+        val store = new SemDedupIngest.Store(spark, storeDir,
+          "vec_id", "embedding", indexCols = Seq("table", "bucket"))
+        val (_, tSeed) = timed { store.seed(emb, storedIdx); 0L }
+        def timedCount(): (Long, Double) = timed(store.standingCount)
+        val (c0, tf1) = timedCount()
+        require(c0 == nVec, s"seeded count $c0 != $nVec at ${n}x")
+        val tFast = math.min(tf1, timedCount()._2)
+        // four 1000-id takedown rounds: remove() cost, then the
+        // UNVACUUMED standingCount (the per-batch staleness gate's
+        // slow path) as tombstone files accrue 1 → 4
+        val removeIds = emb.select("vec_id").orderBy("vec_id")
+          .limit(4000).as[Long].collect()
+        graft.Caching.release()
+        val perRound = (0 until 4).map { j =>
+          val slice = removeIds.slice(j * 1000, (j + 1) * 1000).toSeq
+          val (_, tRemove) = timed { store.remove(slice.toDF("vec_id")); 0L }
+          val (cj, ts1) = timedCount()
+          require(cj == nVec - (j + 1) * 1000,
+            s"live count $cj != ${nVec - (j + 1) * 1000} after round $j at ${n}x")
+          val tSlow = math.min(ts1, timedCount()._2)
+          (tRemove, tSlow)
+        }
+        // the purge: seed rewrite minus tombstones (no gen dirs here —
+        // the fold-side purge cost is the stream mode's compaction
+        // number; this isolates the seed-rewrite term vacuum owns)
+        val (_, tVacuum) = timed { require(store.vacuum(0L)); 0L }
+        val (c2, tf2a) = timedCount()
+        require(c2 == nVec - 4000, s"post-vacuum count $c2 at ${n}x")
+        val tFast2 = math.min(tf2a, timedCount()._2)
+        val removeJson = perRound.map(r => num(r._1)).mkString("[", ",", "]")
+        val slowJson = perRound.map(r => num(r._2)).mkString("[", ",", "]")
+        println(s"""{"point":"${n}x","mode":"takedown","n_standing":$nVec,"t_seed_s":${num(tSeed)},"t_count_fast_s":${num(tFast)},"t_remove_s":$removeJson,"t_count_tombed_s":$slowJson,"t_vacuum_s":${num(tVacuum)},"t_count_fast_after_s":${num(tFast2)},"n_removed":4000}""")
+        rmStore()
+        (n, perRound.map(_._2).max, tVacuum)
+      }
+      rows.sliding(2).foreach {
+        case Seq((n1, s1, v1), (n2, s2, v2)) =>
+          val f = n2.toDouble / n1
+          def expo(a: Double, b: Double): String = num(math.log(b / a) / math.log(f))
+          println(s"${n1}x -> ${n2}x (factor ${num(f)}): tombed-count exponent " +
+            s"${expo(s1, s2)}, vacuum exponent ${expo(v1, v2)}")
+        case _ => ()
       }
       spark.stop()
       return

@@ -626,6 +626,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("store single-writer discipline: a concurrent mutation dies loudly; same-thread nesting stays free") {
+    import spark.implicits._
+    import graft.streaming.SemDedupIngest
+    import graft.operators.SemDedup
+    val cents = graft.operators.Similarity.hashCentroids(4, 4)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val standing = Seq((100L, v(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val (cells, _) = SemDedup.probedIndexBuild(standing, "vec_id", "embedding", cents)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_writer").toString
+    try {
+      val store = new SemDedupIngest.Store(spark, tmp, "vec_id", "embedding")
+      store.seed(standing, cells)
+      // a remove() issued from an ops thread while a mutation is in
+      // flight must die loudly, not race the snapshot
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      store.withWriterLock {
+        val t = new Thread(() => {
+          try store.remove(Seq(100L).toDF("vec_id"))
+          catch { case e: Throwable => err.set(e) }
+        })
+        t.start(); t.join()
+      }
+      assert(err.get() != null, "concurrent remove() was allowed to race")
+      assert(err.get().isInstanceOf[IllegalStateException]
+        && err.get().getMessage.contains("single-writer"), s"got: ${err.get()}")
+      assert(store.standingEmb.count() == 1L, "the refused remove landed")
+      // the fold thread's own nested mutations stay free (reentrant):
+      // remove + vacuum from the holding thread work as before
+      store.withWriterLock {
+        store.remove(Seq(100L).toDF("vec_id"))
+        assert(store.vacuum(upToExclusive = 0))
+      }
+      assert(store.standingEmb.count() == 0L)
+      graft.Caching.release()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("hier-tier streaming fold: batch-straddling near-dup drops; stream ≡ one-shot dedupIngestHier (full coarse fan-out ≡ flat)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
