@@ -177,6 +177,17 @@ object StreamQueries {
         "streaming ingest replay slice")
     }
 
+  /** The event-replay gates' shared slice: the full events table as
+    * [[Ev]] rows, collected once per sf dir (seven gates replay exactly
+    * this shape). */
+  private def evSlice(s: SparkSession, dir: String): Array[Ev] =
+    ReplayShared.memo(s"ev_slice:$dir") {
+      import s.implicits._
+      collectReplay(Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[Ev], "events replay slice")
+    }
+
   /** The three stream-stream join gates' shared replay slice: the
     * user_id%4=0 quarter of events, collected once per sf dir. */
   private def joinSlice(s: SparkSession, dir: String): Array[(Long, Timestamp, Long)] =
@@ -225,20 +236,18 @@ object StreamQueries {
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val evs: Array[Ev] = collectReplay(Tables.events(s, dir)
-          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
-          .as[Ev], "events replay slice")
+        val evs: Array[Ev] = evSlice(s, dir)
         val maxTsMs = evs.iterator.map(_.ts.getTime).max
-        // TWO sentinel batches, not one: the final seal must ride a DATA
-        // batch. Sentinel A (batch 2) pushes the max event time past
-        // every real end + gap + watermark; the watermark computed from
-        // it takes effect at the NEXT batch — and if that next batch
-        // were a no-data timer batch, processAllAvailable's
-        // offsets-committed check would not wait for it (a stop() race
-        // that silently drops sealed sessions under load). Sentinel B
-        // (batch 3) makes the sealing batch a data batch, which
-        // processAllAvailable provably drains; expired timers for ALL
-        // keys fire in any batch whose watermark passed them.
+        // TWO sentinels: A rides the DATA batch (batch 1) and pushes
+        // the max event time past every real end + gap + watermark; the
+        // watermark computed from it takes effect at the NEXT batch —
+        // and if that next batch were a no-data timer batch,
+        // processAllAvailable's offsets-committed check would not wait
+        // for it (a stop() race that silently drops sealed sessions
+        // under load). Sentinel B (batch 2) makes the sealing batch a
+        // data batch, which processAllAvailable provably drains;
+        // expired timers for ALL keys fire in any batch whose watermark
+        // passed them.
         val sentinelA = Ev(-1L, new Timestamp(maxTsMs + (3600L + 1800L + 60L) * 1000L),
           "sentinel", 0.0)
         val sentinelB = Ev(-1L, new Timestamp(sentinelA.ts.getTime + 1000L),
@@ -251,9 +260,13 @@ object StreamQueries {
             .outputMode("append").start()
         }
         try {
-          ms.addData(evs.toIndexedSeq: _*)
-          q.processAllAvailable()
-          ms.addData(sentinelA)
+          // sentinel A rides the data batch (r17, the q_stream_outer
+          // argument): the watermark during batch 1 is 0 either way, so
+          // nothing seals or drops early, and the post-batch watermark
+          // jumps past every session end + gap in one step; sentinel B's
+          // batch then fires ALL the expired timers — a data batch
+          // processAllAvailable provably drains. Emitted set unchanged.
+          ms.addData(evs.toIndexedSeq: _*); ms.addData(sentinelA)
           q.processAllAvailable()
           ms.addData(sentinelB)
           q.processAllAvailable()
@@ -292,9 +305,7 @@ object StreamQueries {
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val evs: Array[Ev] = collectReplay(Tables.events(s, dir)
-          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
-          .as[Ev], "events replay slice")
+        val evs: Array[Ev] = evSlice(s, dir)
         val confKey = "spark.sql.streaming.stateStore.providerClass"
         val saved = scala.util.Try(s.conf.get(confKey)).toOption
         s.conf.set(confKey,
@@ -348,9 +359,7 @@ object StreamQueries {
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val evs: Array[Ev] = collectReplay(Tables.events(s, dir)
-          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
-          .as[Ev], "events replay slice")
+        val evs: Array[Ev] = evSlice(s, dir)
         val confKey = "spark.sql.streaming.stateStore.providerClass"
         val saved = scala.util.Try(s.conf.get(confKey)).toOption
         s.conf.set(confKey,
@@ -408,9 +417,7 @@ object StreamQueries {
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val evs: Array[Ev] = collectReplay(Tables.events(s, dir)
-          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
-          .as[Ev], "events replay slice")
+        val evs: Array[Ev] = evSlice(s, dir)
         val maxTsMs = evs.iterator.map(_.ts.getTime).max
         val sentinelA = Ev(-1L, new Timestamp(maxTsMs + (3600L + 3600L + 60L) * 1000L),
           "sentinel", 0.0)
@@ -423,9 +430,11 @@ object StreamQueries {
             .outputMode("append").start()
         }
         try {
-          ms.addData(evs.toIndexedSeq: _*)
-          q.processAllAvailable()
-          ms.addData(sentinelA)
+          // sentinel A rides the data batch — same argument as
+          // q_stream_sessionize: watermark 0 during batch 1, then one
+          // jump past every real bucket end; sentinel B's data batch
+          // emits the closed buckets
+          ms.addData(evs.toIndexedSeq: _*); ms.addData(sentinelA)
           q.processAllAvailable()
           ms.addData(sentinelB)
           q.processAllAvailable()
@@ -465,9 +474,7 @@ object StreamQueries {
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val all: Array[Ev] = collectReplay(Tables.events(s, dir)
-          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
-          .as[Ev], "events replay slice")
+        val all: Array[Ev] = evSlice(s, dir)
         val onTime = all.filter(_.user_id % 7 != 0)
         val late = all.filter(_.user_id % 7 == 0)
         val maxTsMs = all.iterator.map(_.ts.getTime).max
@@ -720,9 +727,7 @@ object StreamQueries {
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val evs: Array[Ev] = collectReplay(Tables.events(s, dir)
-          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
-          .as[Ev], "events replay slice")
+        val evs: Array[Ev] = evSlice(s, dir)
         val ms = MemoryStream[Ev]
         val q = withReplayPartitions(s) {
           StreamingOps.dedupWithinWatermark(ms.toDF(),
@@ -750,9 +755,7 @@ object StreamQueries {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val mgK = 4
-        val evs: Array[Ev] = collectReplay(Tables.events(s, dir)
-          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
-          .as[Ev], "events replay slice")
+        val evs: Array[Ev] = evSlice(s, dir)
           // the MG item is user_id: collapse 2/3 of rows onto sentinel
           // -7 so each event_type has one genuinely heavy item
           .map(e => if (e.user_id % 3 != 0) e.copy(user_id = -7L) else e)
