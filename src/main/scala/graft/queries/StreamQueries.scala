@@ -131,8 +131,17 @@ object StreamQueries {
     * deleted in each gate's own finally, as before. */
   private object ReplayShared {
     private val memos = scala.collection.mutable.HashMap.empty[String, Any]
-    def memo[T](key: String)(build: => T): T =
-      memos.synchronized(memos.getOrElseUpdate(key, build)).asInstanceOf[T]
+    // get/put, NOT getOrElseUpdate: a build that itself calls memo (a
+    // template built inside a composite memo) would nest an update into
+    // getOrElseUpdate's in-flight lookup on the same HashMap — the
+    // classic resize-under-default corruption. synchronized is
+    // reentrant, and each nested call completes its own put first.
+    def memo[T](key: String)(build: => T): T = memos.synchronized {
+      memos.get(key) match {
+        case Some(v) => v.asInstanceOf[T]
+        case None => val v = build; memos.update(key, v); v
+      }
+    }
 
     private lazy val templateRoot: java.nio.file.Path = {
       val r = java.nio.file.Paths.get(replayTmpDir("graft_tpl_"))
