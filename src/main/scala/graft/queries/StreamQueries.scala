@@ -209,6 +209,19 @@ object StreamQueries {
         .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
     }
 
+  /** The flat-tier seeded-store template q_stream_ingest and
+    * q_stream_ingest_remove share (same standing corpus, same frozen
+    * IvfCentroids quantizer): ONE definition so the memo key and the
+    * build can never drift apart between the two gates. */
+  private def flatIngestTemplate(s: SparkSession, dir: String,
+      standing: DataFrame): String =
+    ReplayShared.seededTemplate(s"ingest_flat:$dir") { d =>
+      val cells = graft.operators.SemDedup.probedIndex(
+        standing, "vec_id", "embedding", graft.operators.IvfCentroids.cells)
+      new graft.streaming.SemDedupIngest.Store(
+        s, d, "vec_id", "embedding").seed(standing, cells)
+    }
+
   /** Replay-harness size fence. Collecting the replay slice to the
     * driver is the inherent shape of memory-source replay — this file
     * is a VERIFICATION harness, not a data path: the operators under
@@ -930,13 +943,7 @@ object StreamQueries {
         // + frozen quantizer are deterministic, so the seed trees are
         // byte-identical every time); shared with q_stream_ingest_remove,
         // which replays the same fold before its takedown
-        val tpl = ReplayShared.seededTemplate(s"ingest_flat:$dir") { d =>
-          val cells = graft.operators.SemDedup.probedIndex(
-            standing, "vec_id", "embedding", cents)
-          new graft.streaming.SemDedupIngest.Store(
-            s, d, "vec_id", "embedding").seed(standing, cells)
-        }
-        val tmp = ReplayShared.storeCopy(tpl)
+        val tmp = ReplayShared.storeCopy(flatIngestTemplate(s, dir, standing))
         // the WHOLE stream body owns the tmp store's deletion: a failure
         // inside addData/processAllAvailable must not leak the RAM-backed
         // /dev/shm dirs across Verify/Bench runs (r15 ADVICE; the
@@ -1194,13 +1201,7 @@ object StreamQueries {
         val batch2 = rows.filter(_._1 % 10 == 9)
         val cents = graft.operators.IvfCentroids.cells
         // SAME template as q_stream_ingest (same corpus, same quantizer)
-        val tpl = ReplayShared.seededTemplate(s"ingest_flat:$dir") { d =>
-          val cells = graft.operators.SemDedup.probedIndex(
-            standing, "vec_id", "embedding", cents)
-          new graft.streaming.SemDedupIngest.Store(
-            s, d, "vec_id", "embedding").seed(standing, cells)
-        }
-        val tmp = ReplayShared.storeCopy(tpl)
+        val tmp = ReplayShared.storeCopy(flatIngestTemplate(s, dir, standing))
         val out =
           try {
             val store = new graft.streaming.SemDedupIngest.Store(
@@ -1300,52 +1301,56 @@ object StreamQueries {
         def messages(t: Throwable): Seq[String] =
           Option(t).toSeq.flatMap(x =>
             Option(x.getMessage).toSeq ++ messages(x.getCause))
+        val stale = SemDedup.quantizerStale(mOld, n)
+        if (stale) {
+          // phase 1: the stale stream dies loudly at its first batch
+          val centsOld = Similarity.hashCentroids(mOld.k, 64)
+          val tplStale = ReplayShared.seededTemplate(s"rebuild_stale:$dir") { d =>
+            new SemDedupIngest.Store(s, d, "vec_id", "embedding")
+              .seed(standing, SemDedup.probedIndex(
+                standing, "vec_id", "embedding", centsOld))
+          }
+          val tmpStale = ReplayShared.storeCopy(tplStale)
+          try {
+            val staleStore = new SemDedupIngest.Store(
+              s, tmpStale, "vec_id", "embedding")
+            val msS = MemoryStream[(Long, Array[Float])]
+            val qS = SemDedupIngest.dedupIngestStream(
+              msS.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+              threshold = 0.4, centsOld, staleStore,
+              manifest = Some(mOld)).start()
+            val killed =
+              try {
+                msS.addData(batch1.toIndexedSeq: _*)
+                try { qS.processAllAvailable(); None }
+                catch { case e: Exception => Some(e) }
+              } finally qS.stop()
+            require(killed.exists(e => messages(e).exists(m =>
+              m.contains("STALE") && m.contains("probedIndexRebuild"))),
+              "q_stream_rebuild: the staleness gate did not kill the " +
+                s"stale stream — got ${killed.map(messages)}")
+            require(staleStore.ingestedIds.count() == 0L,
+              "q_stream_rebuild: the refused batch landed in the stale store")
+          } finally cleanupCheckpoint(tmpStale)
+        }
+        // phase 2: rebuild whenever the sizing rule's k moved at all —
+        // the oracle ALWAYS codes at (n+127)//128, and inside the 2x
+        // band a moved-but-fresh k (e.g. n in (128, 256]: kOld 1,
+        // kNew 2) still diverges from the frozen set, so the rebuild
+        // is forced there (no kill — the gate correctly stays quiet
+        // inside the band; the fold just serves the current sizing).
+        // The index frame is lazy — it evaluates once, into the
+        // template seed below.
+        val kNew = SemDedup.cellsFor(n)
         val (cents2, m2, idx2) =
-          if (SemDedup.quantizerStale(mOld, n)) {
-            // phase 1: the stale stream dies loudly at its first batch
-            val centsOld = Similarity.hashCentroids(mOld.k, 64)
-            val tplStale = ReplayShared.seededTemplate(s"rebuild_stale:$dir") { d =>
-              new SemDedupIngest.Store(s, d, "vec_id", "embedding")
-                .seed(standing, SemDedup.probedIndex(
-                  standing, "vec_id", "embedding", centsOld))
-            }
-            val tmpStale = ReplayShared.storeCopy(tplStale)
-            try {
-              val staleStore = new SemDedupIngest.Store(
-                s, tmpStale, "vec_id", "embedding")
-              val msS = MemoryStream[(Long, Array[Float])]
-              val qS = SemDedupIngest.dedupIngestStream(
-                msS.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-                threshold = 0.4, centsOld, staleStore,
-                manifest = Some(mOld)).start()
-              val killed =
-                try {
-                  msS.addData(batch1.toIndexedSeq: _*)
-                  try { qS.processAllAvailable(); None }
-                  catch { case e: Exception => Some(e) }
-                } finally qS.stop()
-              require(killed.exists(e => messages(e).exists(m =>
-                m.contains("STALE") && m.contains("probedIndexRebuild"))),
-                "q_stream_rebuild: the staleness gate did not kill the " +
-                  s"stale stream — got ${killed.map(messages)}")
-              require(staleStore.ingestedIds.count() == 0L,
-                "q_stream_rebuild: the refused batch landed in the stale store")
-            } finally {
-              import scala.jdk.CollectionConverters._
-              java.nio.file.Files.walk(java.nio.file.Paths.get(tmpStale))
-                .iterator().asScala
-                .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-            }
-            // phase 2: the gated rebuild at the current size (lazy index
-            // frame — it evaluates once, into the template seed below)
+          if (kNew != mOld.k) {
             val (i2, c2, mNew) = SemDedup.probedIndexRebuild(
               standing, "vec_id", "embedding", mOld, n,
-              k => Similarity.hashCentroids(k, 64))
+              k => Similarity.hashCentroids(k, 64), force = !stale)
             (c2, mNew, i2)
           } else {
-            // in-band corpus (tiny SFs): the frozen quantizer IS the
-            // current sizing — the straight fold under it must match
-            // the oracle's replayed rule or the hash fails loudly
+            // the frozen quantizer IS the current sizing — the straight
+            // fold under it matches the oracle's replayed rule
             val c = Similarity.hashCentroids(mOld.k, 64)
             (c, mOld, SemDedup.probedIndex(standing, "vec_id", "embedding", c))
           }
@@ -1371,11 +1376,7 @@ object StreamQueries {
             store.ingested
               .select(col("vec_id"), col("cell").cast("long").as("cell"))
               .as[(Long, Long)].collect()
-          } finally {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
-              .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-          }
+          } finally cleanupCheckpoint(tmp)
         s.createDataset(out.toIndexedSeq).toDF("vec_id", "cell")
           .unionByName(s.range(1).select(
             lit(-1L).as("vec_id"), lit(m2.k.toLong).as("cell")))

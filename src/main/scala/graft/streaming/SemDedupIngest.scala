@@ -112,7 +112,13 @@ object SemDedupIngest {
       * (vacuum → foldGen, the in-stream compact) stay free; tryLock —
       * never blocks — because a queued mutation would execute against
       * a standing state it did not observe (the loud-refusal house
-      * style). JVM-scoped, matching the store's operating point (one
+      * style). Both ingest streams hold the token for their WHOLE
+      * epoch ([[withWriterLock]] around the foreachBatch body), so an
+      * ops-thread mutation landing BETWEEN an epoch's store calls —
+      * e.g. a compact() retiring the gen tree after the index write
+      * but before the emb write — is refused too; the legal scheduling
+      * window is between epochs, exactly what the refusal message
+      * names. JVM-scoped, matching the store's operating point (one
       * driver owns a stream's store; production swaps in a
       * transactional table). */
     private val writer = new java.util.concurrent.locks.ReentrantLock()
@@ -125,7 +131,10 @@ object SemDedupIngest {
             "with it")
       try body finally writer.unlock()
     }
-    /** Test seam: hold the writer token while `body` runs. */
+    /** Hold the writer token across `body` — the per-EPOCH scope the
+      * ingest streams wrap their foreachBatch bodies in (reentrant, so
+      * the epoch's own store calls nest freely); also the spec's seam
+      * for pinning the cross-thread refusal. */
     private[graft] def withWriterLock[T](body: => T): T =
       asWriter("withWriterLock")(body)
     private def seedEmbDir = s"$dir/seed${currentSeedGen}/emb"
@@ -133,6 +142,9 @@ object SemDedupIngest {
     private def embRoot(g: Long) = s"$dir/g$g/emb"
     private def idxRoot(g: Long) = s"$dir/g$g/index"
     private val tombRoot = s"$dir/tombstones"
+    // marker file inside a fold-output batch dir (underscore-prefixed →
+    // invisible to Spark's parquet listing); survives the carry copy
+    private val FoldMarker = "_graft_folded"
 
     /** Current generation: the max published marker (0 before any
       * [[compact]]). Marker creation is one atomic file create — the
@@ -303,11 +315,26 @@ object SemDedupIngest {
       * overwrite that exact path — Spark refuses ("Cannot overwrite a
       * path that is also being read from"), and every restart
       * redelivers the same epoch into the same error, a permanent
-      * wedge (the r16 ADVICE medium finding). Mid-history reuse still
-      * dies loudly first ([[guardOverwrite]]'s rule). */
+      * wedge (the r16 ADVICE medium finding). Two collisions are NOT
+      * redeliveries and die loudly instead of skipping: mid-history
+      * reuse ([[guardOverwrite]]'s rule), and a collision with a
+      * compaction FOLD OUTPUT (its `_graft_folded` marker) — a live
+      * stream's epoch can never equal a fold target (folds stay
+      * strictly below the epoch being processed), so that collision is
+      * a new stream reusing epoch ids, and a silent skip would drop
+      * its batch. The undetectable corner narrows to a RAW batch 0
+      * against a fresh checkpoint (see [[guardOverwrite]]). */
     private[graft] def alreadyCommitted(batchId: Long): Boolean = {
       guardOverwrite(batchId)
-      committedBatches.contains(batchId)
+      val committed = committedBatches.contains(batchId)
+      if (committed &&
+          fs.exists(new Path(s"${idxRoot(currentGen)}/batch=$batchId/$FoldMarker")))
+        throw new IllegalStateException(
+          s"batch=$batchId is a compaction fold output — a live stream's " +
+            "epoch never collides with one, so this is a new stream " +
+            "reusing epoch ids over a used store; run compact() past the " +
+            "committed ids, or keep the original checkpoint")
+      committed
     }
 
     private[graft] def writeBatchEmb(batchId: Long, emb: DataFrame): Unit =
@@ -365,6 +392,13 @@ object SemDedupIngest {
                         targetBytes: Long): Unit = {
       val tgt = ids.max
       val ng = g + 1
+      // a previously CRASHED fold/carry attempt may have left committed-
+      // looking dirs in the unpublished g+1 tree — invisible garbage
+      // now, but they would become visible committed batches the moment
+      // this fold publishes (duplicating every row they hold). The g+1
+      // root is unpublished by construction (currentGen == g), so the
+      // whole tree is clearable garbage.
+      fs.delete(new Path(s"$dir/g$ng"), true)
       def fold(root: Long => String): Unit = {
         val paths = ids.map(b => s"${root(g)}/batch=$b")
         val bytes = paths.map(p =>
@@ -379,6 +413,12 @@ object SemDedupIngest {
           else FileLayout.sizedPartitions(rows, bytes.toDouble / rows, targetBytes)
         df.repartition(parts).write.mode("overwrite")
           .parquet(s"${root(ng)}/batch=$tgt")
+        // mark the output as a FOLD product: a live stream's epoch can
+        // never collide with one (folds stay strictly below the epoch
+        // being processed), so a later write/skip at this id is a NEW
+        // stream reusing epoch ids — [[alreadyCommitted]] turns that
+        // into the loud epoch-reuse refusal instead of a silent skip
+        fs.create(new Path(s"${root(ng)}/batch=$tgt/$FoldMarker"), true).close()
       }
       fold(embRoot)
       fold(idxRoot)
@@ -386,7 +426,6 @@ object SemDedupIngest {
       for (b <- carried; root <- Seq(embRoot _, idxRoot _)) {
         val src = new Path(s"${root(g)}/batch=$b")
         val dst = new Path(s"${root(ng)}/batch=$b")
-        if (fs.exists(dst)) fs.delete(dst, true) // a crashed fold's retry
         org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
           false, spark.sparkContext.hadoopConfiguration)
       }
@@ -506,7 +545,7 @@ object SemDedupIngest {
                         forceHier: Boolean = false)
       : DataStreamWriter[Row] =
     batches.writeStream.foreachBatch { (batch: Dataset[Row], id: Long) =>
-      try {
+      try store.withWriterLock {
         if (compactEvery > 0) store.compact(id, minBatches = compactEvery)
         // fully-committed redelivery (crash between store commit and
         // offset commit): output is durable, fold deterministic — skip,
@@ -564,7 +603,7 @@ object SemDedupIngest {
                       compactEvery: Int = 0)
       : DataStreamWriter[Row] =
     batches.writeStream.foreachBatch { (batch: Dataset[Row], id: Long) =>
-      try {
+      try store.withWriterLock {
         if (compactEvery > 0) store.compact(id, minBatches = compactEvery)
         // same fully-committed-redelivery skip as [[dedupIngestStream]]
         if (!store.alreadyCommitted(id)) {

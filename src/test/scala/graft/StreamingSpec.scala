@@ -579,6 +579,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("fold outputs refuse epoch-id collisions; a crashed fold's leftovers never become visible") {
+    import spark.implicits._
+    import graft.streaming.SemDedupIngest
+    import graft.operators.SemDedup
+    val cents = graft.operators.Similarity.hashCentroids(4, 4)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val standing = Seq((100L, v(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val (cells, _) = SemDedup.probedIndexBuild(standing, "vec_id", "embedding", cents)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_foldid").toString
+    try {
+      val store = new SemDedupIngest.Store(spark, tmp, "vec_id", "embedding")
+      store.seed(standing, cells)
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id").as[Long].collect().toSet
+      val rows = Seq(1L -> v(0, 1, 0, 0), 2L -> v(0, 0, 1, 0), 3L -> v(0, 0, 0, 1))
+      rows.zipWithIndex.foreach { case ((id, vec), b) =>
+        val df = Seq((id, vec)).toDF("vec_id", "embedding")
+        store.writeBatchIndex(b.toLong, SemDedup.probedIndex(df, "vec_id", "embedding", cents))
+        store.writeBatchEmb(b.toLong, df)
+      }
+      // a CRASHED earlier fold left committed-looking dirs in the
+      // unpublished g1 tree — after a later fold publishes g1, they
+      // must NOT surface as committed batches (they would duplicate
+      // every row they hold)
+      val ghost = Seq((999L, v(1, 1, 1, 1))).toDF("vec_id", "embedding")
+      ghost.write.parquet(s"$tmp/g1/emb/batch=99")
+      ghost.select(col("vec_id"), lit(0).as("cell"), lit(1).as("rank"))
+        .write.parquet(s"$tmp/g1/index/batch=99")
+      assert(store.compact(upToExclusive = 3, minBatches = 2))
+      assert(store.currentGen == 1L)
+      assert(store.committedBatches == Seq(2L),
+        s"crashed-fold leftovers resurfaced: ${store.committedBatches}")
+      assert(ids(store.standingEmb) == Set(100L, 1L, 2L, 3L))
+      // the folded dir's id is NOT a skippable redelivery: a live
+      // stream's epoch never collides with a fold target, so a write
+      // attempt there is a NEW stream reusing epoch ids — loud refusal,
+      // never a silent batch drop
+      val e = intercept[IllegalStateException] { store.alreadyCommitted(2L) }
+      assert(e.getMessage.contains("fold output"), e.getMessage)
+      // a RAW committed max is still the redelivery-skip case
+      val df3 = Seq((4L, v(1, -1, 1, -1))).toDF("vec_id", "embedding")
+      store.writeBatchIndex(3L, SemDedup.probedIndex(df3, "vec_id", "embedding", cents))
+      store.writeBatchEmb(3L, df3)
+      assert(store.alreadyCommitted(3L))
+      graft.Caching.release()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("redelivery of a fully-committed epoch is skipped, not re-run into an overwrite-while-reading wedge") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
