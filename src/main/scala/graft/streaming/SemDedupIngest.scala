@@ -118,10 +118,117 @@ object SemDedupIngest {
       * e.g. a compact() retiring the gen tree after the index write
       * but before the emb write — is refused too; the legal scheduling
       * window is between epochs, exactly what the refusal message
-      * names. JVM-scoped, matching the store's operating point (one
-      * driver owns a stream's store; production swaps in a
-      * transactional table). */
+      * names. Two layers (r18 verdict task 4): the in-JVM
+      * [[ReentrantLock]] below refuses a second THREAD, and a
+      * `_writer_lock` file under the store dir refuses a second
+      * WRITER INSTANCE — which is how a second driver JVM mutating
+      * the same store dir dies loudly instead of racing the first
+      * (production swaps in a transactional table). The file is held
+      * for the outermost mutation's duration only (created on entry,
+      * deleted on exit — one tmpfs create+delete per epoch), carries
+      * the owner's `pid@host#instance` token, and goes stale when the
+      * owning pid is dead on the same host (instant — the crash-
+      * recovery path) or after [[StaleLockMs]] of heartbeat silence
+      * (cross-host); nested mutations inside a held epoch refresh the
+      * heartbeat instead of re-acquiring. */
     private val writer = new java.util.concurrent.locks.ReentrantLock()
+    private val writerLockPath = new Path(s"$dir/_writer_lock")
+    private val myHost =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown-host" }
+    private val writerToken =
+      s"${ProcessHandle.current().pid()}@$myHost#" +
+        java.util.UUID.randomUUID().toString.take(8)
+    /** Heartbeat refresh cadence for nested mutations inside a held
+      * epoch; [[StaleLockMs]] is the cross-host takeover horizon (the
+      * same-host horizon is pid liveness — instant). */
+    private[graft] val HeartbeatMs = 30000L
+    private[graft] val StaleLockMs = 600000L
+    // both guarded by `writer` — only ever touched while holding it
+    private var holdsProcessLock = false
+    private var lastHeartbeatMs = 0L
+
+    private def readLockToken(): String = {
+      val in = fs.open(writerLockPath)
+      try {
+        val buf = new Array[Byte](256)
+        val n = math.max(0, in.read(buf))
+        new String(buf, 0, n, "UTF-8").trim
+      } finally in.close()
+    }
+    /** A held lock is stale when its owner cannot still be mutating:
+      * dead pid on this host, or (unparseable / cross-host tokens)
+      * no heartbeat for [[StaleLockMs]]. */
+    private def lockIsStale(token: String, modMs: Long): Boolean = {
+      val at = token.indexOf('@'); val hash = token.indexOf('#')
+      val byAge = System.currentTimeMillis() - modMs > StaleLockMs
+      if (at <= 0 || hash <= at) byAge
+      else {
+        val host = token.substring(at + 1, hash)
+        token.substring(0, at).toLongOption match {
+          case Some(pid) if host == myHost =>
+            !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+          case _ => byAge
+        }
+      }
+    }
+    private def acquireProcessLock(what: String): Unit = {
+      var attempts = 0
+      while (!holdsProcessLock) {
+        try {
+          val out = fs.create(writerLockPath, false)
+          try out.write(writerToken.getBytes("UTF-8")) finally out.close()
+          lastHeartbeatMs = System.currentTimeMillis()
+          holdsProcessLock = true
+        } catch {
+          case e: java.io.IOException =>
+            attempts += 1
+            val held =
+              try Some((readLockToken(),
+                fs.getFileStatus(writerLockPath).getModificationTime))
+              catch { case _: java.io.IOException => None } // racer released
+            held match {
+              case Some((tok, _)) if tok == writerToken =>
+                // our own leftover (crashed acquire) — already ours
+                lastHeartbeatMs = System.currentTimeMillis()
+                holdsProcessLock = true
+              case Some((tok, mod)) if !lockIsStale(tok, mod) =>
+                throw new IllegalStateException(
+                  s"store single-writer discipline violated: $what on the " +
+                    s"store at $dir raced writer $tok (this writer: " +
+                    s"$writerToken) — a second writer instance (e.g. a " +
+                    "second driver JVM) must never mutate a live store; " +
+                    "stop the owning stream first. A crashed owner goes " +
+                    "stale automatically: dead pid on this host, or " +
+                    s"${StaleLockMs / 1000}s of heartbeat silence", e)
+              case Some((tok, _)) =>
+                org.slf4j.LoggerFactory
+                  .getLogger("graft.streaming.SemDedupIngest")
+                  .warn(s"breaking stale writer lock $tok on $dir " +
+                    s"(taken over by $writerToken)")
+                fs.delete(writerLockPath, false)
+              case None => () // released between create and stat — retry
+            }
+            if (!holdsProcessLock && attempts > 3)
+              throw new IllegalStateException(
+                s"store writer lock at $writerLockPath could not be " +
+                  s"acquired after $attempts attempts ($what)", e)
+        }
+      }
+    }
+    private def releaseProcessLock(): Unit = {
+      try fs.delete(writerLockPath, false)
+      catch { case _: java.io.IOException => () }
+      holdsProcessLock = false
+    }
+    private def heartbeatProcessLock(): Unit = {
+      val now = System.currentTimeMillis()
+      if (holdsProcessLock && now - lastHeartbeatMs >= HeartbeatMs) {
+        try { fs.setTimes(writerLockPath, now, -1); lastHeartbeatMs = now }
+        catch { case _: java.io.IOException => () }
+      }
+    }
+
     private def asWriter[T](what: String)(body: => T): T = {
       if (!writer.tryLock())
         throw new IllegalStateException(
@@ -129,7 +236,16 @@ object SemDedupIngest {
             "writer mid-mutation — schedule remove()/compact()/vacuum() " +
             "from the fold's thread (between epochs), never concurrently " +
             "with it")
-      try body finally writer.unlock()
+      val outermost = writer.getHoldCount == 1
+      val acquiredHere = outermost && !holdsProcessLock
+      try {
+        if (acquiredHere) acquireProcessLock(what)
+        else heartbeatProcessLock()
+        body
+      } finally {
+        if (acquiredHere && holdsProcessLock) releaseProcessLock()
+        writer.unlock()
+      }
     }
     /** Hold the writer token across `body` — the per-EPOCH scope the
       * ingest streams wrap their foreachBatch bodies in (reentrant, so
@@ -245,21 +361,26 @@ object SemDedupIngest {
         // the slow path is bounded but UNBOUNDED IN TIME if takedowns
         // are never vacuumed — nudge after it has run a while (the r16
         // what's-wrong #3: nothing surfaced the standing drag before)
-        slowCounts += 1
-        if (slowCounts % 8 == 0)
+        if (slowCounts.incrementAndGet() % 8 == 0)
           org.slf4j.LoggerFactory.getLogger("graft.streaming.SemDedupIngest")
             .warn(s"store at $dir has paid the tombstone anti-join count " +
-              s"$slowCounts times (${committedTombs.size} tombstone files " +
+              s"${slowCounts.get()} times (${committedTombs.size} tombstone files " +
               "outstanding) — run vacuum() to restore the metadata-only " +
               "standing count")
         standingEmb.count()
       } else {
-        slowCounts = 0
+        slowCounts.set(0)
         seedCount + genRead(embRoot, committedBatches).fold(0L)(_.count())
       }
-    private var slowCounts = 0
+    // standingCount is positioned as ops-thread-callable (the
+    // monitoring probe alongside a running fold), so its mutable
+    // state must be thread-safe: an atomic nudge counter, and the
+    // seed-count cache guarded by its own monitor (the footer count
+    // inside the lock is metadata-only — cheap enough to hold it).
+    private val slowCounts = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val seedCountLock = new Object
     private var seedCountCache: Option[(Long, Long)] = None
-    private def seedCount: Long = {
+    private def seedCount: Long = seedCountLock.synchronized {
       val sg = currentSeedGen
       seedCountCache match {
         case Some((g, n)) if g == sg => n

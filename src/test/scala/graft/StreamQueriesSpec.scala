@@ -266,4 +266,63 @@ class StreamQueriesSpec extends SparkSpec {
       graft.queries.StreamQueries.collectReplay(spark.range(11).map(_.toInt), "t", cap = 10))
     assert(e.getMessage.contains("replay harness"))
   }
+
+  test("ReplayShared memo keys are regeneration-fingerprinted: a rewritten sf dir yields a fresh key and a rebuild") {
+    import graft.queries.StreamQueries
+    val d = java.nio.file.Files.createTempDirectory("graft_sfkey").toString
+    val f = java.nio.file.Paths.get(d, "embeddings.parquet")
+    try {
+      java.nio.file.Files.write(f, "v1-bytes".getBytes("UTF-8"))
+      val k1 = StreamQueries.sfKey("spec_t", d)
+      assert(StreamQueries.ReplayShared.memo(k1)("built-1") == "built-1")
+      // unchanged dir → same key → memo HIT (the build thunk is ignored)
+      assert(StreamQueries.ReplayShared.memo(
+        StreamQueries.sfKey("spec_t", d))("built-2") == "built-1")
+      // "regenerated" dir (driver rewrote the parquet in place, length
+      // changed) → the key itself changes, so the memo REBUILDS — the
+      // r18 finding: a path-only key would serve the stale slice here
+      java.nio.file.Files.write(f, "v2-longer-bytes".getBytes("UTF-8"))
+      val k2 = StreamQueries.sfKey("spec_t", d)
+      assert(k2 != k1, "sfToken must change when the dir's content does")
+      assert(StreamQueries.ReplayShared.memo(k2)("built-2") == "built-2")
+    } finally {
+      java.nio.file.Files.deleteIfExists(f)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(d))
+    }
+  }
+
+  test("seeded-template keys carry the quantizer content token, not just the sf dir") {
+    import graft.queries.StreamQueries
+    import graft.operators.Similarity
+    // a different k or different centroid floats → a different token →
+    // a different template (the r18 ADVICE finding: the template memos
+    // used to ignore their quantizer/manifest arguments entirely)
+    val t44 = StreamQueries.centsToken(Similarity.hashCentroids(4, 4))
+    assert(t44 != StreamQueries.centsToken(Similarity.hashCentroids(8, 4)))
+    assert(t44 != StreamQueries.centsToken(Similarity.hashCentroids(4, 8)))
+    assert(t44 != StreamQueries.centsToken(
+      Similarity.hashCentroids(4, 4, tag = "other")))
+    // deterministic: the same frozen quantizer always tokens the same
+    assert(t44 == StreamQueries.centsToken(Similarity.hashCentroids(4, 4)))
+    assert(t44.startsWith("4x4#"))
+  }
+
+  test("ReplayShared.storeCopy cleans up the partial destination on a mid-copy failure") {
+    import scala.jdk.CollectionConverters._
+    val base = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm)) shm
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    }
+    def storeDirs() = java.nio.file.Files.list(base).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("graft_store_")).toSet
+    val before = storeDirs()
+    // a template that cannot be walked fails the copy immediately —
+    // the failure path must delete the already-created dst, not leak
+    // a tmpfs dir per failed invocation (the r18 ADVICE finding)
+    intercept[Exception](graft.queries.StreamQueries.ReplayShared
+      .storeCopy(base.resolve("graft_no_such_template").toString))
+    assert(storeDirs() == before,
+      "a failed storeCopy leaked its partial destination dir")
+  }
 }

@@ -719,6 +719,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("store cross-process writer guard: a second writer instance is refused while held; a dead-owner lock is broken") {
+    import spark.implicits._
+    import graft.streaming.SemDedupIngest
+    import graft.operators.SemDedup
+    val cents = graft.operators.Similarity.hashCentroids(4, 4)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val standing = Seq((100L, v(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val (cells, _) = SemDedup.probedIndexBuild(standing, "vec_id", "embedding", cents)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xproc").toString
+    try {
+      val a = new SemDedupIngest.Store(spark, tmp, "vec_id", "embedding")
+      a.seed(standing, cells)
+      // the lock file is held only for the mutation's duration —
+      // nothing outstanding after seed() returns
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tmp, "_writer_lock")))
+      // a SECOND writer instance on the same dir (the in-JVM stand-in
+      // for a second driver JVM: its own ReentrantLock, its own token,
+      // same live pid) must die loudly while A's epoch is in flight
+      val b = new SemDedupIngest.Store(spark, tmp, "vec_id", "embedding")
+      a.withWriterLock {
+        val err = intercept[IllegalStateException](
+          b.remove(Seq(100L).toDF("vec_id")))
+        assert(err.getMessage.contains("single-writer")
+          && err.getMessage.contains("second writer instance"), err.getMessage)
+      }
+      assert(a.standingEmb.count() == 1L, "the refused remove landed")
+      // sequential handoff is legal: after A releases, B mutates freely
+      b.remove(Seq(100L).toDF("vec_id"))
+      assert(b.standingEmb.count() == 0L)
+      // a lock left by a CRASHED owner — dead pid on this host, mtime
+      // fresh — is stale by liveness and must be broken + taken over,
+      // not wedge the store forever
+      val host = java.net.InetAddress.getLocalHost.getHostName
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "_writer_lock"),
+        s"999999999@$host#dead".getBytes("UTF-8"))
+      assert(b.vacuum(upToExclusive = 1))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tmp, "_writer_lock")),
+        "the broken stale lock must be released after the takeover mutation")
+      graft.Caching.release()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("hier-tier streaming fold: batch-straddling near-dup drops; stream ≡ one-shot dedupIngestHier (full coarse fan-out ≡ flat)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
