@@ -139,7 +139,28 @@ object StreamQueries {
     def memo[T](key: String)(build: => T): T = memos.synchronized {
       memos.get(key) match {
         case Some(v) => v.asInstanceOf[T]
-        case None => val v = build; memos.update(key, v); v
+        case None =>
+          // a fingerprinted key ([[sfKey]]: `tag:dir@token…`) misses
+          // when the sf dir regenerated — evict the PREVIOUS
+          // generation's entries under the same tag:dir (and delete
+          // evicted template trees) so a session spanning several
+          // regenerations can't grow heap and /dev/shm monotonically;
+          // within one generation each tag:dir has exactly one live
+          // variant, so prefix eviction never drops a usable entry
+          val at = key.indexOf('@')
+          if (at > 0) {
+            val prefix = key.substring(0, at + 1)
+            val stale = memos.keysIterator
+              .filter(k => k.startsWith(prefix) && k != key).toList
+            stale.foreach { k =>
+              (memos.remove(k), k.startsWith("tpl:")) match {
+                case (Some(d: String), true) =>
+                  try cleanupCheckpoint(d) catch { case _: Throwable => () }
+                case _ => ()
+              }
+            }
+          }
+          val v = build; memos.update(key, v); v
       }
     }
 
@@ -235,6 +256,18 @@ object StreamQueries {
     }
     val dim = cents.headOption.map(_._2.length).getOrElse(0)
     s"${cents.length}x$dim#${java.lang.Long.toHexString(h)}"
+  }
+
+  /** The semantic-tier ingest gates' shared survivor read: the
+    * store's admitted (id, rank-1 cell) set through the loud
+    * [[collectReplay]] fence — ONE definition so the four gates that
+    * emit this shape can never drift apart. */
+  private def survivorCells(s: SparkSession,
+      store: graft.streaming.SemDedupIngest.Store): Array[(Long, Long)] = {
+    import s.implicits._
+    collectReplay(store.ingested
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .as[(Long, Long)], "ingest gate survivor read")
   }
 
   /** The four ingest gates' shared replay slice: embeddings %10>=8 as
@@ -1024,9 +1057,7 @@ object StreamQueries {
               ms.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
               ms.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
             } finally q.stop()
-            collectReplay(store.ingested
-              .select(col("vec_id"), col("cell").cast("long").as("cell"))
-              .as[(Long, Long)], "ingest gate survivor read")
+            survivorCells(s, store)
           } finally {
             import scala.jdk.CollectionConverters._
             java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
@@ -1112,9 +1143,7 @@ object StreamQueries {
               ms.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
               ms.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
             } finally q.stop()
-            collectReplay(store.ingested
-              .select(col("vec_id"), col("cell").cast("long").as("cell"))
-              .as[(Long, Long)], "ingest gate survivor read")
+            survivorCells(s, store)
           } finally {
             import scala.jdk.CollectionConverters._
             java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
@@ -1284,9 +1313,7 @@ object StreamQueries {
               store.vacuum(upToExclusive = 1)
               ms.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
             } finally q.stop()
-            collectReplay(store.ingested
-              .select(col("vec_id"), col("cell").cast("long").as("cell"))
-              .as[(Long, Long)], "ingest gate survivor read")
+            survivorCells(s, store)
           } finally {
             import scala.jdk.CollectionConverters._
             java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
@@ -1442,9 +1469,7 @@ object StreamQueries {
               ms.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
               ms.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
             } finally q.stop()
-            collectReplay(store.ingested
-              .select(col("vec_id"), col("cell").cast("long").as("cell"))
-              .as[(Long, Long)], "ingest gate survivor read")
+            survivorCells(s, store)
           } finally cleanupCheckpoint(tmp)
         s.createDataset(out.toIndexedSeq).toDF("vec_id", "cell")
           .unionByName(s.range(1).select(

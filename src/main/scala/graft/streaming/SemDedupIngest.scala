@@ -53,6 +53,15 @@ import graft.operators.{Dedup, FileLayout, SemDedup}
   */
 object SemDedupIngest {
 
+  /** Shared daemon scheduler for writer-lock heartbeats: one thread
+    * serves every [[Store]] in the JVM (a touch is a microsecond
+    * mtime update, scheduled only while a mutation holds the lock). */
+  private lazy val lockHeartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-store-lock-heartbeat")
+      t.setDaemon(true); t
+    })
+
   /** Standing state of a streaming ingest: embeddings and index rows
     * (probed cells on the semantic tiers, SRP codes on the SRP tier —
     * `indexCols` declares the index schema beside the id) as parquet
@@ -129,8 +138,9 @@ object SemDedupIngest {
       * the owner's `pid@host#instance` token, and goes stale when the
       * owning pid is dead on the same host (instant — the crash-
       * recovery path) or after [[StaleLockMs]] of heartbeat silence
-      * (cross-host); nested mutations inside a held epoch refresh the
-      * heartbeat instead of re-acquiring. */
+      * (cross-host, and the recycled-pid backstop on the same host);
+      * a daemon-scheduled touch keeps the heartbeat live for the
+      * whole held mutation, however long its driver-side jobs run. */
     private val writer = new java.util.concurrent.locks.ReentrantLock()
     private val writerLockPath = new Path(s"$dir/_writer_lock")
     private val myHost =
@@ -139,14 +149,14 @@ object SemDedupIngest {
     private val writerToken =
       s"${ProcessHandle.current().pid()}@$myHost#" +
         java.util.UUID.randomUUID().toString.take(8)
-    /** Heartbeat refresh cadence for nested mutations inside a held
-      * epoch; [[StaleLockMs]] is the cross-host takeover horizon (the
-      * same-host horizon is pid liveness — instant). */
-    private[graft] val HeartbeatMs = 30000L
+    /** Heartbeat touch cadence (a daemon-scheduled mtime refresh while
+      * a mutation holds the lock — var so specs can shrink it);
+      * [[StaleLockMs]] is the heartbeat-silence takeover horizon. */
+    private[graft] var heartbeatMs = 30000L
     private[graft] val StaleLockMs = 600000L
-    // both guarded by `writer` — only ever touched while holding it
+    // guarded by `writer` — only ever touched while holding it
     private var holdsProcessLock = false
-    private var lastHeartbeatMs = 0L
+    private var heartbeatTask: Option[java.util.concurrent.ScheduledFuture[_]] = None
 
     private def readLockToken(): String = {
       val in = fs.open(writerLockPath)
@@ -157,8 +167,10 @@ object SemDedupIngest {
       } finally in.close()
     }
     /** A held lock is stale when its owner cannot still be mutating:
-      * dead pid on this host, or (unparseable / cross-host tokens)
-      * no heartbeat for [[StaleLockMs]]. */
+      * same-host tokens when the pid is dead OR the heartbeat went
+      * silent (pid liveness alone would wedge forever on a RECYCLED
+      * pid — an unrelated long-lived process adopting the number);
+      * cross-host / unparseable tokens by heartbeat silence alone. */
     private def lockIsStale(token: String, modMs: Long): Boolean = {
       val at = token.indexOf('@'); val hash = token.indexOf('#')
       val byAge = System.currentTimeMillis() - modMs > StaleLockMs
@@ -167,66 +179,111 @@ object SemDedupIngest {
         val host = token.substring(at + 1, hash)
         token.substring(0, at).toLongOption match {
           case Some(pid) if host == myHost =>
-            !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+            !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false) || byAge
           case _ => byAge
         }
       }
     }
-    private def acquireProcessLock(what: String): Unit = {
-      var attempts = 0
-      while (!holdsProcessLock) {
+    /** One atomic create-with-token attempt: true = ours, false = held
+      * by someone. Local paths use NIO CREATE_NEW (O_EXCL — Hadoop's
+      * RawLocalFileSystem create(f, false) is a check-then-act
+      * exists()+open, NOT atomic, which is the exact race this lock
+      * exists to refuse); other filesystems rely on their atomic
+      * create-no-overwrite (HDFS-class). A create that succeeded but
+      * failed to WRITE deletes its own partial file before rethrowing,
+      * so an empty-token leftover can never wedge future writers. */
+    private def tryCreateLock(): Boolean =
+      if (fs.getScheme == "file") {
+        val p = java.nio.file.Paths.get(writerLockPath.toUri.getPath)
+        try {
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, writerToken.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case e: java.io.IOException =>
+            // CREATE_NEW guarantees a pre-existing file throws FAE
+            // before any write, so a non-FAE failure means any file at
+            // the path is our partial — remove it
+            try java.nio.file.Files.deleteIfExists(p)
+            catch { case c: Throwable => e.addSuppressed(c) }
+            throw e
+        }
+      } else {
         try {
           val out = fs.create(writerLockPath, false)
           try out.write(writerToken.getBytes("UTF-8")) finally out.close()
-          lastHeartbeatMs = System.currentTimeMillis()
-          holdsProcessLock = true
+          true
         } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
           case e: java.io.IOException =>
-            attempts += 1
-            val held =
-              try Some((readLockToken(),
-                fs.getFileStatus(writerLockPath).getModificationTime))
-              catch { case _: java.io.IOException => None } // racer released
-            held match {
-              case Some((tok, _)) if tok == writerToken =>
-                // our own leftover (crashed acquire) — already ours
-                lastHeartbeatMs = System.currentTimeMillis()
-                holdsProcessLock = true
-              case Some((tok, mod)) if !lockIsStale(tok, mod) =>
-                throw new IllegalStateException(
-                  s"store single-writer discipline violated: $what on the " +
-                    s"store at $dir raced writer $tok (this writer: " +
-                    s"$writerToken) — a second writer instance (e.g. a " +
-                    "second driver JVM) must never mutate a live store; " +
-                    "stop the owning stream first. A crashed owner goes " +
-                    "stale automatically: dead pid on this host, or " +
-                    s"${StaleLockMs / 1000}s of heartbeat silence", e)
-              case Some((tok, _)) =>
-                org.slf4j.LoggerFactory
-                  .getLogger("graft.streaming.SemDedupIngest")
-                  .warn(s"breaking stale writer lock $tok on $dir " +
-                    s"(taken over by $writerToken)")
-                fs.delete(writerLockPath, false)
-              case None => () // released between create and stat — retry
-            }
-            if (!holdsProcessLock && attempts > 3)
-              throw new IllegalStateException(
-                s"store writer lock at $writerLockPath could not be " +
-                  s"acquired after $attempts attempts ($what)", e)
+            // ambiguous on generic filesystems: only clean up a file we
+            // can positively identify as our own partial write
+            try {
+              if (fs.exists(writerLockPath)) {
+                val tok = readLockToken()
+                if (tok.isEmpty || tok == writerToken)
+                  fs.delete(writerLockPath, false)
+              }
+            } catch { case c: Throwable => e.addSuppressed(c) }
+            throw e
         }
       }
+    private def acquireProcessLock(what: String): Unit = {
+      var attempts = 0
+      while (!holdsProcessLock) {
+        if (tryCreateLock()) holdsProcessLock = true
+        else {
+          attempts += 1
+          val held =
+            try Some((readLockToken(),
+              fs.getFileStatus(writerLockPath).getModificationTime))
+            catch { case _: java.io.IOException => None } // racer released
+          held match {
+            case Some((tok, _)) if tok == writerToken =>
+              // our own leftover (a release whose delete failed)
+              holdsProcessLock = true
+            case Some((tok, mod)) if !lockIsStale(tok, mod) =>
+              throw new IllegalStateException(
+                s"store single-writer discipline violated: $what on the " +
+                  s"store at $dir raced writer $tok (this writer: " +
+                  s"$writerToken) — a second writer instance (e.g. a " +
+                  "second driver JVM) must never mutate a live store; " +
+                  "stop the owning stream first. A crashed owner goes " +
+                  "stale automatically: dead pid on this host, or " +
+                  s"${StaleLockMs / 1000}s of heartbeat silence")
+            case Some((tok, _)) =>
+              org.slf4j.LoggerFactory
+                .getLogger("graft.streaming.SemDedupIngest")
+                .warn(s"breaking stale writer lock $tok on $dir " +
+                  s"(taken over by $writerToken)")
+              fs.delete(writerLockPath, false)
+            case None => () // released between create and stat — retry
+          }
+          if (!holdsProcessLock && attempts > 3)
+            throw new IllegalStateException(
+              s"store writer lock at $writerLockPath could not be " +
+                s"acquired after $attempts attempts ($what)")
+        }
+      }
+      // keep the lock visibly alive for the WHOLE mutation, including
+      // one long driver-side job with no intervening store calls (a
+      // large vacuum's seed rewrite): a fixed-rate daemon touch, not
+      // an on-next-call refresh — without it a cross-host peer would
+      // see StaleLockMs of silence mid-mutation and break a LIVE lock
+      val task = lockHeartbeats.scheduleAtFixedRate(() => {
+        try fs.setTimes(writerLockPath, System.currentTimeMillis(), -1)
+        catch { case _: Throwable => () }
+      }, heartbeatMs, heartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      heartbeatTask = Some(task)
     }
     private def releaseProcessLock(): Unit = {
+      heartbeatTask.foreach(_.cancel(false)); heartbeatTask = None
       try fs.delete(writerLockPath, false)
       catch { case _: java.io.IOException => () }
       holdsProcessLock = false
-    }
-    private def heartbeatProcessLock(): Unit = {
-      val now = System.currentTimeMillis()
-      if (holdsProcessLock && now - lastHeartbeatMs >= HeartbeatMs) {
-        try { fs.setTimes(writerLockPath, now, -1); lastHeartbeatMs = now }
-        catch { case _: java.io.IOException => () }
-      }
     }
 
     private def asWriter[T](what: String)(body: => T): T = {
@@ -240,7 +297,6 @@ object SemDedupIngest {
       val acquiredHere = outermost && !holdsProcessLock
       try {
         if (acquiredHere) acquireProcessLock(what)
-        else heartbeatProcessLock()
         body
       } finally {
         if (acquiredHere && holdsProcessLock) releaseProcessLock()

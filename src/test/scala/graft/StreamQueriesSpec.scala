@@ -307,6 +307,43 @@ class StreamQueriesSpec extends SparkSpec {
     assert(t44.startsWith("4x4#"))
   }
 
+  test("a regenerated dir evicts the previous generation's memo entries and deletes its template tree") {
+    import graft.queries.StreamQueries
+    val d = java.nio.file.Files.createTempDirectory("graft_evict").toString
+    val f = java.nio.file.Paths.get(d, "embeddings.parquet")
+    try {
+      java.nio.file.Files.write(f, "gen1".getBytes("UTF-8"))
+      val k1 = StreamQueries.sfKey("spec_ev", d)
+      StreamQueries.ReplayShared.memo(k1)(Array.fill(4)(1L))
+      val t1 = StreamQueries.ReplayShared.seededTemplate(
+        StreamQueries.sfKey("spec_ev_tpl", d)) { dir =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "seed.bin"), "x".getBytes("UTF-8"))
+      }
+      assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(t1)))
+      // regeneration: both tags' next lookups miss under new keys and
+      // must evict the stranded generation — the slice from the heap,
+      // the template from /dev/shm (the r19 review finding: without
+      // eviction a long-lived session grows both monotonically)
+      java.nio.file.Files.write(f, "gen2-longer".getBytes("UTF-8"))
+      val k2 = StreamQueries.sfKey("spec_ev", d)
+      assert(k2 != k1)
+      StreamQueries.ReplayShared.memo(k2)(Array.fill(4)(2L))
+      val t2 = StreamQueries.ReplayShared.seededTemplate(
+        StreamQueries.sfKey("spec_ev_tpl", d)) { dir =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "seed.bin"), "y".getBytes("UTF-8"))
+      }
+      assert(t2 != t1)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t1)),
+        "the stranded template generation must be deleted on eviction")
+      assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(t2)))
+    } finally {
+      java.nio.file.Files.deleteIfExists(f)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(d))
+    }
+  }
+
   test("ReplayShared.storeCopy cleans up the partial destination on a mid-copy failure") {
     import scala.jdk.CollectionConverters._
     val base = {

@@ -760,6 +760,29 @@ class StreamingSpec extends SparkSpec {
       assert(!java.nio.file.Files.exists(
         java.nio.file.Paths.get(tmp, "_writer_lock")),
         "the broken stale lock must be released after the takeover mutation")
+      // a RECYCLED pid (alive, but an unrelated process) must not wedge
+      // the store forever: same-host staleness falls back to heartbeat
+      // age — an ALIVE-pid token whose mtime went silent past
+      // StaleLockMs is broken too
+      val lockP = java.nio.file.Paths.get(tmp, "_writer_lock")
+      java.nio.file.Files.write(lockP,
+        s"${ProcessHandle.current().pid()}@$host#recycled".getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(lockP,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - b.StaleLockMs - 60000L))
+      b.remove(Seq(999L).toDF("vec_id")) // takes over the silent lock
+      assert(!java.nio.file.Files.exists(lockP))
+      // the heartbeat keeps a HELD lock's mtime alive for the whole
+      // mutation, even with no intervening store calls — so a live
+      // long mutation can never be mistaken for the silent case above
+      b.heartbeatMs = 50L
+      b.withWriterLock {
+        val t0 = java.nio.file.Files.getLastModifiedTime(lockP).toMillis
+        Thread.sleep(400)
+        val t1 = java.nio.file.Files.getLastModifiedTime(lockP).toMillis
+        assert(t1 > t0, s"heartbeat did not touch the held lock ($t0 → $t1)")
+      }
+      assert(!java.nio.file.Files.exists(lockP))
       graft.Caching.release()
     } finally {
       import scala.jdk.CollectionConverters._
