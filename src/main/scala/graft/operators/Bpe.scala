@@ -160,8 +160,10 @@ object Bpe {
     * machinery. Batched-BPE is therefore a DIFFERENT training
     * definition (a separate operator with its own frozen artifact and
     * oracle, if ever needed), not an optimization of this one; and the
-    * serial cost is already dictionary-bounded, not corpus-bounded —
-    * the 1-row collect per round is the latency floor, 2 stages/round.
+    * serial cost is dictionary-bounded, not corpus-bounded — since r19
+    * the whole serial phase runs inside ONE single-partition task (see
+    * the inline note), so its floor is the loop itself, not 96 × Spark
+    * job latency.
     *
     * @return (rank, left_code, right_code, merged_code, cnt) — one row
     *         per learned merge, ranks 0-based, codes as BIGINT
@@ -183,7 +185,7 @@ object Bpe {
     // rounds × 4 stages each, per-task scheduling overhead on a
     // 32-partition frame dominates the actual aggregation by 10×+
     // (measured 17.7 s → 5.6 s on the frozen table's corpus).
-    var words = docs
+    val words = docs
       .select(explode(TextFns.bpeTokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .coalesce(dictPartitions)
@@ -203,34 +205,67 @@ object Bpe {
       "BPE training corpus contains supplementary-plane, lone-surrogate " +
         "or private-use-area chars — the single-char symbol encoding " +
         "cannot represent them")
-    val merges = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
-    var i = 0
-    var done = false
-    while (i < numMerges && !done) {
-      // one fused aggregation per round ([[graft.functions.SketchAggs
-      // .PairArgmaxAgg]]): pair counting AND argmax in a single buffer,
-      // 2 stages — partial maps over the dictionary partitions, one
-      // single-partition merge — instead of the 3-stage declarative
-      // explode→groupBy(l,r)→min_by chain whose per-round scheduling
-      // latency dominated at 96 rounds (measured ~3× end to end)
-      val best = words
-        .agg(graft.functions.SketchAggs.pair_argmax(col("w"), col("n")).as("b"))
-        .select(col("b.l_code"), col("b.r_code"), col("b.cnt"))
-        .collect()
-      if (best.isEmpty || best(0).isNullAt(0)) done = true
-      else {
-        val (lc, rc, cnt) = (best(0).getLong(0), best(0).getLong(1), best(0).getLong(2))
-        val m = (0xE000 + i).toChar
-        merges += ((i.toLong, lc, rc, (0xE000 + i).toLong, cnt))
-        words = words
-          .select(replace(col("w"),
-            lit(s"${lc.toInt.toChar}${rc.toInt.toChar}"), lit(m.toString)).as("w"),
-            col("n"))
-          .localCheckpoint(false)
-        i += 1
+    // ALL rounds run inside ONE single-partition task (r19 optimization):
+    // the per-round work over a vocabulary-bounded dictionary is sub-ms,
+    // so the old one-Spark-job-per-round loop (fused PairArgmaxAgg +
+    // 1-row collect + checkpointed replace per round) paid 96 × job
+    // scheduling/planning latency for microseconds of aggregation —
+    // measured ~42 ms/round, ~4.1 s of the steady bench, against ~25 ms
+    // for the whole serial loop in-task. The corpus-proportional pass
+    // (explode + count above) keeps full parallelism; the serial merge
+    // phase moves to where the dictionary rows are (one task, one job —
+    // never a driver collect of the dictionary), exactly the
+    // decision-pass/payload-pass split of guide §8. Round semantics are
+    // bit-identical to the old PairArgmaxAgg loop: overlapping UTF-16
+    // code-unit pair counts weighted by n, argmax by (cnt desc, packed
+    // (l,r) asc), Java String.replace (= Spark replace = DuckDB
+    // replace: leftmost-first, non-overlapping) — BpeSpec pins this
+    // against its independent sequential reference trainer and the
+    // frozen BpeMerges table, and q_bpe_train's DuckDB oracle replays
+    // all 96 rounds.
+    val nm = numMerges
+    words.select(col("w"), col("n")).as[(String, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val ws = scala.collection.mutable.ArrayBuffer[String]()
+        val ns = scala.collection.mutable.ArrayBuffer[Long]()
+        it.foreach { case (w, n) => ws += w; ns += n }
+        val cur = ws.toArray
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+        var i = 0
+        var done = false
+        while (i < nm && !done) {
+          val counts = scala.collection.mutable.LongMap.empty[Long]
+          var k = 0
+          while (k < cur.length) {
+            val s = cur(k); val n = ns(k)
+            var j = 0
+            while (j < s.length - 1) {
+              val key = (s.charAt(j).toLong << 32) | s.charAt(j + 1).toLong
+              counts.update(key, counts.getOrElse(key, 0L) + n)
+              j += 1
+            }
+            k += 1
+          }
+          if (counts.isEmpty) done = true
+          else {
+            var bestKey = 0L; var bestCnt = -1L
+            counts.foreachEntry { (kk, v) =>
+              if (v > bestCnt || (v == bestCnt && kk < bestKey)) { bestKey = kk; bestCnt = v }
+            }
+            val lc = bestKey >>> 32
+            val rc = bestKey & 0xFFFFFFFFL
+            out += ((i.toLong, lc, rc, (0xE000 + i).toLong, bestCnt))
+            val pat = s"${lc.toInt.toChar}${rc.toInt.toChar}"
+            val rep = (0xE000 + i).toChar.toString
+            k = 0
+            while (k < cur.length) { cur(k) = cur(k).replace(pat, rep); k += 1 }
+            i += 1
+          }
+        }
+        out.iterator
       }
-    }
-    merges.toSeq.toDF("rank", "left_code", "right_code", "merged_code", "cnt")
+      .toDF("rank", "left_code", "right_code", "merged_code", "cnt")
   }
 
   // ---- DuckDB oracle SQL generators ------------------------------------
