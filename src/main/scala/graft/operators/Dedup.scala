@@ -1063,7 +1063,16 @@ object Dedup {
     var round = 0
     var converged = e.isEmpty
     while (!converged && round < maxRounds) {
-      // large-star over both edge directions
+      // large-star over both edge directions. No intermediate distinct
+      // (r19): the small-star min-agg below is duplicate-INSENSITIVE
+      // (min over the same support set) and the per-round `.distinct()`
+      // at the bottom canonicalizes the emitted SET either way, so the
+      // old `large.distinct()` and the inner distinct inside the union
+      // were two full exchanges per round spent deduplicating rows the
+      // final distinct deduplicates again — dropping both leaves the
+      // per-round edge SET (and hence the round trajectory and the
+      // fixpoint) bit-identical, with 5 → 3 shuffles per round
+      // (plan evidence: plans/r19/q_star_clusters_{before,after}.txt).
       val nbrs = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mnv"))
@@ -1071,14 +1080,13 @@ object Dedup {
       val large = nbrs.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v")) // m < u < v: already canonical
-        .distinct()
       // small-star over edges keyed on their larger endpoint
       val down = large.select(col("v").as("u"), col("u").as("v")) // (larger, smaller)
       val minsS = down.groupBy(col("u")).agg(min(col("v")).as("m")) // m < u by construction
       val joined = down.join(minsS, Seq("u"))
       val small = joined.filter(col("v") =!= col("m"))
         .select(col("m").as("u"), col("v")) // m = min(N⁻) < v
-        .union(joined.select(col("m").as("u"), col("u").as("v")).distinct())
+        .union(joined.select(col("m").as("u"), col("u").as("v")))
         .distinct()
         .localCheckpoint(false)
       val diff = small.select(col("u"), col("v"), lit(1).as("_s"))
