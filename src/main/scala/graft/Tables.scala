@@ -52,4 +52,28 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Scale-adaptive fan-out for HEAVY per-row compute (tokenization,
+    * shingling, codec decode, vector kernels) that rides directly on a
+    * scan: the driver's tables are single-row-group parquet files, so a
+    * bare scan is ONE task and everything narrow above it runs on one
+    * core of local[32] (measured: the shingle pipeline halves with a
+    * spread, guide §6 scan-parallelism). On any real cluster the scan
+    * has ≥ cores splits and this is a NO-OP — the partition-count probe
+    * is what keeps it from becoming a local-only repartition tax at
+    * 100 TB (a round-robin of the full corpus before narrow work would
+    * be pure shuffle waste there, and the plan-audit narrow pins stay
+    * meaningful because the guard fires only under-parallel inputs).
+    * Only for CHEAP-to-move rows whose downstream per-row work
+    * dominates the move; never for wide relational scans (measured
+    * net-negative on TPC-H Q6). Streaming frames pass through (`.rdd`
+    * is illegal on them; micro-batch frames inside foreachBatch are
+    * batch frames and do get spread). */
+  def fanOut(df: DataFrame): DataFrame = {
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+  }
 }

@@ -62,7 +62,10 @@ object Dedup {
                         portable: Boolean = false): DataFrame = {
     require(numHashes <= 64, "at most 64 hashes")
     val base = if (portable) portableHash64(col("shingle")) else xxhash64(col("shingle"))
-    docs.select(col(idCol), TextFns.tokens(col(textCol)).as("_toks"))
+    // fanOut before tokenize — same single-row-group-scan rationale as
+    // [[hashedShingles]]
+    graft.Tables.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("_toks"))
       .select(col(idCol),
         explode(TextFns.wordShingles(col("_toks"), shingleN)).as("shingle"))
       .select(col(idCol), base.as("h"))
@@ -210,7 +213,10 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               portable: Boolean = false): DataFrame = {
     val base = if (portable) portableHash64(col("token")) else xxhash64(col("token"))
-    val sigs = docs.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
+    // fanOut before tokenize — same single-row-group-scan rationale as
+    // [[hashedShingles]]
+    val sigs = graft.Tables.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
       .select(col(idCol), base.as("h"))
       .groupBy(col(idCol))
       .agg(graft.functions.SketchAggs.simhash_agg(col("h")).as("simhash"))
@@ -579,7 +585,14 @@ object Dedup {
   private[graft] def hashedShingles(docs: DataFrame, idCol: String,
                                     textCol: String, shingleN: Int,
                                     outId: String = "id"): DataFrame =
-    docs.select(col(idCol).as(outId), TextFns.tokens(col(textCol)).as("_toks"))
+    // fanOut BEFORE tokenize (r19, guide §6): the driver tables are
+    // single-row-group files, so without the spread the whole
+    // tokenize+shingle+hash pipeline runs on the scan's one task;
+    // projecting (id, text) first keeps the spread shuffle to exactly
+    // the bytes the kernel needs (guide §2.3). No-op on multi-split
+    // inputs — see Tables.fanOut.
+    graft.Tables.fanOut(docs.select(col(idCol).as(outId), col(textCol).as("_txt")))
+      .select(col(outId), TextFns.tokens(col("_txt")).as("_toks"))
       .select(col(outId), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("_shs"))
       .select(col(outId), xxhash64(col("_shs")).as("shingle"))
       .distinct()
@@ -592,7 +605,10 @@ object Dedup {
   private[graft] def positionalGrams(docs: DataFrame, idCol: String,
                                      textCol: String, gramN: Int): DataFrame = {
     val toks = col("_toks")
-    docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
+    // fanOut before tokenize — same single-row-group-scan rationale as
+    // [[hashedShingles]]
+    graft.Tables.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("_txt")))
+      .select(col("id"), TextFns.tokens(col("_txt")).as("_toks"))
       .filter(size(toks) >= gramN)
       .select(col("id"), posexplode(transform(
           sequence(lit(1), size(toks) - (gramN - 1)),

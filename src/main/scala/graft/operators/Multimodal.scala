@@ -149,7 +149,7 @@ object Multimodal {
     requireIntegralId(df, idCol, "synthesizeMedia")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+    graft.Tables.fanOut(df.select(col(idCol).cast("long"))).as[Long].mapPartitions { ids =>
       ids.map { id =>
         if (id % 2 == 0) MediaRow(id, synthPng(id), "png")
         else MediaRow(id, synthWav(id), "wav")
@@ -260,7 +260,7 @@ object Multimodal {
     requireIntegralId(df, idCol, "synthesizeJpeg")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+    graft.Tables.fanOut(df.select(col(idCol).cast("long"))).as[Long].mapPartitions { ids =>
       ids.map { id => MediaRow(id, synthJpeg(id), "jpeg") }
     }
   }
@@ -481,7 +481,7 @@ object Multimodal {
     requireIntegralId(df, idCol, "synthesizeVideo")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+    graft.Tables.fanOut(df.select(col(idCol).cast("long"))).as[Long].mapPartitions { ids =>
       ids.map { id => MediaRow(id, synthAvi(id), "avi") }
     }
   }

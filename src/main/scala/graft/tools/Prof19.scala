@@ -62,6 +62,78 @@ object Prof19 {
       }
     }
 
+    if (which("edge")) {
+      // ---- edge build sub-steps ----
+      val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+      time("edge.scan_only")(li)
+      def sets = li.select(col("l_orderkey").as("bid"), col("l_partkey").as("item"))
+        .filter(col("bid").isNotNull)
+        .groupBy(col("bid")).agg(collect_set(col("item")).as("items"))
+      time("edge.sets_build")(sets)
+      val setsMat = sets.localCheckpoint(true)
+      time("edge.pairs_count_from_sets") {
+        import graft.functions.PairsGenerator.pairs
+        setsMat.select(pairs(col("items")).as(Seq("src", "dst")))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
+          .filter(col("weight") >= 2L)
+      }
+    }
+
+    if (which("ngram")) {
+      // ---- ngram-pairs kernel sub-steps ----
+      val docs = Tables.documents(spark, sfDir)
+      def sh = {
+        val m = classOf[graft.operators.Dedup.type] // anchor
+        graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, minJaccard = 0.5)
+      }
+      val toks = docs.select(col("doc_id").as("id"),
+        graft.functions.TextFns.tokens(col("text")).as("toks"))
+      time("ngram.tokens_only")(toks)
+      time("ngram.full_pairs")(sh)
+    }
+
+    if (which("par")) {
+      val docs = Tables.documents(spark, sfDir)
+      def shOf(d: DataFrame) = d.select(col("doc_id").as("id"),
+          graft.functions.TextFns.tokens(col("text")).as("_toks"))
+        .select(col("id"), explode(graft.functions.TextFns.wordShingles(col("_toks"), 3)).as("_shs"))
+        .select(col("id"), xxhash64(col("_shs")).as("shingle"))
+      time("par.shingles_asis")(shOf(docs))
+      time("par.shingles_repart32")(shOf(docs.repartition(32)))
+      val li = Tables.lineitem(spark, sfDir)
+      time("par.tpchq6_asis") {
+        li.filter(col("l_shipdate").between("1994-01-01", "1994-12-31") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(sum(col("l_extendedprice") * col("l_discount")))
+      }
+      time("par.tpchq6_repart") {
+        li.repartition(32)
+          .filter(col("l_shipdate").between("1994-01-01", "1994-12-31") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(sum(col("l_extendedprice") * col("l_discount")))
+      }
+    }
+
+    if (which("ngram2")) {
+      val docs = Tables.documents(spark, sfDir)
+      val sh = docs.select(col("doc_id").as("id"),
+          graft.functions.TextFns.tokens(col("text")).as("_toks"))
+        .select(col("id"), explode(graft.functions.TextFns.wordShingles(col("_toks"), 3)).as("_shs"))
+        .select(col("id"), xxhash64(col("_shs")).as("shingle"))
+      time("ngram2.shingles_nodistinct")(sh)
+      time("ngram2.shingles_distinct")(sh.distinct())
+      val filt = sh.distinct().localCheckpoint(true)
+      println(s"NGRAM rows distinct=${filt.count()}")
+      val pairsJ = filt.select(col("id").as("id1"), col("shingle"))
+        .join(filt.select(col("id").as("id2"), col("shingle")), Seq("shingle"))
+        .filter(col("id1") < col("id2"))
+      time("ngram2.selfjoin_paircount_from_mat") {
+        pairsJ.groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("common"))
+      }
+      println(s"NGRAM copair rows=${pairsJ.count()}")
+    }
+
     if (which("cc")) {
       // ---- CC/cluster family: pair generation vs closure ----
       val docs = Tables.documents(spark, sfDir)
