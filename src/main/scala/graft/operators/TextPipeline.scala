@@ -24,7 +24,10 @@ object TextPipeline {
   private[graft] def passages(docs: DataFrame, idCol: String, textCol: String,
                               passageTokens: Int): DataFrame = {
     require(passageTokens >= 1, s"passageTokens must be >= 1, got $passageTokens")
-    val toks = docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
+    // fanOut before tokenize (r19): the driver tables are single-split
+    // scans — see Tables.fanOut (no-op on multi-split inputs)
+    val toks = graft.Tables.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("_txt")))
+      .select(col("id"), TextFns.tokens(col("_txt")).as("_toks"))
     val lastIdx = expr(s"(size(_toks) - 1) div $passageTokens")
     toks.select(col("id"),
       posexplode(when(size(col("_toks")) > 0,
@@ -84,7 +87,8 @@ object TextPipeline {
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 13): DataFrame = {
     def grams(df: DataFrame, outId: String) =
-      df.select(col(idCol).as(outId), TextFns.tokens(col(textCol)).as("_toks"))
+      graft.Tables.fanOut(df.select(col(idCol).as(outId), col(textCol).as("_txt")))
+        .select(col(outId), TextFns.tokens(col("_txt")).as("_toks"))
         .select(col(outId), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("shingle"))
     val matched = graft.Caching.persistTracked(
       grams(train, "doc_id")
@@ -122,7 +126,8 @@ object TextPipeline {
     * (nested filter-count) would be O(len²) per doc instead.
     */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("_toks"))
+    val base = graft.Tables.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("_txt")))
+      .select(col("id"), TextFns.tokens(col("_txt")).as("_toks"))
     val tokCnt = base.select(col("id"), explode(col("_toks")).as("token"))
       .groupBy(col("id"), col("token")).agg(count(lit(1)).as("c"))
     val tokSig = tokCnt.groupBy(col("id")).agg(
@@ -337,7 +342,8 @@ object TextPipeline {
                                 shingleN: Int = 13,
                                 expectedItems: Long = 1000000L): DataFrame = {
     def grams(df: DataFrame, outId: String) =
-      df.select(col(idCol).as(outId), TextFns.tokens(col(textCol)).as("_toks"))
+      graft.Tables.fanOut(df.select(col(idCol).as(outId), col(textCol).as("_txt")))
+        .select(col(outId), TextFns.tokens(col("_txt")).as("_toks"))
         .select(col(outId), explode(TextFns.wordShingles(col("_toks"), shingleN)).as("shingle"))
     val tg = grams(train, "doc_id")
     val rg = grams(ref, "ref_id")

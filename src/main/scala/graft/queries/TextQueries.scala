@@ -32,7 +32,9 @@ object TextQueries {
                             dir: String): org.apache.spark.sql.DataFrame = {
     val terms = Seq("dup", "join", "vector")
     val docs = Tables.documents(s, dir)
-    val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+    // fanOut before tokenize (r19) — single-split scan, see Tables.fanOut
+    val toks = graft.Tables.fanOut(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
     val dl = toks.select(col("doc_id"), size(col("_toks")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val tf = toks.select(col("doc_id"), explode(col("_toks")).as("token"))
@@ -106,7 +108,8 @@ object TextQueries {
 
     // Corpus token frequencies (explode → agg).
     "q_token_freq" -> QueryDef(
-      (s, dir) => Tables.documents(s, dir)
+      (s, dir) => graft.Tables.fanOut(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs")),
@@ -129,7 +132,8 @@ object TextQueries {
     // punctuation actually exercises the run-splitting; the joined
     // token string makes any match divergence visible to the hash.
     "q_token_bpe" -> QueryDef(
-      (s, dir) => Tables.events(s, dir)
+      (s, dir) => graft.Tables.fanOut(
+          Tables.events(s, dir).select(col("event_id"), col("props")))
         .select(col("event_id"), TextFns.bpeTokens(col("props")).as("_t"))
         .select(col("event_id"),
           size(col("_t")).cast("long").as("n_bpe_tokens"),
@@ -146,7 +150,7 @@ object TextQueries {
         // PERF CONTRACT — same re-evaluation hazard applies to any
         // expression referenced by several output columns)
         val toks = col("_toks")
-        Tables.documents(s, dir)
+        graft.Tables.fanOut(Tables.documents(s, dir).select(col("doc_id"), col("text")))
           .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("_toks"))
           .select(
             col("doc_id"),
@@ -209,7 +213,7 @@ object TextQueries {
           TextFns.vocabHits(toks, TextFns.DeStop),
           TextFns.vocabHits(toks, TextFns.EsStop),
           TextFns.vocabHits(toks, TextFns.FrStop))
-        Tables.documents(s, dir)
+        graft.Tables.fanOut(Tables.documents(s, dir).select(col("doc_id"), col("text")))
           .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
           .select(
             col("doc_id"),
@@ -240,7 +244,8 @@ object TextQueries {
           TextFns.vocabHits(toks, TextFns.DeStop),
           TextFns.vocabHits(toks, TextFns.EsStop),
           TextFns.vocabHits(toks, TextFns.FrStop))
-        val cells = Tables.documents(s, dir)
+        val cells = graft.Tables.fanOut(
+            Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")))
           .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("_toks"))
           .select(col("lang"),
             when(en >= de && en >= es && en >= fr, "en")
@@ -281,7 +286,7 @@ object TextQueries {
         // materialized per the TextFns PERF CONTRACT; docs with < 2
         // tokens produce a null array, which explode drops
         val toks = col("_toks")
-        val bigrams = Tables.documents(s, dir)
+        val bigrams = graft.Tables.fanOut(Tables.documents(s, dir).select(col("text")))
           .select(TextFns.tokens(col("text")).as("_toks"))
           .select(explode(when(size(toks) >= 2,
             transform(sequence(lit(1), size(toks) - 1),
@@ -321,7 +326,8 @@ object TextQueries {
       (s, dir) => {
         val toks = col("_toks")
         val tokenized = graft.Caching.persistTracked(
-          Tables.documents(s, dir).select(TextFns.tokens(col("text")).as("_toks")))
+          graft.Tables.fanOut(Tables.documents(s, dir).select(col("text")))
+            .select(TextFns.tokens(col("text")).as("_toks")))
         val uni = tokenized.select(explode(toks).as("w"))
         val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("n"))
         val tot = uni.agg(count(lit(1)).as("n_total"))
@@ -376,7 +382,7 @@ object TextQueries {
       (s, dir) => {
         val toks = col("_toks")
         val docBigrams = graft.Caching.persistTracked(
-          Tables.documents(s, dir)
+          graft.Tables.fanOut(Tables.documents(s, dir).select(col("doc_id"), col("text")))
             .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
             .select(col("doc_id"), explode(when(size(toks) >= 2,
               transform(sequence(lit(1), size(toks) - 1),
@@ -426,7 +432,8 @@ object TextQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val n = docs.select(count(lit(1)).as("_n"))
-        docs.select(explode(TextFns.tokens(col("text"))).as("term"), col("doc_id"))
+        graft.Tables.fanOut(docs.select(col("doc_id"), col("text")))
+          .select(explode(TextFns.tokens(col("text"))).as("term"), col("doc_id"))
           .distinct()
           .groupBy(col("term"))
           .agg(count(lit(1)).as("df"),
@@ -464,8 +471,8 @@ object TextQueries {
     "q_tfidf" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val toks = docs.select(col("doc_id"),
-          explode(TextFns.tokens(col("text"))).as("term"))
+        val toks = graft.Tables.fanOut(docs.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
         // tf is persisted so the corpus is scanned+tokenized ONCE (the
         // naive groupBy+join formulation re-plans the whole tokenize
         // pipeline on both sides — no exchange reuse fires). df then
@@ -608,7 +615,7 @@ object TextQueries {
     // threshold is guaranteed into the candidate set.)
     "q_heavy_hitters" -> QueryDef(
       (s, dir) => {
-        val toks = Tables.documents(s, dir)
+        val toks = graft.Tables.fanOut(Tables.documents(s, dir).select(col("text")))
           .select(explode(TextFns.tokens(col("text"))).as("token"))
         val sk = toks
           .agg(graft.functions.FreqSketch.mg_candidates(col("token"), 32).as("sk"))
@@ -637,7 +644,8 @@ object TextQueries {
     // sketch path here too.
     "q_heavy_hitters_lang" -> QueryDef(
       (s, dir) => {
-        val toks = Tables.documents(s, dir)
+        val toks = graft.Tables.fanOut(
+            Tables.documents(s, dir).select(col("lang"), col("text")))
           .select(col("lang"), explode(TextFns.tokens(col("text"))).as("token"))
         val sk = toks.groupBy(col("lang"))
           .agg(graft.functions.FreqSketch.mg_candidates(col("token"), 32).as("sk"))

@@ -93,6 +93,20 @@ object Prof19 {
       time("ngram.full_pairs")(sh)
     }
 
+    // q:<name> — min-of-5 steady for one registered query (count() like
+    // Bench, released between runs)
+    which.filter(_.startsWith("q:")).map(_.stripPrefix("q:")).foreach { qn =>
+      val fn = graft.SparkEntry.queries(qn)
+      val ts = (1 to 5).map { _ =>
+        graft.Caching.release()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROF q:$qn%-32s min ${ts.min}%7.3f s  runs ${ts.map(t => f"$t%.3f").mkString(" ")}")
+      graft.Caching.release()
+    }
+
     if (which("par")) {
       val docs = Tables.documents(spark, sfDir)
       def shOf(d: DataFrame) = d.select(col("doc_id").as("id"),
