@@ -1010,13 +1010,27 @@ object Dedup {
     // on nid makes every round's neighbor join exchange-free on BOTH
     // sides (each round's output re-checkpoints already hashed on nid)
     // — the only shuffle left per round is the min-agg re-key to src
-    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
+    // LAZY pre-loop checkpoints (r19): both frames materialize inside
+    // round 1's single action (two independent jobs became zero — the
+    // partitioning contract below is a property of the checkpointed
+    // RDD either way); eager(true) paid two blocking job launches
+    // before the first round for nothing the loop could not absorb
+    // ONE pass over `edges` (r19): the old two-branch union referenced
+    // the caller's edge frame twice, and an UNMATERIALIZED expensive
+    // pair pipeline (q_dedup_clusters' shingle self-join) computed
+    // twice inside round 1's checkpoint job — explode emits both
+    // orientations map-side from a single scan instead (measured
+    // q_dedup_clusters 4.49 -> ~3.0 s min-of-5)
+    val sym = edges
+      .select(explode(array(
+        struct(col("id1").as("src"), col("id2").as("dst")),
+        struct(col("id2").as("src"), col("id1").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .repartition(col("dst"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = nodes.select(col(idCol).as("nid"), col(idCol).as("label"))
       .repartition(col("nid"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -1149,6 +1163,11 @@ object Dedup {
                             newNodes: DataFrame, idCol: String): DataFrame = {
     val base = labels.select(col(idCol).as("nid"), col("cluster_id").as("label"))
       .union(newNodes.select(col(idCol).as("nid"), col(idCol).as("label")))
+    // lazy checkpoint (r19): `contracted` is referenced by the super-node
+    // union (twice) and the CC run — uncheckpointed, the two
+    // batch-assignment joins re-ran per reference; the lazy checkpoint
+    // shares one materialization across all of them inside the first
+    // action (the CC loop's round-1 probe), no extra driver action
     val contracted = newEdges
       .join(base.select(col("nid").as("id1"), col("label").as("_l1")), Seq("id1"))
       .join(base.select(col("nid").as("id2"), col("label").as("_l2")), Seq("id2"))
@@ -1156,6 +1175,7 @@ object Dedup {
       .select(least(col("_l1"), col("_l2")).as("id1"),
         greatest(col("_l1"), col("_l2")).as("id2"))
       .distinct()
+      .localCheckpoint(false)
     val superNodes = contracted.select(col("id1").as("nid"))
       .union(contracted.select(col("id2").as("nid"))).distinct()
     val remap = connectedComponents(contracted, superNodes, "nid")

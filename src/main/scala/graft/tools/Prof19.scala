@@ -70,6 +70,11 @@ object Prof19 {
         .filter(col("bid").isNotNull)
         .groupBy(col("bid")).agg(collect_set(col("item")).as("items"))
       time("edge.sets_build")(sets)
+      time("edge.sets_build_fanout") {
+        graft.Tables.fanOut(li.select(col("l_orderkey").as("bid"), col("l_partkey").as("item")))
+          .filter(col("bid").isNotNull)
+          .groupBy(col("bid")).agg(collect_set(col("item")).as("items"))
+      }
       val setsMat = sets.localCheckpoint(true)
       time("edge.pairs_count_from_sets") {
         import graft.functions.PairsGenerator.pairs
