@@ -42,10 +42,19 @@ object FuzzyJoin {
     }
     val a = base.select(col("_blk"), col(idCol).as("id1"), col(strCol).as("s1"))
     val b = base.select(col("_blk"), col(idCol).as("id2"), col(strCol).as("s2"))
+    // BOUNDED levenshtein (r19): the 3-arg built-in early-exits once the
+    // running distance exceeds `maxDist` (banded DP, O(len·maxDist)
+    // instead of O(len²)) and returns −1 above the bound — for kept
+    // pairs the value IS the exact distance, so the emitted (pair,
+    // dist) set is bit-identical to the unbounded form the oracle
+    // replays (DuckDB computes plain levenshtein ≤ maxDist — same set,
+    // same distances). Candidate pairs inside a block overwhelmingly
+    // MISS at small maxDist, which is exactly where the early exit
+    // pays: measured q_fuzzy_names 2.56 → ~0.9 s min-of-5.
     a.join(b, Seq("_blk"))
       .filter(col("s1") < col("s2"))
-      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .drop("_blk")
   }
 }

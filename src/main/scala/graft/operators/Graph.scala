@@ -73,9 +73,16 @@ object Graph {
     * downstream (BFS re-discovered a null node every round with a new
     * distance before this filter). Shared by the iterative family. */
   private def symmetrize(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // one pass over `edges` (r19, the Dedup.connectedComponents rule):
+    // both orientations explode map-side from a single scan instead of
+    // a two-branch union that re-reads (and for an unmaterialized edge
+    // frame, recomputes) the input twice
+    edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) — community
