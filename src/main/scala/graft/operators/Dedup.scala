@@ -1038,11 +1038,16 @@ object Dedup {
         .select(col("src").as("nid"), col("label"))
       // lazy checkpoint: the sum(_chg) action below materializes the
       // round's label blocks AND answers the convergence probe in the
-      // SAME job (old label re-attached by a keyed join; every nid in
-      // `labels` survives the inner join because the union keeps it)
-      val next = labels.union(nbrMin)
-        .groupBy(col("nid")).agg(min(col("label")).as("label"))
-        .join(labels.withColumnRenamed("label", "_old"), Seq("nid"))
+      // SAME job. The old label is recovered INSIDE the min-agg rather
+      // than by a second keyed join: each nid has exactly ONE own-label
+      // row (labels is grouped output), so tagging the union branches
+      // and taking max(when(_own, label)) yields the old label for
+      // free — one hash-agg instead of hash-agg + join per round (r19)
+      val next = labels.select(col("nid"), col("label"), lit(true).as("_own"))
+        .union(nbrMin.select(col("nid"), col("label"), lit(false).as("_own")))
+        .groupBy(col("nid")).agg(
+          min(col("label")).as("label"),
+          max(when(col("_own"), col("label"))).as("_old"))
         .select(col("nid"), col("label"),
           (col("label") =!= col("_old")).cast("long").as("_chg"))
         .localCheckpoint(false)
